@@ -1,0 +1,156 @@
+"""Snapshot-versioned table catalog (Iceberg semantics, Parquet-dir shim).
+
+Production deployment targets Iceberg tables; this sandbox has no Iceberg
+runtime jar, so the catalog shim provides the same *semantics* behind one
+small API — a config flip, not a refactor (SURVEY.md §7.4):
+
+- every write is a new immutable **snapshot** (append = previous data files +
+  new ones; overwrite = new files only), recorded in a JSON manifest with
+  per-snapshot lineage metadata;
+- reads are **snapshot-isolated**: ``read(name, snapshot_id=k)`` reproduces
+  the table as of snapshot k — this is what makes crawl rounds resumable
+  (north rule: "Iceberg-snapshot checkpointing", "resumable from checkpoint
+  with per-partition lineage + metrics");
+- ``merge_upsert`` gives MERGE INTO semantics for the seen-set TTL upsert
+  (reference: Database.SaveWebResource upsert, common/Database.cs:227-253).
+
+This replaces fetcho's packet-file rotation (WebDataPacketWriter.cs:172-179):
+"read packet k" == "read snapshot k".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    id: int
+    op: str
+    dirs: list[str]
+    meta: dict[str, Any] = field(default_factory=dict)
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_manifest.json")
+
+    def _load(self, name: str) -> list[Snapshot]:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            raw = json.load(f)
+        return [Snapshot(**s) for s in raw["snapshots"]]
+
+    def _store(self, name: str, snaps: list[Snapshot]) -> None:
+        p = self._manifest_path(name)
+        body = {"snapshots": [s.__dict__ for s in snaps]}
+        fd, tmp = tempfile.mkstemp(dir=self._tdir(name), suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(body, f, indent=1)
+        os.replace(tmp, p)  # atomic manifest swap = Iceberg commit
+
+    # -------------------------------------------------------------- writes
+    def _write_files(self, name: str, df: DataFrame, partition_by: list[str] | None) -> str:
+        snap_dir = os.path.join(self._tdir(name), f"data-{uuid.uuid4().hex[:12]}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(snap_dir)
+        return snap_dir
+
+    def append(self, name: str, df: DataFrame, meta: dict | None = None,
+               partition_by: list[str] | None = None) -> int:
+        os.makedirs(self._tdir(name), exist_ok=True)
+        snaps = self._load(name)
+        d = self._write_files(name, df, partition_by)
+        prev = snaps[-1].dirs if snaps else []
+        sid = (snaps[-1].id + 1) if snaps else 0
+        snaps.append(Snapshot(sid, "append", prev + [d], meta or {}))
+        self._store(name, snaps)
+        return sid
+
+    def overwrite(self, name: str, df: DataFrame, meta: dict | None = None,
+                  partition_by: list[str] | None = None) -> int:
+        os.makedirs(self._tdir(name), exist_ok=True)
+        snaps = self._load(name)
+        d = self._write_files(name, df, partition_by)
+        sid = (snaps[-1].id + 1) if snaps else 0
+        snaps.append(Snapshot(sid, "overwrite", [d], meta or {}))
+        self._store(name, snaps)
+        return sid
+
+    def merge_upsert(self, name: str, updates: DataFrame, key: str,
+                     meta: dict | None = None) -> int:
+        """MERGE INTO semantics: rows in ``updates`` replace same-key rows.
+
+        Implemented as read-current ⟕̸ updates ∪ updates → overwrite snapshot.
+        At Iceberg scale this is a real MERGE; the shim rewrites, which is
+        correct (snapshot isolation) if coarser.
+        """
+        if self.exists(name):
+            cur = self.read(name)
+            merged = cur.join(updates.select(key).distinct(), key, "left_anti") \
+                        .unionByName(updates)
+        else:
+            merged = updates
+        return self.overwrite(name, merged, meta)
+
+    # --------------------------------------------------------------- reads
+    def exists(self, name: str) -> bool:
+        return bool(self._load(name))
+
+    def snapshots(self, name: str) -> list[Snapshot]:
+        return self._load(name)
+
+    def current_snapshot_id(self, name: str) -> int | None:
+        snaps = self._load(name)
+        return snaps[-1].id if snaps else None
+
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        snaps = self._load(name)
+        if not snaps:
+            raise FileNotFoundError(f"no such table: {name}")
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            match = [s for s in snaps if s.id == snapshot_id]
+            if not match:
+                raise KeyError(f"{name}: no snapshot {snapshot_id}")
+            snap = match[0]
+        return self.spark.read.parquet(*snap.dirs)
+
+    def read_incremental(self, name: str, after_snapshot_id: int) -> DataFrame | None:
+        """Files added strictly after a snapshot — Iceberg incremental read."""
+        snaps = self._load(name)
+        seen: set[str] = set()
+        for s in snaps:
+            if s.id <= after_snapshot_id:
+                seen.update(s.dirs)
+        new = [d for s in snaps if s.id > after_snapshot_id for d in s.dirs if d not in seen]
+        new = list(dict.fromkeys(new))
+        if not new:
+            return None
+        return self.spark.read.parquet(*new)
+
+    def drop(self, name: str) -> None:
+        if os.path.isdir(self._tdir(name)):
+            shutil.rmtree(self._tdir(name))

@@ -1,0 +1,255 @@
+"""The persistent crawl loop as iterative DataFrame rounds (SURVEY.md §3.1).
+
+One round = one DataFrame DAG::
+
+    frontier → dedup → cheap predicates → seen anti-join (bloom-routed)
+             → hosts join → priority → salted per-host ranking
+             → robots gate → politeness budget split
+             → fetch join → payload verify → link extraction
+             → next frontier  (carryover ∪ new links)
+
+with every state table (frontier, seen, seen_filter, hosts, fetched,
+crawl_log, metrics, checkpoints) committed as a snapshot between rounds —
+fetcho's packet-granularity loop (fetcho/ReadLinko.cs:91-111 wraps packet
+files; fetcho/Program.cs:21-91 wires the stages) with Iceberg-style snapshot
+commits replacing packet rotation and shuffles replacing the four
+BufferBlock thread boundaries.
+
+Determinism: all ordering is a pure function of data — seeded priority
+(operators/priority.py), total (priority, url_hash64, url) sort keys,
+deterministic batch-dedup survivor choice — so the same seed list + politeness
+budget reproduce the same crawl order and seen set at any parallelism level
+(north rule; golden-tested against the pure-Python oracle in simulator.py).
+
+Skew: one mega-host can dominate a per-host window. The ranking is two-phase —
+a salted pre-rank on (host_hash, salt) keeps a bounded superset per salt, the
+final per-host window ranks only survivors — explicit salting per the north
+rule, on top of AQE's runtime skew-join splitting.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window
+
+from .catalog import Catalog
+from .operators import frontier as fr
+from .operators import politeness as po
+from .operators import priority as pr
+from .operators.fetch import extract_links, simulate_fetch
+from .operators.robots import apply_robots_gate
+from .operators.seen import SeenSet
+from .functions.urls import with_url_keys
+
+EPOCH0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("src_url", T.StringType()),
+    T.StructField("src_host", T.StringType()),
+    T.StructField("round_added", T.IntegerType()),
+])
+
+
+@dataclass
+class CrawlConfig:
+    seed: int = 42
+    round_ms: int = 60_000
+    ttl_ms: int = 28 * 24 * 3_600_000   # PageCacheExpiry 28d (Fetcho.cs:278)
+    max_chunk: int = 200                 # MaxQueueBufferQueueLength analog
+    max_priority: int = pr.MAX_PRIORITY
+    max_network_issues: int = 3          # FetchoConfiguration.cs:125-126
+    max_links_per_page: int = 500
+    user_agent: str = "fetcho"
+    n_seen_buckets: int = 64
+    bits_per_bucket: int = 1 << 20
+    n_salts: int = 32
+    salted_prepass: bool = True
+    assign_global_seq: bool = True       # off for throughput benches
+    extra: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    """Drives rounds over a Catalog; all state in snapshot-versioned tables."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog,
+                 config: CrawlConfig | None = None):
+        self.spark = spark
+        self.catalog = catalog
+        self.cfg = config or CrawlConfig()
+        self.seen = SeenSet(catalog, self.cfg.n_seen_buckets,
+                            self.cfg.bits_per_bucket)
+
+    # ------------------------------------------------------------ lifecycle
+    def logical_now(self, round_no: int) -> dt.datetime:
+        return EPOCH0 + dt.timedelta(milliseconds=round_no * self.cfg.round_ms)
+
+    def init(self, seeds: list[str], webgraph: DataFrame, images: DataFrame,
+             robots: DataFrame, hosts: DataFrame) -> None:
+        """Install the universe + seed frontier as snapshot 0 of each table."""
+        c = self.catalog
+        c.overwrite("webgraph", webgraph)
+        c.overwrite("images", images)
+        c.overwrite("robots", robots)
+        c.overwrite("hosts", hosts)
+        seed_rows = [(u, _host_py(u), None, None, 0) for u in seeds]
+        c.overwrite("frontier",
+                    self.spark.createDataFrame(seed_rows, FRONTIER_SCHEMA))
+
+    def last_completed_round(self) -> int | None:
+        if not self.catalog.exists("checkpoints"):
+            return None
+        row = (self.catalog.read("checkpoints")
+               .agg(F.max("round").alias("r")).collect()[0])
+        return int(row["r"]) if row["r"] is not None else None
+
+    # ----------------------------------------------------------- one round
+    def run_round(self, round_no: int) -> dict:
+        cfg, c = self.cfg, self.catalog
+        now = self.logical_now(round_no)
+        counters: dict[str, int] = {}
+
+        frontier = c.read("frontier")
+        counters["frontier_in"] = frontier.count()
+
+        # P1 — batch dedup with a deterministic survivor (min src_url; None
+        # first) so the same referrer feeds the priority model at any
+        # parallelism level.
+        w_dedup = Window.partitionBy("url").orderBy(
+            F.col("src_url").asc_nulls_first(), F.col("round_added").asc())
+        frontier = (frontier
+                    .withColumn("_dd", F.row_number().over(w_dedup))
+                    .filter(F.col("_dd") == 1).drop("_dd"))
+
+        # cheap cascade (P2/P3/P5), keys, synthetic IP (J3/P6)
+        frontier = with_url_keys(fr.cheap_cascade(frontier))
+        frontier = fr.with_ip_group(frontier)
+
+        # P8/J1 — seen set (bloom-routed exact anti-join)
+        frontier = self.seen.filter_unseen(frontier, now)
+
+        # J2 — hosts join (broadcast: bounded by live-host count) + P10
+        hosts = c.read("hosts")
+        frontier = (frontier.join(F.broadcast(hosts), "host", "left")
+                    .filter(fr.network_ok(cfg.max_network_issues)))
+
+        # O1 — priority; P12 cap
+        frontier = frontier.withColumn(
+            "priority",
+            pr.priority_col(
+                cfg.seed, round_no,
+                same_host_as_referrer=F.col("src_host") == F.col("host"),
+                is_blocked=F.lit(False),
+                has_ip=F.col("has_ip")),
+        ).filter(fr.priority_acceptable(cfg.max_priority))
+
+        # O2 — per-host ranking, salted pre-pass for skewed hosts
+        if cfg.salted_prepass:
+            w_salt = Window.partitionBy("host_hash", "_salt") \
+                           .orderBy("priority", "url_hash64")
+            frontier = (frontier
+                        .withColumn("_salt", F.pmod(F.col("url_hash64"),
+                                                    F.lit(cfg.n_salts)))
+                        .withColumn("_sr", F.row_number().over(w_salt))
+                        .filter(F.col("_sr") <= cfg.max_chunk)
+                        .drop("_salt", "_sr"))
+        frontier = pr.with_chunk_seq(frontier).filter(fr.chunk_cap(cfg.max_chunk))
+
+        # P11 — robots gate, most expensive predicate last (R3)
+        frontier = frontier.withColumn(
+            "path", F.regexp_replace("url", r"^https?://[^/]*", ""))
+        frontier = frontier.withColumn(
+            "path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
+        frontier = apply_robots_gate(self.spark, frontier, c.read("robots"),
+                                     cfg.user_agent)
+
+        # O5 — politeness budget split (chunk_seq already ranks per host)
+        frontier = po.with_budget(frontier, cfg.round_ms)
+        selected = frontier.filter(F.col("chunk_seq") < F.col("fetch_budget"))
+        carryover = (frontier
+                     .filter(F.col("chunk_seq") >= F.col("fetch_budget"))
+                     .select("url", "host", "src_url", "src_host", "round_added"))
+
+        # deterministic global fetch order for lineage/golden tests
+        if cfg.assign_global_seq:
+            w_seq = Window.orderBy("priority", "url_hash64", "url")
+            selected = selected.withColumn(
+                "fetch_seq", F.row_number().over(w_seq) - F.lit(1))
+        else:
+            selected = selected.withColumn("fetch_seq", F.lit(None).cast("int"))
+
+        # J5 + C12 — fetch join + payload verify
+        fetched = simulate_fetch(selected, c.read("webgraph"), c.read("images"))
+        fetched = fetched.withColumn("round", F.lit(round_no))
+        log_cols = ["round", "fetch_seq", "url", "url_hash64", "host",
+                    "image_id", "status", "priority"]
+        c.append("fetched", fetched.select(
+            *log_cols, "caption", "phash", "w", "h", "fmt",
+            "decode_ok", "dims_ok", "phash_ok", "psnr_db", "out_links"),
+            meta={"round": round_no})
+        fetched = c.read_incremental("fetched",
+                                     c.current_snapshot_id("fetched") - 1)
+        c.append("crawl_log", fetched.select(*log_cols),
+                 meta={"round": round_no})
+        counters["fetched"] = fetched.count()
+        counters["fetched_ok"] = fetched.filter(F.col("status") == 200).count()
+
+        # seen-set upsert: every *attempted* URL is recorded visited before
+        # the fetch outcome matters (Fetcho.cs:170,274-281 semantics)
+        next_fetch = now + dt.timedelta(milliseconds=self.cfg.ttl_ms)
+        self.seen.record(
+            fetched.select(F.unhex(F.md5("url")).alias("url_hash"),
+                           F.col("url_hash64")),
+            next_fetch)
+
+        # host feedback (429 penalty / network issues)
+        c.overwrite("hosts", po.apply_429_penalty(c.read("hosts"), fetched),
+                    meta={"round": round_no})
+
+        # C2/C3/O7 — link extraction → next frontier
+        links = extract_links(fetched, cfg.seed, round_no,
+                              cfg.max_links_per_page)
+        new_frontier = links.select(
+            "url", "host", "src_url", "src_host",
+            F.lit(round_no + 1).alias("round_added"))
+        nxt = carryover.unionByName(new_frontier)
+        c.overwrite("frontier", nxt, meta={"round": round_no})
+        counters["new_links"] = new_frontier.count()
+        counters["carryover"] = carryover.count()
+
+        # per-partition lineage metrics (north rule): counts per host bucket
+        lineage = (fetched.groupBy(
+            F.pmod(F.col("url_hash64"), F.lit(cfg.n_seen_buckets)).alias("bucket"))
+            .agg(F.count("*").alias("n_fetched"),
+                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
+                  .alias("n_ok"))
+            .withColumn("round", F.lit(round_no)))
+        c.append("metrics", lineage, meta={"round": round_no,
+                                           "counters": counters})
+
+        # checkpoint LAST → a round is complete iff its checkpoint row exists
+        snap_ids = {t: self.catalog.current_snapshot_id(t)
+                    for t in ("frontier", "seen", "seen_filter", "hosts",
+                              "fetched", "crawl_log", "metrics")}
+        ckpt = self.spark.createDataFrame(
+            [(round_no, json.dumps(snap_ids), json.dumps(counters))],
+            "round int, snapshots string, counters string")
+        c.append("checkpoints", ckpt, meta={"round": round_no})
+        return counters
+
+    def run(self, n_rounds: int) -> list[dict]:
+        start = (self.last_completed_round() + 1
+                 if self.last_completed_round() is not None else 0)
+        return [self.run_round(r) for r in range(start, start + n_rounds)]
+
+
+def _host_py(url: str) -> str:
+    from .functions.urls import host_of
+    return host_of(url) or ""

@@ -1,0 +1,215 @@
+"""Deterministic synthetic fixtures (seed=42) per FIXTURES.md.
+
+Generates the crawl universe in-repo — no external data: the image+caption
+corpus (BASELINE.json input_hint shape), a synthetic web graph with a Zipf
+host distribution and one mega-host (~20% of pages) to exercise skew salting,
+a seed list, robots rules (re-expressing the semantics pinned by
+/root/reference/commonTest/RobotsTest.cs — prefix rules, mid-``*`` wildcards,
+``$`` anchors, per-user-agent sections, the ``Disallow: /news/0`` regression),
+and initial host politeness state.
+
+Generators are pure functions of (size, seed); the same code parameterizes the
+unit tests (~10^3 rows) and the bench (~10^5 rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .functions.codec import encode, phash64
+
+SEED = 42
+
+IMAGES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("phash", T.LongType()),
+])
+
+WEBGRAPH_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("image_id", T.StringType()),
+    T.StructField("out_links", T.ArrayType(T.StringType())),
+    T.StructField("status", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+])
+
+_COLORS = ["red", "blue", "green", "amber", "violet", "teal", "coral", "slate"]
+_SHAPES = ["circle", "square", "triangle", "hexagon", "star", "spiral"]
+_BGS = ["white", "black", "paper", "noise", "gradient"]
+
+
+def gen_images(n: int, seed: int = SEED) -> list[tuple]:
+    """Image+caption corpus rows (input_hint schema). PNG for i%3==0 else JPEG."""
+    rows = []
+    sizes = [32, 64, 128]
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        s = sizes[i % len(sizes)]
+        px = rng.integers(0, 256, size=(s, s, 3), dtype=np.uint8)
+        fmt = "png" if i % 3 == 0 else "jpeg"
+        data = encode(px, fmt)
+        # the stored phash is of the *decoded* pixels a fetcher will see
+        from .functions.codec import decode
+        dec, _ = decode(data)
+        cap = (f"a {_COLORS[i % len(_COLORS)]} {_SHAPES[i % len(_SHAPES)]} "
+               f"on {_BGS[i % len(_BGS)]}, sample {i}")
+        rows.append((f"img{i:08d}", bytearray(data), s, s, fmt, cap, phash64(dec)))
+    return rows
+
+
+def host_name(host_id: int) -> str:
+    return f"h{host_id}.example"
+
+
+def _host_ids(n_pages: int, n_hosts: int, rng: np.random.Generator) -> np.ndarray:
+    """Zipf(a=1.3)-ish over hosts with host 0 forced to ~20% of pages."""
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    w = ranks ** -1.3
+    w[0] = w.sum() * 0.25  # mega-host ≈ 20% after renorm
+    w /= w.sum()
+    return rng.choice(n_hosts, size=n_pages, p=w)
+
+
+def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
+                 seed: int = SEED) -> list[tuple]:
+    """Synthetic web: one row per servable page; out_links include dirty
+    variants (fragments, //scheme-relative, relative, http:///, blocked
+    schemes, &amp;-encoded) to exercise canonicalization (Utility.cs parity).
+    """
+    rng = np.random.default_rng(seed)
+    hids = _host_ids(n_pages, n_hosts, rng)
+    per_host_seq: dict[int, int] = {}
+    urls, hosts = [], []
+    for hid in hids:
+        k = per_host_seq.get(int(hid), 0)
+        per_host_seq[int(hid)] = k + 1
+        hosts.append(host_name(int(hid)))
+        urls.append(f"http://{host_name(int(hid))}/p{k}")
+    status = rng.choice([200, 404, 429, 500], size=n_pages,
+                        p=[0.95, 0.02, 0.02, 0.01])
+    img_idx = rng.integers(0, n_images, size=n_pages)
+    rows = []
+    for i in range(n_pages):
+        n_links = int(rng.integers(5, 21))
+        tgt = rng.integers(0, n_pages, size=n_links)
+        links = []
+        for j, t in enumerate(tgt):
+            u = urls[int(t)]
+            style = int(rng.integers(0, 8))
+            if style == 0:
+                links.append(u)
+            elif style == 1:
+                links.append(u + "#frag" + str(j))
+            elif style == 2:
+                links.append(u[len("http:"):])            # //host/path
+            elif style == 3 and hosts[int(t)] == hosts[i]:
+                links.append(u.split(".example", 1)[1])    # site-relative /pK
+            elif style == 4:
+                links.append(u + "?a=1&amp;b=2")           # html-encoded query
+            elif style == 5:
+                links.append("HTTP://" + u[len("http://"):].upper()
+                             .replace("/P", "/p"))         # case noise in host
+            elif style == 6:
+                links.append("mailto:x@" + hosts[int(t)])  # unsupported scheme
+            else:
+                links.append(u)
+        rows.append((urls[i], hosts[i], f"img{int(img_idx[i]):08d}",
+                     links, int(status[i]), "text/html"))
+    return rows
+
+
+def gen_seeds(webgraph_rows: list[tuple], k: int = 20, seed: int = SEED) -> list[str]:
+    """Seed list: k URLs across ≥10 distinct hosts (north rule: same seed list)."""
+    rng = np.random.default_rng(seed)
+    by_host: dict[str, list[str]] = {}
+    for r in webgraph_rows:
+        by_host.setdefault(r[1], []).append(r[0])
+    hosts = sorted(by_host)[: max(10, k // 2)]
+    out: list[str] = []
+    i = 0
+    while len(out) < k and hosts:
+        h = hosts[i % len(hosts)]
+        cand = by_host[h]
+        out.append(cand[int(rng.integers(0, len(cand)))])
+        i += 1
+    return sorted(set(out))[:k]
+
+
+# robots: (host, user_agent, directive, pattern) + golden expectations
+ROBOTS_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("user_agent", T.StringType()),
+    T.StructField("directive", T.StringType()),
+    T.StructField("pattern", T.StringType()),
+])
+
+
+def gen_robots(n_hosts: int, seed: int = SEED) -> list[tuple]:
+    """~30% of hosts get rules. Host 1 carries the RobotsTest parity cases
+    (re-expressed from commonTest/RobotsTest.cs:24-38,113-128 — not copied):
+    prefix, mid-*, $ anchor, and the /news/0 prefix regression."""
+    rng = np.random.default_rng(seed + 7)
+    rows = [
+        (host_name(1), "*", "disallow", "/private"),
+        (host_name(1), "*", "disallow", "/tmp/*.bak"),
+        (host_name(1), "*", "disallow", "/exact$"),
+        (host_name(1), "*", "disallow", "/news/0"),
+        (host_name(2), "fetcho", "disallow", "/"),       # UA-specific full block
+        (host_name(2), "*", "disallow", "/nobots"),
+        (host_name(3), "*", "disallow", "/"),            # fully blocked host
+    ]
+    for hid in range(4, n_hosts):
+        if rng.random() < 0.3:
+            p = int(rng.integers(0, 40))
+            rows.append((host_name(hid), "*", "disallow", f"/p{p}"))
+    return rows
+
+
+HOSTS_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("crawl_delay_ms", T.IntegerType()),
+    T.StructField("network_issues", T.IntegerType()),
+])
+
+
+def gen_hosts(n_hosts: int, seed: int = SEED,
+              default_delay_ms: int = 20_000) -> list[tuple]:
+    """Initial politeness state; default 20 s/host
+    (FetchoConfiguration.cs:30-31), a few faster/slower hosts."""
+    rng = np.random.default_rng(seed + 13)
+    rows = []
+    for hid in range(n_hosts):
+        r = rng.random()
+        delay = 5_000 if r < 0.1 else (60_000 if r > 0.95 else default_delay_ms)
+        rows.append((host_name(hid), delay, 0))
+    return rows
+
+
+# ------------------------------------------------------------------ to Spark
+
+def images_df(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
+    return spark.createDataFrame(gen_images(n, seed), IMAGES_SCHEMA)
+
+
+def webgraph_df(spark: SparkSession, n_pages: int, n_hosts: int, n_images: int,
+                seed: int = SEED) -> DataFrame:
+    return spark.createDataFrame(
+        gen_webgraph(n_pages, n_hosts, n_images, seed), WEBGRAPH_SCHEMA)
+
+
+def robots_df(spark: SparkSession, n_hosts: int, seed: int = SEED) -> DataFrame:
+    return spark.createDataFrame(gen_robots(n_hosts, seed), ROBOTS_SCHEMA)
+
+
+def hosts_df(spark: SparkSession, n_hosts: int, seed: int = SEED,
+             default_delay_ms: int = 20_000) -> DataFrame:
+    return spark.createDataFrame(
+        gen_hosts(n_hosts, seed, default_delay_ms), HOSTS_SCHEMA)

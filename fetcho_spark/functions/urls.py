@@ -1,0 +1,142 @@
+"""URL canonicalization + link normalization (vectorized).
+
+Re-expresses the cleanup pipeline of fetcho's ``Utility.GetLinks``
+(/root/reference/common/Utility.cs:202-322): html-decode, strip ``#fragment``,
+``//`` scheme-relative fix, ``http:///`` triple-slash fix, relative→absolute
+resolution against the source page, scheme whitelist (http/https only), and a
+2043-char cap — plus lowercasing of scheme/host and default-port stripping so
+the seen-set key is stable.
+
+One pure function :func:`canonicalize` is the single source of truth; the
+Spark side wraps it in an Arrow-batched pandas UDF (:func:`canonicalize_udf`)
+— never a row-at-a-time Python UDF — and the oracle simulator calls it
+directly, so engine and oracle agree byte-for-byte by construction.
+"""
+
+from __future__ import annotations
+
+import html
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_URL_LEN = 2043  # Utility.cs: MaxFileNameLength-ish cap on link length
+_ALLOWED_SCHEMES = ("http", "https")  # ResourceFetcher.cs:80 scheme dispatch
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def canonicalize(href: str | None, base: str | None = None) -> str | None:
+    """Canonical absolute URL, or None if the link is unusable.
+
+    Deterministic, pure; shared by the engine (inside pandas UDF batches)
+    and the oracle simulator.
+    """
+    if href is None:
+        return None
+    s = html.unescape(href).strip()
+    if not s:
+        return None
+    # strip fragment first (reference strips '#anchor' before anything else)
+    hash_at = s.find("#")
+    if hash_at >= 0:
+        s = s[:hash_at]
+        if not s:
+            return None
+    base_scheme = "http"
+    if base:
+        b = base.split(":", 1)[0].lower()
+        if b in _ALLOWED_SCHEMES:
+            base_scheme = b
+    if s.startswith("//"):  # scheme-relative → inherit source scheme
+        s = f"{base_scheme}:{s}"
+    # triple-slash authority fix: 'http:///path' → treat as host-less junk the
+    # reference repairs to 'http://' + rest (Utility.cs fix-ups)
+    for sch in _ALLOWED_SCHEMES:
+        pre = f"{sch}:///"
+        if s.lower().startswith(pre):
+            s = f"{sch}://" + s[len(pre):]
+            break
+    lower = s.lower()
+    if not (lower.startswith("http://") or lower.startswith("https://")):
+        if ":" in s.split("/", 1)[0]:
+            return None  # mailto:, javascript:, ftp:, data: … — unsupported scheme
+        if base is None:
+            return None
+        s = urljoin(base, s)
+        lower = s.lower()
+        if not (lower.startswith("http://") or lower.startswith("https://")):
+            return None
+    try:
+        parts = urlsplit(s)
+    except ValueError:
+        return None
+    host = (parts.hostname or "").lower().rstrip(".")
+    if not host:
+        return None
+    scheme = parts.scheme.lower()
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host if (port is None or port == _DEFAULT_PORTS.get(scheme)) else f"{host}:{port}"
+    path = parts.path or "/"
+    out = urlunsplit((scheme, netloc, path, parts.query, ""))
+    if len(out) > MAX_URL_LEN:
+        return None
+    return out
+
+
+def host_of(url: str | None) -> str | None:
+    if not url:
+        return None
+    try:
+        return (urlsplit(url).hostname or "").lower() or None
+    except ValueError:
+        return None
+
+
+def path_of(url: str | None) -> str:
+    if not url:
+        return "/"
+    try:
+        p = urlsplit(url)
+        path = p.path or "/"
+        return f"{path}?{p.query}" if p.query else path
+    except ValueError:
+        return "/"
+
+
+# ---------------------------------------------------------------- Spark side
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    """Arrow-batched canonicalizer: (href, base_url) → canonical url/null."""
+    return pd.Series(
+        [canonicalize(h, b) for h, b in zip(href, base)], dtype=object
+    )
+
+
+@F.pandas_udf(T.StringType())
+def host_udf(url: pd.Series) -> pd.Series:
+    return url.map(host_of, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def path_udf(url: pd.Series) -> pd.Series:
+    return url.map(path_of, na_action="ignore")
+
+
+def with_url_keys(df, url_col: str = "url"):
+    """Attach the canonical key columns — all JVM-side builtins, no Python:
+
+    - ``url_hash``  binary(16) = unhex(md5(url))   (fetcho Md5Hash parity)
+    - ``url_hash64`` int64     = xxhash64(url)     (bloom / bucketing key)
+    - ``host_hash`` int64      = xxhash64(host)    (partitioning key)
+    """
+    return (
+        df.withColumn("url_hash", F.unhex(F.md5(F.col(url_col))))
+          .withColumn("url_hash64", F.xxhash64(F.col(url_col)))
+          .withColumn("host_hash", F.xxhash64(F.col("host")))
+    )

@@ -1,0 +1,76 @@
+"""Frontier predicate cascade (SURVEY.md §2.2 P1-P13).
+
+Re-expresses Queueo's cheap→expensive rejection cascade
+(/root/reference/fetcho/Queueo.cs:146-207,358-457 — "cut the cost of this by
+99%") as ordered DataFrame filters. Catalyst collapses them into one
+whole-stage-codegen stage; the UDF-backed robots gate stays last by
+construction (R3). All predicates below are JVM-side Column expressions.
+
+Synthetic IP resolution (J3): the reference resolves DNS and groups fetches
+by IP (many hosts → one IP). No network in this sandbox, so IP is a
+deterministic function of host preserving that grouping: ``ip_group =
+pmod(xxhash64(host), n_ip_groups)`` with a small collision space, plus a
+"no IP" tail for hosts whose hash lands in a reserved bucket — mirroring
+DNS failures (Utility.cs:29-74 semantics, not implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ~27 country TLDs the reference drops (Queueo.cs:291-318)
+BLOCKED_TLDS = [
+    "cn", "jp", "de", "fr", "ru", "kr", "br", "pl", "it", "es", "nl", "se",
+    "no", "fi", "dk", "cz", "tr", "gr", "hu", "ro", "th", "vn", "ir", "sa",
+    "id", "tw", "ua",
+]
+
+N_IP_GROUPS = 1 << 16
+NO_IP_BUCKETS = 7  # hash buckets treated as DNS failures (deterministic tail)
+MAX_CHUNK = 2_000  # MaxQueueBufferQueueLength (FetchoConfiguration.cs:78-79)
+
+
+def scheme_ok(url_col: str = "url") -> Column:
+    """P2 — only http/https (ResourceFetcher.cs:80)."""
+    return F.col(url_col).rlike("^https?://")
+
+
+def tld_allowed(host_col: str = "host") -> Column:
+    """P3 — drop blocked country TLDs."""
+    return ~F.substring_index(F.col(host_col), ".", -1).isin(BLOCKED_TLDS)
+
+
+def host_wellformed(host_col: str = "host") -> Column:
+    """P5 — blank host or host starting '0.' is malformed (Queueo.cs:257-258)."""
+    c = F.col(host_col)
+    return c.isNotNull() & (c != "") & ~c.startswith("0.")
+
+
+def with_ip_group(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """J3/P6 — deterministic synthetic IP group + has_ip flag."""
+    grp = F.pmod(F.xxhash64(F.col(host_col)), F.lit(N_IP_GROUPS))
+    return (df.withColumn("ip_group", grp)
+              .withColumn("has_ip", grp >= F.lit(NO_IP_BUCKETS)))
+
+
+def priority_acceptable(max_priority: int = 740_000_000) -> Column:
+    """P12 — drop if priority exceeds the cap (Queueo.cs:492)."""
+    return F.col("priority") <= F.lit(max_priority)
+
+
+def chunk_cap(max_chunk: int = MAX_CHUNK) -> Column:
+    """P13 — keep the first ``max_chunk`` items per host chunk (needs
+    ``chunk_seq`` from priority.with_chunk_seq)."""
+    return F.col("chunk_seq") < F.lit(max_chunk)
+
+
+def network_ok(max_issues: int = 3) -> Column:
+    """P10 — drop hosts with too many network issues (Queueo.cs:419-424)."""
+    return F.coalesce(F.col("network_issues"), F.lit(0)) <= F.lit(max_issues)
+
+
+def cheap_cascade(df: DataFrame) -> DataFrame:
+    """P2+P3+P5 in one stage; order here mirrors the reference but Catalyst
+    fuses it — correctness is the conjunction, cost is one codegen pass."""
+    return df.filter(scheme_ok() & tld_allowed() & host_wellformed())

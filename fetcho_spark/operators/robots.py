@@ -1,0 +1,120 @@
+"""robots.txt gating (SURVEY.md §2.2 P11, §2.8 C6).
+
+Semantics pinned by the reference's tests
+(/root/reference/commonTest/RobotsTest.cs:24-38,113-128 and
+common/RobotsFile.cs:81-250, re-expressed — not copied):
+
+- a pattern is a **prefix** match on the URL path;
+- ``*`` matches any character run mid-pattern;
+- ``$`` anchors the pattern to the path end;
+- rules for our specific user-agent take precedence over the ``*`` group
+  (per-UA sections, e.g. the github fixture);
+- ``Disallow: /news/0`` must NOT block ``/news/world-…`` (prefix regression);
+- most-specific (longest) matching rule wins; allow beats disallow on ties.
+
+The reference compiles rules to a char-level FSM and walks it per URL
+(RobotsFile.cs / FiniteStateMachine.cs). Spark-first shape: parse once to
+rule rows, compile per-host to anchored regexes on the driver, broadcast the
+compiled table, and match inside an Arrow-batched pandas UDF — one Python
+crossing per batch, not per row. Robots state persists in a ``robots`` table
+with a 28-day TTL (Site.cs:18-20) under the engine's logical clock.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_UA = "fetcho"
+
+
+def pattern_to_regex(pattern: str) -> re.Pattern:
+    """robots pattern → compiled anchored-prefix regex (*, $ supported)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+class HostRules:
+    """Compiled rules for one host. ``disallowed(path)`` = longest-match-wins."""
+
+    __slots__ = ("rules",)
+
+    def __init__(self, rules: list[tuple[bool, str]]):
+        # longest-pattern-first; allow before disallow on equal length so the
+        # first match at the winning length already encodes tie-break-to-allow
+        self.rules = [
+            (is_allow, len(p), pattern_to_regex(p))
+            for is_allow, p in sorted(rules, key=lambda r: (-len(r[1]), not r[0]))
+        ]
+
+    def disallowed(self, path: str) -> bool:
+        best_len, best_allow = -1, True
+        for is_allow, plen, rx in self.rules:
+            if plen <= best_len:
+                break  # sorted: no longer match possible
+            if rx.match(path):
+                best_len, best_allow = plen, is_allow
+        return not best_allow
+
+
+def compile_rules(rows: list[tuple[str, str, str, str]],
+                  user_agent: str = DEFAULT_UA) -> dict[str, HostRules]:
+    """(host, user_agent, directive, pattern) rows → host → HostRules.
+
+    Per-UA precedence: if a host has any rules for ``user_agent``, the ``*``
+    group is ignored for that host (RobotsTest github-fixture semantics).
+    """
+    ua = user_agent.lower()
+    by_host: dict[str, dict[str, list[tuple[bool, str]]]] = {}
+    for host, agent, directive, pattern in rows:
+        if pattern is None or pattern == "":
+            continue  # empty Disallow == allow all
+        g = by_host.setdefault(host, {})
+        g.setdefault(agent.lower(), []).append(
+            (directive.lower() == "allow", pattern))
+    out: dict[str, HostRules] = {}
+    for host, groups in by_host.items():
+        chosen = groups.get(ua) if ua in groups else groups.get("*")
+        if chosen:
+            out[host] = HostRules(chosen)
+    return out
+
+
+def make_disallowed_udf(spark: SparkSession, robots_df: DataFrame,
+                        user_agent: str = DEFAULT_UA):
+    """Broadcast the compiled rule table; return pandas UDF (host, path)→bool.
+
+    The rule table is small per round (≤100k hot hosts,
+    FetchoConfiguration.cs:27-28) → broadcast join territory. At 10^10 scale
+    the robots table stays bounded by live-host count, not frontier size.
+    """
+    rows = [tuple(r) for r in robots_df
+            .select("host", "user_agent", "directive", "pattern").collect()]
+    compiled = compile_rules(rows, user_agent)
+    bc = spark.sparkContext.broadcast(compiled)
+
+    @F.pandas_udf(T.BooleanType())
+    def robots_disallowed(host: pd.Series, path: pd.Series) -> pd.Series:
+        table = bc.value
+        out = []
+        for h, p in zip(host, path):
+            hr = table.get(h)
+            out.append(bool(hr and hr.disallowed(p if p else "/")))
+        return pd.Series(out, dtype=bool)
+
+    return robots_disallowed
+
+
+def apply_robots_gate(spark: SparkSession, frontier: DataFrame,
+                      robots_df: DataFrame, user_agent: str = DEFAULT_UA,
+                      path_col: str = "path") -> DataFrame:
+    """P11: drop frontier rows the host's robots rules disallow. Runs LAST in
+    the cascade — most expensive predicate (Queueo.cs:426 ordering, R3)."""
+    udf = make_disallowed_udf(spark, robots_df, user_agent)
+    return frontier.filter(~udf(F.col("host"), F.col(path_col)))

@@ -1,0 +1,172 @@
+"""Partitioned-bloom URL-seen set (SURVEY.md §2.1 S4, §2.2 P8, §2.4 J1).
+
+The reference keeps the seen set in Postgres ``WebResource(urihash,
+next_fetch)`` probed in bulk (common/Database.cs:270-310) behind an in-memory
+FIFO cache (common/FastLookupCache.cs). At 10^10-URL scale the rebuild keeps
+state in tables, not executors (resumability):
+
+- ``seen``        — exact set: ``(url_hash binary(16), url_hash64 long,
+                    next_fetch timestamp)``, bucketed by ``pmod(url_hash64,
+                    n_buckets)`` (Iceberg ``bucket()`` transform in prod).
+- ``seen_filter`` — one Bloom filter **per bucket** as a binary blob row:
+                    ``(bucket, bits, n_items, n_bits)``; rebuilt
+                    *incrementally* (new keys OR-ed into the blob) each round
+                    and snapshot-versioned with everything else.
+
+Probe = bloom pre-filter → exact left-anti join for the "maybe seen" subset
+only. The bloom is ONLY a router: false positives just pay the exact join;
+the final seen-set semantics stay exact (SURVEY.md §7.4). The probe is a
+**cogrouped applyInPandas on the bucket key** — filter blobs are never
+broadcast, so per-bucket blobs can be arbitrarily large and the probe scales
+with the number of buckets, not driver memory.
+
+TTL: a hash is "recently visited" while ``next_fetch > logical_now``
+(28-day TTL, fetcho/Fetcho.cs:278); expired rows are re-fetchable but stay in
+the bloom (supersets are safe — the exact join re-checks the TTL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import Catalog
+from ..functions.hashing import splitmix64
+
+FILTER_SCHEMA = T.StructType([
+    T.StructField("bucket", T.LongType()),
+    T.StructField("bits", T.BinaryType()),
+    T.StructField("n_items", T.LongType()),
+    T.StructField("n_bits", T.LongType()),
+])
+
+
+def bucket_col(hash_col: str = "url_hash64", n_buckets: int = 64) -> Column:
+    return F.pmod(F.col(hash_col), F.lit(n_buckets))
+
+
+def _positions(keys: np.ndarray, k: int, n_bits: int) -> np.ndarray:
+    """(k, n) probe positions from signed-int64 keys — double hashing via two
+    splitmix64 mixes; identical numpy code builds and probes, so membership of
+    an inserted key is exact by construction."""
+    u = keys.astype(np.int64).view(np.uint64)
+    h1 = splitmix64(u)
+    h2 = splitmix64(h1) | np.uint64(1)  # odd → full-period stride
+    i = np.arange(k, dtype=np.uint64).reshape(-1, 1)
+    with np.errstate(over="ignore"):
+        return ((h1 + i * h2) % np.uint64(n_bits)).astype(np.int64)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """AND over the k rows of ``pos`` → per-key maybe-membership."""
+    probed = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return probed.all(axis=0)
+
+
+class SeenSet:
+    """Seen-set lifecycle over a :class:`~fetcho_spark.catalog.Catalog`."""
+
+    def __init__(self, catalog: Catalog, n_buckets: int = 64,
+                 bits_per_bucket: int = 1 << 20, n_hashes: int = 7,
+                 table: str = "seen", filter_table: str = "seen_filter"):
+        self.catalog = catalog
+        self.n_buckets = n_buckets
+        self.bits_per_bucket = bits_per_bucket
+        self.k = n_hashes
+        self.table = table
+        self.filter_table = filter_table
+
+    # ------------------------------------------------------------- probing
+    def filter_unseen(self, frontier: DataFrame, logical_now) -> DataFrame:
+        """Drop frontier rows whose hash is seen with an unexpired TTL.
+
+        bloom-maybe rows → exact anti-join; bloom-definite-no rows skip the
+        join entirely (the 99% fast path once the crawl is warm).
+        """
+        if not self.catalog.exists(self.table):
+            return frontier
+        frontier = frontier.withColumn("_bucket",
+                                       bucket_col(n_buckets=self.n_buckets))
+        if self.catalog.exists(self.filter_table):
+            filters = self.catalog.read(self.filter_table)
+            out_schema = T.StructType(
+                [f for f in frontier.schema.fields] +
+                [T.StructField("_maybe_seen", T.BooleanType())])
+            k = self.k
+
+            def probe(keys_pdf: pd.DataFrame, flt_pdf: pd.DataFrame) -> pd.DataFrame:
+                if keys_pdf.empty:
+                    keys_pdf["_maybe_seen"] = pd.Series([], dtype=bool)
+                    return keys_pdf
+                if flt_pdf.empty:
+                    keys_pdf["_maybe_seen"] = False
+                    return keys_pdf
+                bits = np.frombuffer(flt_pdf["bits"].iloc[0], dtype=np.uint8)
+                n_bits = int(flt_pdf["n_bits"].iloc[0])
+                pos = _positions(keys_pdf["url_hash64"].to_numpy(), k, n_bits)
+                keys_pdf["_maybe_seen"] = _test_bits(bits, pos)
+                return keys_pdf
+
+            probed = (frontier.groupBy("_bucket")
+                      .cogroup(filters.withColumnRenamed("bucket", "_bucket")
+                               .groupBy("_bucket"))
+                      .applyInPandas(probe, out_schema))
+            clean = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+            maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        else:
+            clean = frontier.limit(0)
+            maybe = frontier
+        recent = (self.catalog.read(self.table)
+                  .filter(F.col("next_fetch") > F.lit(logical_now))
+                  .select("url_hash64"))
+        survived = maybe.join(recent, "url_hash64", "left_anti")
+        return clean.unionByName(survived).drop("_bucket")
+
+    # ------------------------------------------------------------- updates
+    def record(self, fetched: DataFrame, next_fetch) -> None:
+        """Upsert fetched hashes with the TTL and OR them into the blooms."""
+        rows = (fetched.select("url_hash", "url_hash64").distinct()
+                .withColumn("next_fetch", F.lit(next_fetch)))
+        self.catalog.merge_upsert(self.table, rows, key="url_hash64")
+        self._update_filters(rows)
+
+    def _update_filters(self, rows: DataFrame) -> None:
+        spark = rows.sparkSession
+        keyed = rows.select("url_hash64").withColumn(
+            "bucket", bucket_col(n_buckets=self.n_buckets))
+        if self.catalog.exists(self.filter_table):
+            existing = self.catalog.read(self.filter_table)
+        else:
+            existing = spark.createDataFrame([], FILTER_SCHEMA)
+        n_bits, k = self.bits_per_bucket, self.k
+
+        def merge(new_pdf: pd.DataFrame, flt_pdf: pd.DataFrame) -> pd.DataFrame:
+            if new_pdf.empty and flt_pdf.empty:
+                return pd.DataFrame(columns=["bucket", "bits", "n_items", "n_bits"])
+            if flt_pdf.empty:
+                bits = np.zeros(n_bits // 8, dtype=np.uint8)
+                n_items, nb = 0, n_bits
+                bucket = int(new_pdf["bucket"].iloc[0])
+            else:
+                bits = np.frombuffer(flt_pdf["bits"].iloc[0], dtype=np.uint8).copy()
+                n_items = int(flt_pdf["n_items"].iloc[0])
+                nb = int(flt_pdf["n_bits"].iloc[0])
+                bucket = int(flt_pdf["bucket"].iloc[0])
+            if not new_pdf.empty:
+                pos = _positions(new_pdf["url_hash64"].to_numpy(), k, nb)
+                _set_bits(bits, pos)
+                n_items += len(new_pdf)
+            return pd.DataFrame({"bucket": [bucket], "bits": [bits.tobytes()],
+                                 "n_items": [n_items], "n_bits": [nb]})
+
+        merged = (keyed.groupBy("bucket")
+                  .cogroup(existing.groupBy("bucket"))
+                  .applyInPandas(merge, FILTER_SCHEMA))
+        self.catalog.overwrite(self.filter_table, merged)

@@ -1,0 +1,40 @@
+"""Snapshot-versioned catalog semantics (Iceberg shim, SURVEY.md §7.0)."""
+
+import pytest
+
+
+@pytest.mark.spark
+def test_append_overwrite_snapshots(spark, tmp_catalog):
+    c = tmp_catalog
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "k")
+    s0 = c.append("t", df1)
+    s1 = c.append("t", df2)
+    assert (s0, s1) == (0, 1)
+    assert c.read("t").count() == 8
+    assert c.read("t", snapshot_id=0).count() == 5      # snapshot isolation
+    s2 = c.overwrite("t", df2)
+    assert c.read("t").count() == 3
+    assert c.read("t", snapshot_id=s1).count() == 8     # history preserved
+    assert c.current_snapshot_id("t") == s2
+
+
+@pytest.mark.spark
+def test_incremental_read(spark, tmp_catalog):
+    c = tmp_catalog
+    c.append("t", spark.range(3))
+    c.append("t", spark.range(10, 14))
+    inc = c.read_incremental("t", after_snapshot_id=0)
+    assert sorted(r["id"] for r in inc.collect()) == [10, 11, 12, 13]
+    assert c.read_incremental("t", after_snapshot_id=1) is None
+
+
+@pytest.mark.spark
+def test_merge_upsert(spark, tmp_catalog):
+    c = tmp_catalog
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    c.overwrite("t", base)
+    c.merge_upsert("t", upd, key="k")
+    got = {r["k"]: r["v"] for r in c.read("t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}

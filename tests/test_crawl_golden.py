@@ -1,0 +1,126 @@
+"""Golden end-to-end: the distributed engine must reproduce the oracle
+simulator's crawl order and final seen set exactly (north rule), stay
+identical across parallelism levels, and resume from checkpoint losslessly.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fetcho_spark import fixtures as fx
+from fetcho_spark.catalog import Catalog
+from fetcho_spark.crawl import CrawlConfig, CrawlEngine
+from fetcho_spark.simulator import simulate
+
+N_PAGES, N_HOSTS, N_IMAGES, N_SEEDS, N_ROUNDS = 50, 10, 15, 6, 3
+
+CFG = CrawlConfig(max_chunk=50, n_seen_buckets=8, bits_per_bucket=1 << 14)
+
+LOG_COLS = ("round", "fetch_seq", "url", "status", "priority")
+
+
+def _universe():
+    wg = fx.gen_webgraph(N_PAGES, N_HOSTS, N_IMAGES)
+    return (wg, fx.gen_robots(N_HOSTS), fx.gen_hosts(N_HOSTS),
+            fx.gen_seeds(wg, N_SEEDS))
+
+
+def _engine(spark, tmpdir, n_rounds=N_ROUNDS):
+    wg, rb, hs, seeds = _universe()
+    cat = Catalog(spark, tmpdir)
+    eng = CrawlEngine(spark, cat, CFG)
+    eng.init(seeds, fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES),
+             fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+             fx.hosts_df(spark, N_HOSTS))
+    eng.run(n_rounds)
+    return cat, eng
+
+
+def _log_rows(cat):
+    return [tuple(r[c] for c in LOG_COLS)
+            for r in cat.read("crawl_log").orderBy("round", "fetch_seq").collect()]
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark):
+    d = tempfile.mkdtemp(prefix="golden-")
+    cat, eng = _engine(spark, d)
+    wg, rb, hs, seeds = _universe()
+    sim = simulate(seeds, wg, rb, hs, N_ROUNDS, CFG)
+    yield cat, sim
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_crawl_order_matches_oracle(crawl_run):
+    cat, sim = crawl_run
+    eng_log = _log_rows(cat)
+    sim_log = [tuple(d[c] for c in LOG_COLS) for d in sim.log]
+    assert len(eng_log) > 0
+    assert eng_log == sim_log
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_final_seen_set_matches_oracle(crawl_run):
+    cat, sim = crawl_run
+    eng_seen = {r["url_hash64"] for r in
+                cat.read("seen").select("url_hash64").collect()}
+    assert eng_seen == set(sim.seen.keys())
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_payload_invariants(crawl_run):
+    """input_hint per-row invariant: decode ok, dims ok, phash reproduced,
+    PSNR ≥ 40 dB (lossy) on every successfully fetched image."""
+    cat, _ = crawl_run
+    ok = cat.read("fetched").filter(F.col("status") == 200)
+    n = ok.count()
+    assert n > 0
+    assert ok.filter(~F.col("decode_ok")).count() == 0
+    assert ok.filter(~F.col("dims_ok")).count() == 0
+    assert ok.filter(~F.col("phash_ok")).count() == 0
+    lossy = ok.filter(F.col("fmt") == "jpeg")
+    assert lossy.filter(F.col("psnr_db") < 40.0).count() == 0
+    # caption equality: fetched caption equals the corpus caption by join
+    img = cat.read("images").select("image_id",
+                                    F.col("caption").alias("expected"))
+    assert (ok.join(img, "image_id")
+              .filter(F.col("caption") != F.col("expected")).count()) == 0
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_resume_from_checkpoint_equivalence(spark, crawl_run):
+    """Run K rounds, vs run K-1 + resume 1: identical log + seen (§5d)."""
+    cat_full, _ = crawl_run
+    d = tempfile.mkdtemp(prefix="resume-")
+    try:
+        cat, eng = _engine(spark, d, n_rounds=N_ROUNDS - 1)
+        eng2 = CrawlEngine(spark, Catalog(spark, d), CFG)
+        assert eng2.last_completed_round() == N_ROUNDS - 2
+        eng2.run(1)  # picks up at round N_ROUNDS-1
+        assert _log_rows(Catalog(spark, d)) == _log_rows(cat_full)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_order_invariant_to_parallelism(spark, crawl_run):
+    """Same crawl at a different shuffle-partition count → identical order
+    (north rule: ordering is a pure function of data, not partition layout)."""
+    cat_full, _ = crawl_run
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    d = tempfile.mkdtemp(prefix="par-")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        cat, _ = _engine(spark, d)
+        assert _log_rows(cat) == _log_rows(cat_full)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(d, ignore_errors=True)
