@@ -1,0 +1,138 @@
+"""Deduplication operators for training-data pipelines at corpus scale.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard — each expressed with JVM-side built-ins only
+(explode / groupBy / join; no Python), so they shuffle on content keys and
+scale horizontally. Each has an exact SQL twin for the DuckDB oracle.
+
+Cross-engine determinism trick: "hash functions" are ``md5(x || ':' || i)``
+**as hex strings** — min() over hex strings is a valid min-hash and is
+byte-identical in Spark and ANSI SQL. Where an integer hash is needed
+(SimHash bits), the first 15 hex chars parse to a 60-bit int the same way in
+both engines (``conv(...,16,10)`` / ``('0x'||...)::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import fingerprint
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (built-ins only)."""
+    w = _words(col)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    ))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: fingerprint → (fingerprint, keep_id, n_dupes), keeping the
+    lowest id as the canonical representative. One shuffle on the hash."""
+    return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_docs"))
+            .select("fp", "keep_id", "n_docs"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 12,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash: sig_i(doc) = min over shingles of md5(shingle:i).
+
+    explode(shingles) × n_hashes → groupBy(doc) with map-side partial min —
+    the agg is partial+final automatically, so the shuffle carries only
+    (doc, i, min) not the shingle stream.
+    """
+    sh = (df.select(F.col(id_col),
+                    F.explode(shingles(F.col(text_col), shingle_n))
+                    .alias("shingle")))
+    idx = sh.select(
+        id_col, "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i"))
+    return (idx.withColumn(
+                "h", F.md5(F.concat_ws(":", F.col("shingle"), F.col("i"))))
+            .groupBy(id_col, "i").agg(F.min("h").alias("minhash")))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        n_bands: int = 4, n_hashes: int = 12) -> DataFrame:
+    """Band the signature (rows_per_band = n_hashes/n_bands), bucket-join on
+    (band, band_hash) → candidate pairs (id_a < id_b). The join is an
+    equi-join on the band hash — shuffle, no broadcast, no O(n²)."""
+    rows_per_band = n_hashes // n_bands
+    banded = (sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+              .groupBy(id_col, "band")
+              .agg(F.md5(F.concat_ws("|", F.array_sort(
+                  F.collect_list(F.concat_ws(":", F.col("i"), F.col("minhash"))))))
+                   .alias("band_hash")))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """n-gram Jaccard similarity for pairs (all pairs sharing ≥1 shingle, or
+    only LSH candidates when given): |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+
+    Shuffles on the shingle (inverted-index join), then on the pair — the
+    standard scalable shape; hot shingles can be frequency-capped upstream.
+    """
+    sh = (df.select(F.col(id_col),
+                    F.explode(shingles(F.col(text_col), shingle_n))
+                    .alias("shingle")).distinct())
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+SIMHASH_BITS = 60  # 60 bits keep the value in signed-int64 range both engines
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """SimHash-60: per token, a 60-bit md5-derived hash votes ±1 on each bit;
+    the sign of each bit-sum sets the output bit. explode → groupBy, all
+    built-ins; exact SQL twin via the same hex-parse trick."""
+    tokens = (df.select(F.col(id_col),
+                        F.explode(_words(F.col(text_col))).alias("tok"))
+              .filter(F.col("tok") != ""))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    toks = tokens.withColumn("h", h)
+    bit_votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_votes)
+    val = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        val = term if val is None else val + term
+    return agg.select(id_col, val.alias("simhash"))

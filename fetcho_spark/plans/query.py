@@ -1,0 +1,363 @@
+"""The workspace standing-query language → Catalyst Columns (SURVEY.md §2.3).
+
+Grammar (reference: common/Query/Query.cs:108-253, tokenizer :306-332;
+README.md:19-40): whitespace-separated terms; quoted strings; ``//`` comments;
+``-term`` excludes; ``term:value`` filter; ``term:value:tag`` filter + tag;
+``term::*`` tagger-only; ``OR`` binary operator; juxtaposition = AND ("and"
+token ignored). Filters carry a static cost; evaluation is cheapest-first with
+exclude-mode costs ×1000 (Query.cs:65-87, Filter.cs:61) — reproduced here by
+building the conjunction cheap-first so Catalyst keeps native predicates ahead
+of UDF-backed ones (R1), then letting Catalyst short-circuit per row.
+
+The reference evaluates queries row-at-a-time against ``WorkspaceResult``
+objects; here a parsed query compiles **once** to a pair of Column
+expressions (include-predicate, tags-array) applied to the whole DataFrame —
+the "plan" the reference builds per page is a Catalyst plan built per query.
+
+Filter inventory F1-F23 mapped per SURVEY.md §2.3. GeoIP (F13) joins a
+synthetic ip→geo dim table (MaxMind is external data — out of scope);
+ml-model (F14) is a deterministic hash-based stand-in classifier behind the
+same interface; xpath (F18) is stubbed pending lxml (not in this container).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# canonical result-row columns the language binds to
+TEXT, TITLE, URL, HOST, TAGS = "text", "title", "url", "host", "tags"
+
+MAX_COST = 10_000_000
+EXCLUDE_COST_FACTOR = 1000  # Filter.cs:61
+
+
+@dataclass
+class Term:
+    kind: str                 # registry key, '' = simple word
+    value: str
+    tag_arg: str | None       # third token part (':tag' / ':*')
+    exclude: bool = False
+    key: str | None = None    # parenthesized arg: property(key):v
+    or_with: "Term | None" = None
+
+
+@dataclass
+class ParsedQuery:
+    filters: list[Term] = field(default_factory=list)
+    taggers: list[Term] = field(default_factory=list)
+    raw: str = ""
+
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+
+
+def tokenize(text: str) -> list[str]:
+    """Strip //-comments, honor quoted strings (Query.cs:306-332)."""
+    lines = []
+    for line in text.splitlines():
+        cut = line.find("//")
+        lines.append(line[:cut] if cut >= 0 else line)
+    return [t[1:-1] if t.startswith('"') and t.endswith('"') and len(t) >= 2
+            else t
+            for t in _TOKEN_RE.findall(" ".join(lines))]
+
+
+def _split_term(tok: str) -> Term:
+    exclude = tok.startswith("-")
+    if exclude:
+        tok = tok[1:]
+    # name(:value(:tag)) with optional parenthesized key in the name
+    parts = tok.split(":", 2)
+    name = parts[0].lower()
+    key = None
+    m = re.match(r"^([a-z_\-]+)\(([^)]*)\)$", name)
+    if m:
+        name, key = m.group(1), m.group(2)
+    if name in _REGISTRY and len(parts) > 1:
+        value = parts[1]
+        tag_arg = parts[2] if len(parts) > 2 else None
+        return Term(name, value, tag_arg, exclude, key)
+    # plain word (F1 SimpleTextMatch) — ':' in a non-filter word stays literal
+    return Term("", tok, None, exclude, None)
+
+
+def parse_query(text: str) -> ParsedQuery:
+    q = ParsedQuery(raw=text)
+    toks = tokenize(text)
+    i = 0
+    pending: Term | None = None
+    while i < len(toks):
+        tok = toks[i]
+        if tok.lower() == "and":
+            i += 1
+            continue
+        if tok == "OR":
+            if pending is None or i + 1 >= len(toks):
+                raise ValueError("OR needs filters on both sides")
+            rhs = _split_term(toks[i + 1])
+            tail = pending
+            while tail.or_with is not None:   # chain: a OR b OR c
+                tail = tail.or_with
+            tail.or_with = rhs
+            i += 2
+            continue
+        if pending is not None:
+            _route(q, pending)
+        pending = _split_term(tok)
+        i += 1
+    if pending is not None:
+        _route(q, pending)
+    return q
+
+
+def _route(q: ParsedQuery, t: Term) -> None:
+    # 'term::*' or 'term:v:tag' routes a tagger instance (Query.cs:135-164)
+    if t.tag_arg is not None:
+        q.taggers.append(t)
+        if t.value != "" and t.value != "*":
+            q.filters.append(Term(t.kind, t.value, None, t.exclude, t.key,
+                                  t.or_with))
+    else:
+        q.filters.append(t)
+
+
+# ------------------------------------------------------------------ filters
+
+def _ci_contains(col: Column, needle: str) -> Column:
+    return F.instr(F.lower(col), needle.lower()) > 0
+
+
+def _seeded_frac(df_col: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) per row — replaces the reference's
+    pre-materialized ``random`` column (Database DDL :241) with a seeded
+    hash so oracle checks are exact."""
+    return F.pmod(F.xxhash64(df_col, F.lit(salt)), F.lit(1_000_000_000)) \
+            / F.lit(1_000_000_000.0)
+
+
+# each entry: (cost, predicate(term) -> Column, tag(term) -> Column|None)
+_REGISTRY: dict[str, tuple] = {}
+
+
+def _reg(name: str, cost: int):
+    def deco(fn):
+        _REGISTRY[name] = (cost, fn)
+        return fn
+    return deco
+
+
+@_reg("", 30)  # F1 simple word
+def _f_word(t: Term):
+    return _ci_contains(F.col(TEXT), t.value), F.lit(t.value)
+
+
+@_reg("text", 100)  # F2
+def _f_text(t: Term):
+    return _ci_contains(F.col(TEXT), t.value), F.lit(t.value)
+
+
+@_reg("regex", 50)  # F3 — tags = first match
+def _f_regex(t: Term):
+    re.compile(t.value)  # invalid regex raises at parse (QueryTest.cs:83-92)
+    return (F.col(TEXT).rlike(t.value),
+            F.regexp_extract(F.col(TEXT), t.value, 0))
+
+
+@_reg("site", 1)  # F4
+def _f_site(t: Term):
+    return _ci_contains(F.col(HOST), t.value), F.col(HOST)
+
+
+@_reg("uri", 1)  # F5
+def _f_uri(t: Term):
+    return _ci_contains(F.col(URL), t.value), F.col(URL)
+
+
+@_reg("title", 1)  # F6
+def _f_title(t: Term):
+    return _ci_contains(F.col(TITLE), t.value), F.col(TITLE)
+
+
+@_reg("has", 2)  # F7 — property bag has non-empty key
+def _f_has(t: Term):
+    v = F.col("props").getItem(t.value)
+    return v.isNotNull() & (v != ""), F.lit(t.value)
+
+
+@_reg("property", 50)  # F8 property(k):v
+def _f_property(t: Term):
+    v = F.col("props").getItem(t.key or "")
+    return _ci_contains(v, t.value), v
+
+
+@_reg("request-header", 1)  # F9a
+def _f_req_header(t: Term):
+    v = F.col("req_headers").getItem(t.key or "")
+    return _ci_contains(v, t.value), v
+
+
+@_reg("response-header", 1)  # F9b
+def _f_resp_header(t: Term):
+    v = F.col("resp_headers").getItem(t.key or "")
+    return _ci_contains(v, t.value), v
+
+
+@_reg("hash", 1)  # F10 — page-body MD5 equality
+def _f_hash(t: Term):
+    return F.col("data_hash") == F.lit(t.value.lower()), F.col("data_hash")
+
+
+@_reg("filetype", 1)  # F11
+def _f_filetype(t: Term):
+    return F.lower(F.col("content_type")).contains(t.value.lower()), \
+        F.col("content_type")
+
+
+@_reg("lang", 50)  # F12 — engine populates 'lang' via textops.lang_id
+def _f_lang(t: Term):
+    return F.lower(F.col("lang")) == F.lit(t.value.lower()), F.col("lang")
+
+
+@_reg("random", 1)  # F15 — seeded Bernoulli(p), p∈[1e-7, 1e-4] in reference
+def _f_random(t: Term):
+    p = min(max(float(t.value), 1e-7), 1e-4) if t.value else 1e-7
+    return _seeded_frac(F.col(URL), "random-filter") < F.lit(p), F.lit("random")
+
+
+@_reg("tag", MAX_COST)  # F17 — substring vs already-assigned tags; runs last
+def _f_tag(t: Term):
+    return F.exists(F.col(TAGS),
+                    lambda x: F.instr(F.lower(x), t.value.lower()) > 0), \
+        F.lit(t.value)
+
+
+@_reg("ml-model", 500)  # F14 — deterministic stand-in classifier (STUB):
+def _f_ml_model(t: Term):
+    # real ML.NET model replaced by a seeded hash "classifier" over text;
+    # memoization by data_hash (R5) is inherent: same text → same class.
+    n_classes = 8
+    cls = F.pmod(F.xxhash64(F.col(TEXT), F.lit(f"ml:{t.key}")),
+                 F.lit(n_classes))
+    label = F.concat(F.lit("class_"), cls.cast("string"))
+    return _ci_contains(label, t.value), label
+
+
+@_reg("geo-ip-country", 500)  # F13 — joins synthetic geo dim (see bind_geo)
+def _f_geo_country(t: Term):
+    return _ci_contains(F.col("geo_country"), t.value), F.col("geo_country")
+
+
+@_reg("xpath", 1000)  # F18 — STUB: lxml not in container
+def _f_xpath(t: Term):
+    raise NotImplementedError(
+        "xpath: filter requires lxml (not in this container); the reference "
+        "uses HtmlAgilityPack (common/Query/Filters/XPathFilter.cs)")
+
+
+# F19 — sub-query: evaluates another registered workspace query inline
+# (WorkspaceSubQueryFilter.cs:9-91; recursion capped at depth 10)
+SUBQUERIES: dict[str, str] = {}
+_MAX_SUBQUERY_DEPTH = 10
+_subquery_depth = 0
+
+
+@_reg("query", 5000)
+def _f_subquery(t: Term):
+    global _subquery_depth
+    key = t.key or t.value
+    if key not in SUBQUERIES:
+        raise KeyError(f"unknown sub-query access key {key!r}")
+    if _subquery_depth >= _MAX_SUBQUERY_DEPTH:
+        raise RecursionError("sub-query recursion depth > 10")
+    _subquery_depth += 1
+    try:
+        include, _ = compile_query(parse_query(SUBQUERIES[key]))
+    finally:
+        _subquery_depth -= 1
+    return include, F.lit(key)
+
+
+def _term_cost(t: Term) -> int:
+    cost = _REGISTRY[t.kind][0]
+    if t.or_with is not None:
+        cost += _term_cost(t.or_with)
+    return cost * (EXCLUDE_COST_FACTOR if t.exclude else 1)
+
+
+def _term_predicate(t: Term) -> Column:
+    pred, _ = _REGISTRY[t.kind][1](t)
+    if t.or_with is not None:
+        pred = pred | _term_predicate(t.or_with)
+    return ~pred if t.exclude else pred
+
+
+def compile_query(q: ParsedQuery) -> tuple[Column, Column]:
+    """→ (include predicate, tags array) Column pair.
+
+    Conjunction is built cheapest-first (R1); tags are the distinct union of
+    all tagger outputs on included rows (FilterCollection.GetTags).
+    """
+    include = F.lit(True)
+    for t in sorted(q.filters, key=_term_cost):
+        include = include & _term_predicate(t)
+    tag_exprs = []
+    for t in q.taggers:
+        pred, tag = _REGISTRY[t.kind][1](t)
+        emit = pred if (t.value not in ("", "*")) else F.lit(True)
+        tag_exprs.append(F.when(emit & tag.isNotNull() & (tag != ""), tag))
+    if tag_exprs:
+        tags = F.array_distinct(
+            F.filter(F.array(*tag_exprs), lambda x: x.isNotNull()))
+    else:
+        tags = F.array().cast("array<string>")
+    return include, tags
+
+
+def evaluate(df: DataFrame, query_text: str, keep_tags: bool = True) -> DataFrame:
+    """Distill: rows matching the query, with tags attached (Query.Evaluate +
+    Distill, Query.cs:59-103)."""
+    q = parse_query(query_text)
+    include, tags = compile_query(q)
+    out = df.filter(include)
+    return out.withColumn(TAGS, tags) if keep_tags else out
+
+
+# --------------------------------------------------------- paging APIs (O3/O4)
+
+def page_results(df: DataFrame, order: str = "sequence:asc",
+                 offset: int = 0, count: int = 50) -> DataFrame:
+    """API paging (WorkspacesController.cs:501-545): order ∈
+    {sequence, updated} × {asc, desc}, count capped at 50."""
+    field_, _, dir_ = order.partition(":")
+    col = {"sequence": "seq", "updated": "updated"}.get(field_)
+    if col is None:
+        raise ValueError(f"bad order field {field_!r}")
+    c = F.col(col).desc() if dir_ == "desc" else F.col(col).asc()
+    return df.orderBy(c, F.col("url").asc()).offset(offset).limit(min(count, 50))
+
+
+def random_results(df: DataFrame, count: int = 50,
+                   seed_salt: str = "rr") -> DataFrame:
+    """Random page (Database.cs:1227-1252): the reference orders by a
+    pre-materialized ``random`` column; seeded hash order here → deterministic
+    and oracle-checkable."""
+    return (df.orderBy(F.pmod(F.xxhash64(F.col(URL), F.lit(seed_salt)),
+                              F.lit(1 << 31)).asc(), F.col(URL).asc())
+              .limit(count))
+
+
+def distinct_window(df: DataFrame, field_name: str, n: int,
+                    seq_col: str = "seq") -> DataFrame:
+    """F16 distinct-window(field):N — keep a row unless the same field value
+    was seen within the previous N rows of the stream: count-based FIFO
+    window via lag over (field, seq) (SURVEY.md §2.6 O6)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(field_name).orderBy(seq_col)
+    return (df.withColumn("_prev", F.lag(seq_col).over(w))
+              .filter(F.col("_prev").isNull()
+                      | (F.col(seq_col) - F.col("_prev") > n))
+              .drop("_prev"))

@@ -1,0 +1,110 @@
+"""Training-data operators: dedup family, similarity search, text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fetcho_spark.operators import dedup as D
+from fetcho_spark.operators import similarity as S
+from fetcho_spark.operators import textops as TX
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "the  QUICK brown fox jumps over the lazy dog near the river bank"),
+        (4, "a completely different document about spark query engines and joins"),
+        (5, "the quick brown fox jumps over the lazy cat near the river bank"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.spark
+def test_exact_dedup(spark):
+    g = {r["keep_id"]: r["n_docs"]
+         for r in D.exact_dedup_groups(_docs(spark)).collect()}
+    # 1≡2≡3 (case/whitespace-normalized), others unique
+    assert g[1] == 3
+    assert g[4] == 1 and g[5] == 1 and g[6] == 1
+
+
+@pytest.mark.spark
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark).filter("doc_id < 6")
+    sigs = D.minhash_signatures(docs, n_hashes=12)
+    assert sigs.groupBy("doc_id").count().filter("count != 12").count() == 0
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.lsh_candidate_pairs(sigs, n_bands=4, n_hashes=12).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs    # exact dups always collide
+    assert (1, 5) in pairs                         # near dup (1 word differs)
+    assert (1, 4) not in pairs                     # unrelated
+
+
+@pytest.mark.spark
+def test_jaccard_pairs_threshold(spark):
+    docs = _docs(spark).filter("doc_id in (1, 4, 5)")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 5) in got and got[(1, 5)] >= 0.5
+    assert (1, 4) not in got
+
+
+@pytest.mark.spark
+def test_simhash_near_dup_close_hamming(spark):
+    from fetcho_spark.functions.codec import hamming64
+    docs = _docs(spark).filter("doc_id in (1, 4, 5)")
+    h = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert hamming64(h[1], h[5]) < hamming64(h[1], h[4])
+
+
+@pytest.mark.spark
+def test_brute_force_topk_and_lsh_recall(spark):
+    import numpy as np
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    vecs[7] = vecs[0] * 0.9 + 0.01  # a close neighbour of vec 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    exact = S.brute_force_topk(df.filter("vec_id != 0"), q, k=5).collect()
+    assert exact[0]["vec_id"] == 7
+    assert exact[0]["cos"] > 0.95
+    approx = S.ann_topk_lsh(df.filter("vec_id != 0"), q, dim=16, k=5,
+                            n_planes=4).collect()
+    # the strong neighbour must survive LSH bucketing
+    assert any(r["vec_id"] == 7 for r in approx)
+
+
+@pytest.mark.spark
+def test_lsh_bucket_deterministic(spark):
+    df = spark.createDataFrame([(1, [0.5] * 8), (2, [-0.5] * 8)],
+                               "vec_id long, embedding array<float>")
+    a = S.with_lsh_bucket(df, dim=8, n_planes=6).collect()
+    b = S.with_lsh_bucket(df, dim=8, n_planes=6).collect()
+    assert {r["vec_id"]: r["lsh_bucket"] for r in a} == \
+        {r["vec_id"]: r["lsh_bucket"] for r in b}
+
+
+@pytest.mark.spark
+def test_textops(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, in the house. It is big!"),
+         (2, "le chat et la maison est grande"),
+         (3, "xyzzy qwerty")],
+        "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n"),
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["n"] == 11
+    assert by[1]["lang"] == "en"
+    assert by[2]["lang"] == "fr"
+    assert by[3]["lang"] == "und"
+    assert 0.0 <= by[3]["q"] < by[1]["q"] <= 1.0
+    assert len(by[1]["fp"]) == 32
