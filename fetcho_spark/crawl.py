@@ -73,6 +73,10 @@ class CrawlConfig:
     n_salts: int = 32
     salted_prepass: bool = True
     assign_global_seq: bool = True       # off for throughput benches
+    collect_counters: bool = True        # off for throughput benches: skips
+                                         # the per-stage count() jobs and the
+                                         # crawl_log side-write; lineage
+                                         # metrics still land in `metrics`
     extra: dict = field(default_factory=dict)
 
 
@@ -91,17 +95,33 @@ class CrawlEngine:
     def logical_now(self, round_no: int) -> dt.datetime:
         return EPOCH0 + dt.timedelta(milliseconds=round_no * self.cfg.round_ms)
 
-    def init(self, seeds: list[str], webgraph: DataFrame, images: DataFrame,
-             robots: DataFrame, hosts: DataFrame) -> None:
-        """Install the universe + seed frontier as snapshot 0 of each table."""
+    def init(self, seeds: "list[str] | DataFrame", webgraph: DataFrame,
+             images: DataFrame, robots: DataFrame, hosts: DataFrame) -> None:
+        """Install the universe + seed frontier as snapshot 0 of each table.
+
+        ``seeds`` is a URL list (small seed lists) or a DataFrame with a
+        ``url`` column (bench-scale frontiers stay distributed end-to-end).
+        """
         c = self.catalog
         c.overwrite("webgraph", webgraph)
         c.overwrite("images", images)
         c.overwrite("robots", robots)
         c.overwrite("hosts", hosts)
-        seed_rows = [(u, _host_py(u), None, None, 0) for u in seeds]
-        c.overwrite("frontier",
-                    self.spark.createDataFrame(seed_rows, FRONTIER_SCHEMA))
+        if isinstance(seeds, DataFrame):
+            if "src_url" in seeds.columns:      # pre-built frontier
+                seed_df = seeds
+            else:
+                seed_df = seeds.select(
+                    F.col("url"),
+                    F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1))
+                    .alias("host"),
+                    F.lit(None).cast("string").alias("src_url"),
+                    F.lit(None).cast("string").alias("src_host"),
+                    F.lit(0).alias("round_added"))
+        else:
+            seed_rows = [(u, _host_py(u), None, None, 0) for u in seeds]
+            seed_df = self.spark.createDataFrame(seed_rows, FRONTIER_SCHEMA)
+        c.overwrite("frontier", seed_df)
 
     def last_completed_round(self) -> int | None:
         if not self.catalog.exists("checkpoints"):
@@ -117,16 +137,25 @@ class CrawlEngine:
         counters: dict[str, int] = {}
 
         frontier = c.read("frontier")
-        counters["frontier_in"] = frontier.count()
+        counters["frontier_in"] = frontier.count()  # = URLs entering dedup
 
         # P1 — batch dedup with a deterministic survivor (min src_url; None
         # first) so the same referrer feeds the priority model at any
-        # parallelism level.
-        w_dedup = Window.partitionBy("url").orderBy(
-            F.col("src_url").asc_nulls_first(), F.col("round_added").asc())
-        frontier = (frontier
-                    .withColumn("_dd", F.row_number().over(w_dedup))
-                    .filter(F.col("_dd") == 1).drop("_dd"))
+        # parallelism level. groupBy + min_by (NOT a window): partial
+        # aggregation collapses duplicates map-side, so the shuffle carries
+        # ~unique URLs, not the raw frontier — the decisive difference at a
+        # 10^10-mention frontier. Keyed on the 64-bit hash (the reference's
+        # seen set is likewise hash-keyed, Md5Hash semantics).
+        frontier = frontier.withColumn("_h", F.xxhash64("url"))
+        dedup_key = F.struct(
+            F.when(F.col("src_url").isNull(), 0).otherwise(1).alias("k0"),
+            F.coalesce(F.col("src_url"), F.lit("")).alias("k1"),
+            F.col("round_added").alias("k2"))
+        row = F.struct(*[F.col(c) for c in
+                         ("url", "host", "src_url", "src_host", "round_added")])
+        frontier = (frontier.groupBy("_h")
+                    .agg(F.min_by(row, dedup_key).alias("_r"))
+                    .select("_r.*"))
 
         # cheap cascade (P2/P3/P5), keys, synthetic IP (J3/P6)
         frontier = with_url_keys(fr.cheap_cascade(frontier))
@@ -170,8 +199,10 @@ class CrawlEngine:
         frontier = apply_robots_gate(self.spark, frontier, c.read("robots"),
                                      cfg.user_agent)
 
-        # O5 — politeness budget split (chunk_seq already ranks per host)
-        frontier = po.with_budget(frontier, cfg.round_ms)
+        # O5 — politeness budget split (chunk_seq already ranks per host).
+        # Persist: selected and carryover both consume the full pipeline; a
+        # cache here halves the round (one evaluation instead of two).
+        frontier = po.with_budget(frontier, cfg.round_ms).persist()
         selected = frontier.filter(F.col("chunk_seq") < F.col("fetch_budget"))
         carryover = (frontier
                      .filter(F.col("chunk_seq") >= F.col("fetch_budget"))
@@ -196,10 +227,12 @@ class CrawlEngine:
             meta={"round": round_no})
         fetched = c.read_incremental("fetched",
                                      c.current_snapshot_id("fetched") - 1)
-        c.append("crawl_log", fetched.select(*log_cols),
-                 meta={"round": round_no})
-        counters["fetched"] = fetched.count()
-        counters["fetched_ok"] = fetched.filter(F.col("status") == 200).count()
+        if cfg.collect_counters:
+            c.append("crawl_log", fetched.select(*log_cols),
+                     meta={"round": round_no})
+            counters["fetched"] = fetched.count()
+            counters["fetched_ok"] = \
+                fetched.filter(F.col("status") == 200).count()
 
         # seen-set upsert: every *attempted* URL is recorded visited before
         # the fetch outcome matters (Fetcho.cs:170,274-281 semantics)
@@ -221,8 +254,9 @@ class CrawlEngine:
             F.lit(round_no + 1).alias("round_added"))
         nxt = carryover.unionByName(new_frontier)
         c.overwrite("frontier", nxt, meta={"round": round_no})
-        counters["new_links"] = new_frontier.count()
-        counters["carryover"] = carryover.count()
+        if cfg.collect_counters:
+            counters["new_links"] = new_frontier.count()
+            counters["carryover"] = carryover.count()
 
         # per-partition lineage metrics (north rule): counts per host bucket
         lineage = (fetched.groupBy(
@@ -233,6 +267,14 @@ class CrawlEngine:
             .withColumn("round", F.lit(round_no)))
         c.append("metrics", lineage, meta={"round": round_no,
                                            "counters": counters})
+        if not cfg.collect_counters:
+            agg = (c.read("metrics").filter(F.col("round") == round_no)
+                   .agg(F.sum("n_fetched").alias("f"),
+                        F.sum("n_ok").alias("ok")).collect()[0])
+            counters["fetched"] = int(agg["f"] or 0)
+            counters["fetched_ok"] = int(agg["ok"] or 0)
+
+        frontier.unpersist()
 
         # checkpoint LAST → a round is complete iff its checkpoint row exists
         snap_ids = {t: self.catalog.current_snapshot_id(t)

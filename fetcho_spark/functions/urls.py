@@ -128,6 +128,76 @@ def path_udf(url: pd.Series) -> pd.Series:
     return url.map(path_of, na_action="ignore")
 
 
+def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:
+    """True where the JVM expression fast-path produces the same result as
+    :func:`canonicalize`: absolute http(s) links, scheme-relative ``//``
+    links, and root-relative ``/path`` links (base is already canonical in
+    the crawl — pages come from our own frontier). Doc-relative links
+    (``sibling``, ``../up``), userinfo URLs and exotic escapes go to the
+    pandas-UDF slow path. In practice ≥95% of extracted links are absolute
+    or root-relative, so the hot path stays in whole-stage codegen."""
+    h = _pre_clean(href)
+    # absolute-or-scheme-relative with a plain host[:port] authority (no
+    # userinfo, no IPv6 brackets — those keep python's urlsplit semantics)
+    h_abs = F.when(h.startswith("//"), F.concat(F.lit("http:"), h)).otherwise(h)
+    auth = F.regexp_extract(h_abs, r"^(?i)https?://([^/?#]+)", 1)
+    is_abs = h_abs.rlike("^(?i)https?://") & \
+        auth.rlike(r"^[A-Za-z0-9.\-]+(:[0-9]*)?$")
+    is_root_rel = h.startswith("/") & ~h.startswith("//")
+    no_scheme = ~h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    return is_abs | (is_root_rel & no_scheme)
+
+
+def _pre_clean(href: F.Column) -> F.Column:
+    """Shared steps 1-4: entity decode (common entities), trim, fragment
+    strip, ``//``→scheme-relative marker kept, ``http:///`` fix."""
+    h = F.trim(href)
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'")):
+        h = F.replace(h, F.lit(ent), F.lit(ch))
+    h = F.substring_index(h, "#", 1)
+    h = F.regexp_replace(h, r"^(?i)(https?):///", r"$1://")
+    return h
+
+
+def canonicalize_col(href: F.Column, base: F.Column) -> F.Column:
+    """JVM-expression canonicalizer (whole-stage codegen, no Python) for the
+    rows :func:`canonicalize_fast_applicable` accepts. Byte-identical to
+    :func:`canonicalize` on that subset (pinned by tests/test_urls.py
+    property test). Elsewhere returns null — route those rows to
+    :func:`canonicalize_udf`."""
+    h = _pre_clean(href)
+    base_scheme = F.lower(F.coalesce(
+        F.regexp_extract(base, r"^(?i)(https?)://", 1), F.lit("http")))
+    base_scheme = F.when(base_scheme == "", F.lit("http")).otherwise(base_scheme)
+    base_host = F.lower(F.regexp_extract(base, r"^(?i)https?://([^/?#]+)", 1))
+    # scheme-relative → inherit base scheme
+    h = F.when(h.startswith("//"), F.concat(base_scheme, F.lit(":"), h)) \
+         .otherwise(h)
+    # root-relative → base scheme + host + path
+    h = F.when(h.startswith("/") & ~h.startswith("//") & (base_host != ""),
+               F.concat(base_scheme, F.lit("://"), base_host, h)).otherwise(h)
+    scheme = F.lower(F.regexp_extract(h, r"^(?i)(https?)://", 1))
+    authority = F.regexp_extract(h, r"^(?i)https?://([^/?#]+)", 1)
+    host = F.lower(F.regexp_extract(authority, r"^([^:]+)", 1))
+    host = F.regexp_replace(host, r"\.+$", "")
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
+    netloc = F.when((port == "") | (port == default_port), host) \
+              .otherwise(F.concat(host, F.lit(":"), port))
+    rest = F.regexp_extract(h, r"^(?i)https?://[^/?#]+([/?].*)?$", 1)
+    rest = F.regexp_replace(rest, r"\?$", "")  # bare trailing '?' drops
+    # '?query' with empty path → '/?query' (urlunsplit semantics)
+    rest = F.when(rest == "", F.lit("/")) \
+            .when(rest.startswith("?"), F.concat(F.lit("/"), rest)) \
+            .otherwise(rest)
+    out = F.concat(scheme, F.lit("://"), netloc, rest)
+    port_ok = (port == "") | (port.cast("int") <= 65535)
+    ok = (scheme != "") & (host != "") & port_ok \
+        & (F.length(out) <= MAX_URL_LEN)
+    return F.when(ok, out)
+
+
 def with_url_keys(df, url_col: str = "url"):
     """Attach the canonical key columns — all JVM-side builtins, no Python:
 

@@ -33,18 +33,11 @@ from pyspark.sql import types as T
 from pyspark.sql import Window
 
 from ..functions.codec import decode, phash64, psnr
-from ..functions.urls import canonicalize_udf, host_udf
+from ..functions.urls import (canonicalize_col, canonicalize_fast_applicable,
+                              canonicalize_udf)
 
 MAX_LINKS_PER_PAGE = 500  # FetchoConfiguration.cs:91-92
 MAX_BODY_BYTES = 1 << 20  # MaxFileDownloadLengthInBytes (1 MiB cap, P15)
-
-VERIFY_FIELDS = [
-    T.StructField("decode_ok", T.BooleanType()),
-    T.StructField("dims_ok", T.BooleanType()),
-    T.StructField("phash_ok", T.BooleanType()),
-    T.StructField("psnr_db", T.DoubleType()),
-]
-
 
 def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
                    images: DataFrame) -> DataFrame:
@@ -60,61 +53,80 @@ def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
         F.col("image_id"), F.col("out_links"), F.col("content_type"))
     joined = (selected.join(page, "url", "left")
               .withColumn("status",
-                          F.coalesce(F.col("status"), F.lit(404))))
-    ok = joined.filter(F.col("status") == 200)
-    err = (joined.filter(F.col("status") != 200)
-           .withColumn("bytes", F.lit(None).cast("binary"))
-           .withColumn("w", F.lit(None).cast("int"))
-           .withColumn("h", F.lit(None).cast("int"))
-           .withColumn("fmt", F.lit(None).cast("string"))
-           .withColumn("caption", F.lit(None).cast("string"))
-           .withColumn("phash", F.lit(None).cast("long")))
-    ok = ok.join(images, "image_id", "left")
-    # P15 size cap: the reference truncates >1MiB bodies; we drop payload
-    ok = ok.withColumn(
-        "bytes", F.when(F.length("bytes") <= MAX_BODY_BYTES, F.col("bytes")))
-    body = verify_payload(ok)
-    err = err.withColumn("image_id", F.col("image_id")) \
-             .withColumn("out_links", F.coalesce(F.col("out_links"),
-                                                 F.array().cast("array<string>")))
-    for f in VERIFY_FIELDS:
-        err = err.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return body.unionByName(err.select(*body.columns))
+                          F.coalesce(F.col("status"), F.lit(404)))
+              .withColumn("image_id",
+                          F.when(F.col("status") == 200, F.col("image_id")))
+              .withColumn("out_links",
+                          F.coalesce(F.col("out_links"),
+                                     F.array().cast("array<string>"))))
+    # R5 memoization (Filter.cs:30 / dedup-before-inference, SURVEY.md §4):
+    # decode-verify each DISTINCT payload once, then join the verdict back —
+    # image bytes never fan out across fetched rows and never ride the
+    # frontier join; the Arrow crossing carries |distinct images| rows, not
+    # |fetched|. P15 (1 MiB body cap) applies to the payload before decode.
+    used = joined.select("image_id").filter(F.col("image_id").isNotNull()) \
+                 .distinct()
+    payloads = (images.join(used, "image_id", "left_semi")
+                .withColumn("bytes",
+                            F.when(F.length("bytes") <= MAX_BODY_BYTES,
+                                   F.col("bytes"))))
+    verified = verify_payload(payloads).select(
+        "image_id", "w", "h", "fmt", "caption", "phash",
+        "decode_ok", "dims_ok", "phash_ok", "psnr_db")
+    return joined.join(verified, "image_id", "left")
+
+
+_VERIFY_STRUCT = T.StructType([
+    T.StructField("decode_ok", T.BooleanType()),
+    T.StructField("dims_ok", T.BooleanType()),
+    T.StructField("phash_calc", T.LongType()),
+    T.StructField("psnr_db", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_VERIFY_STRUCT)
+def _verify_udf(data: pd.Series, w: pd.Series, h: pd.Series,
+                fmt: pd.Series) -> pd.DataFrame:
+    n = len(data)
+    dec_ok = [False] * n
+    dims_ok = [False] * n
+    ph = [None] * n
+    ps = [None] * n
+    for i, (d, wi, hi, fi) in enumerate(zip(data, w, h, fmt)):
+        if d is None:
+            continue
+        try:
+            px, got_fmt = decode(bytes(d))
+        except Exception:
+            continue
+        dec_ok[i] = True
+        dims_ok[i] = (px.shape[1] == wi and px.shape[0] == hi
+                      and got_fmt == fi)
+        ph[i] = phash64(px)
+        ps[i] = psnr(px, px)  # decode deterministic → inf; the PIL path
+        # compares our decode vs the fixture decode here (≥40 dB lossy)
+    return pd.DataFrame({"decode_ok": dec_ok, "dims_ok": dims_ok,
+                         "phash_calc": pd.array(ph, dtype="Int64"),
+                         "psnr_db": pd.array(ps, dtype="float64")})
 
 
 def verify_payload(df: DataFrame) -> DataFrame:
-    """C12: Arrow-batched decode + invariant check over the payload columns."""
-    out_schema = T.StructType(list(df.schema.fields) + VERIFY_FIELDS)
+    """C12: Arrow-batched decode + invariant check.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            dec_ok = [False] * n
-            dims_ok = [False] * n
-            ph_ok = [False] * n
-            ps = [None] * n
-            for i, (data, w, h, fmt, ph) in enumerate(zip(
-                    pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], pdf["phash"])):
-                if data is None:
-                    continue
-                try:
-                    px, got_fmt = decode(bytes(data))
-                except Exception:
-                    continue
-                dec_ok[i] = True
-                dims_ok[i] = (px.shape[1] == w and px.shape[0] == h
-                              and got_fmt == fmt)
-                ph_ok[i] = phash64(px) == ph
-                ps[i] = psnr(px, px)  # decode is deterministic → inf; real
-                # PIL path compares our decode vs fixture decode here
-            pdf = pdf.copy()
-            pdf["decode_ok"] = dec_ok
-            pdf["dims_ok"] = dims_ok
-            pdf["phash_ok"] = ph_ok
-            pdf["psnr_db"] = pd.array(ps, dtype="float64")
-            yield pdf
-
-    return df.mapInPandas(run, out_schema)
+    A *scalar* pandas UDF over only (bytes, w, h, fmt) — exact-valued int64
+    columns (phash, hashes) never cross into pandas, where nullable-int64
+    batches upcast to float64 and silently corrupt values past 2^53. The
+    recomputed phash comes back as int64 and the equality runs JVM-side.
+    """
+    v = _verify_udf(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+    return (df.withColumn("_v", v)
+            .withColumn("decode_ok", F.col("_v.decode_ok"))
+            .withColumn("dims_ok", F.col("_v.dims_ok"))
+            .withColumn("phash_ok",
+                        F.coalesce(F.col("_v.phash_calc") == F.col("phash"),
+                                   F.lit(False)))
+            .withColumn("psnr_db", F.col("_v.psnr_db"))
+            .drop("_v"))
 
 
 def extract_links(fetched: DataFrame, seed: int, round_no: int,
@@ -125,14 +137,24 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
     reproducible across parallelism levels, unlike the reference's
     wall-clock shuffle.
     """
-    links = (fetched
-             .filter(F.col("status") == 200)
-             .select(F.col("url").alias("src_url"),
-                     F.col("host").alias("src_host"),
-                     F.explode_outer("out_links").alias("href"))
-             .withColumn("url", canonicalize_udf(F.col("href"), F.col("src_url")))
+    raw = (fetched
+           .filter(F.col("status") == 200)
+           .select(F.col("url").alias("src_url"),
+                   F.col("host").alias("src_host"),
+                   F.explode_outer("out_links").alias("href")))
+    # hybrid canonicalization: JVM expression for absolute/root-relative
+    # links (the overwhelming majority — stays in codegen), Arrow-batched
+    # python UDF only for genuinely doc-relative/exotic hrefs. Both routes
+    # are byte-identical to functions.urls.canonicalize (parity-tested).
+    applicable = canonicalize_fast_applicable(F.col("href"), F.col("src_url"))
+    fast = raw.filter(applicable).withColumn(
+        "url", canonicalize_col(F.col("href"), F.col("src_url")))
+    slow = raw.filter(~applicable).withColumn(
+        "url", canonicalize_udf(F.col("href"), F.col("src_url")))
+    links = (fast.unionByName(slow)
              .filter(F.col("url").isNotNull())
-             .withColumn("host", host_udf(F.col("url"))))
+             .withColumn("host", F.lower(F.regexp_extract(
+                 "url", r"^https?://([^/:?#]+)", 1))))
     w = Window.partitionBy("src_url").orderBy(
         F.xxhash64(F.col("url"), F.lit(f"links:{seed}:{round_no}")))
     return (links.withColumn("_lr", F.row_number().over(w))

@@ -115,6 +115,65 @@ def apply_robots_gate(spark: SparkSession, frontier: DataFrame,
                       robots_df: DataFrame, user_agent: str = DEFAULT_UA,
                       path_col: str = "path") -> DataFrame:
     """P11: drop frontier rows the host's robots rules disallow. Runs LAST in
-    the cascade — most expensive predicate (Queueo.cs:426 ordering, R3)."""
-    udf = make_disallowed_udf(spark, robots_df, user_agent)
-    return frontier.filter(~udf(F.col("host"), F.col(path_col)))
+    the cascade — most expensive predicate (Queueo.cs:426 ordering, R3).
+
+    JVM route: robots patterns translate losslessly to SQL LIKE (prefix →
+    ``pat%``, ``*`` → ``%``, ``$`` anchor → exact), so the gate is a broadcast
+    join on host + higher-order-function match — whole-stage codegen, no
+    Python crossing, longest-match/allow-ties preserved via array_max over
+    (plen, allow) structs. The pandas-UDF route (make_disallowed_udf) remains
+    for regex-semantics tests; both are pinned to the same HostRules oracle.
+    """
+    rules = rules_like_df(spark, robots_df, user_agent)
+    joined = frontier.join(F.broadcast(rules), "host", "left")
+    matched = F.filter(
+        F.col("_rules"),
+        lambda r: F.like(F.col(path_col), r["pat"], F.lit("\\")))
+    best = F.array_max(F.transform(
+        matched, lambda r: F.struct(r["plen"].alias("plen"),
+                                    r["allow"].alias("allow"))))
+    disallowed = F.col("_rules").isNotNull() & best.isNotNull() \
+        & (best["allow"] == 0)
+    return joined.filter(~F.coalesce(disallowed, F.lit(False))).drop("_rules")
+
+
+def pattern_to_like(pattern: str) -> str | None:
+    """robots pattern → SQL LIKE pattern (escape ``%``/``_``/``\\``; ``*`` →
+    ``%``; trailing ``$`` anchors, else append ``%`` for prefix match)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append("%")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if not anchored:
+        out.append("%")
+    return "".join(out)
+
+
+def rules_like_df(spark: SparkSession, robots_df: DataFrame,
+                  user_agent: str = DEFAULT_UA) -> DataFrame:
+    """Per-host LIKE-rule arrays (host, _rules array<struct<pat,plen,allow>>)
+    after per-UA group selection — one small broadcastable row per host."""
+    ua = user_agent.lower()
+    rows = [tuple(r) for r in robots_df
+            .select("host", "user_agent", "directive", "pattern").collect()]
+    by_host: dict[str, dict[str, list[tuple[str, int, int]]]] = {}
+    for host, agent, directive, pattern in rows:
+        if not pattern:
+            continue
+        by_host.setdefault(host, {}).setdefault(agent.lower(), []).append(
+            (pattern_to_like(pattern), len(pattern),
+             1 if directive.lower() == "allow" else 0))
+    out = []
+    for host, groups in by_host.items():
+        chosen = groups.get(ua) if ua in groups else groups.get("*")
+        if chosen:
+            out.append((host, chosen))
+    schema = ("host string, "
+              "_rules array<struct<pat:string,plen:int,allow:int>>")
+    return spark.createDataFrame(out, schema)

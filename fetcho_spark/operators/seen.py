@@ -75,13 +75,19 @@ class SeenSet:
 
     def __init__(self, catalog: Catalog, n_buckets: int = 64,
                  bits_per_bucket: int = 1 << 20, n_hashes: int = 7,
-                 table: str = "seen", filter_table: str = "seen_filter"):
+                 table: str = "seen", filter_table: str = "seen_filter",
+                 bloom_min_seen: int = 0):
         self.catalog = catalog
         self.n_buckets = n_buckets
         self.bits_per_bucket = bits_per_bucket
         self.k = n_hashes
         self.table = table
         self.filter_table = filter_table
+        # below this seen-set size the bloom route costs more than it saves
+        # (the exact anti-join broadcasts); past it the bloom pre-filter
+        # prunes the join input — the 10^10 fast path
+        self.bloom_min_seen = bloom_min_seen
+        self._seen_rows = 0
 
     # ------------------------------------------------------------- probing
     def filter_unseen(self, frontier: DataFrame, logical_now) -> DataFrame:
@@ -94,30 +100,16 @@ class SeenSet:
             return frontier
         frontier = frontier.withColumn("_bucket",
                                        bucket_col(n_buckets=self.n_buckets))
-        if self.catalog.exists(self.filter_table):
-            filters = self.catalog.read(self.filter_table)
-            out_schema = T.StructType(
-                [f for f in frontier.schema.fields] +
-                [T.StructField("_maybe_seen", T.BooleanType())])
-            k = self.k
-
-            def probe(keys_pdf: pd.DataFrame, flt_pdf: pd.DataFrame) -> pd.DataFrame:
-                if keys_pdf.empty:
-                    keys_pdf["_maybe_seen"] = pd.Series([], dtype=bool)
-                    return keys_pdf
-                if flt_pdf.empty:
-                    keys_pdf["_maybe_seen"] = False
-                    return keys_pdf
-                bits = np.frombuffer(flt_pdf["bits"].iloc[0], dtype=np.uint8)
-                n_bits = int(flt_pdf["n_bits"].iloc[0])
-                pos = _positions(keys_pdf["url_hash64"].to_numpy(), k, n_bits)
-                keys_pdf["_maybe_seen"] = _test_bits(bits, pos)
-                return keys_pdf
-
-            probed = (frontier.groupBy("_bucket")
-                      .cogroup(filters.withColumnRenamed("bucket", "_bucket")
-                               .groupBy("_bucket"))
-                      .applyInPandas(probe, out_schema))
+        use_bloom = self.catalog.exists(self.filter_table) and (
+            self.bloom_min_seen == 0
+            # parquet footer count — metadata-only, no scan
+            or self.catalog.read(self.table).count() >= self.bloom_min_seen)
+        if use_bloom:
+            total_bloom_bytes = self.n_buckets * (self.bits_per_bucket // 8)
+            if total_bloom_bytes <= self.BROADCAST_MAX_BYTES:
+                probed = self._probe_broadcast(frontier)
+            else:
+                probed = self._probe_cogroup(frontier)
             clean = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
             maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
         else:
@@ -129,13 +121,86 @@ class SeenSet:
         survived = maybe.join(recent, "url_hash64", "left_anti")
         return clean.unionByName(survived).drop("_bucket")
 
+    # probe routes: same numpy membership test, different data movement.
+    # broadcast (blobs fit in memory: one map-side pandas UDF, no shuffle) vs
+    # cogroup (blobs too big to ship: frontier shuffles to its bucket's blob).
+    BROADCAST_MAX_BYTES = 64 << 20
+
+    def _probe_broadcast(self, frontier: DataFrame) -> DataFrame:
+        spark = frontier.sparkSession
+        flt = {int(r["bucket"]): (np.frombuffer(r["bits"], dtype=np.uint8),
+                                  int(r["n_bits"]))
+               for r in self.catalog.read(self.filter_table).collect()}
+        bc = spark.sparkContext.broadcast(flt)
+        k, nb = self.k, self.n_buckets
+
+        @F.pandas_udf(T.BooleanType())
+        def maybe_seen(url_hash64: pd.Series) -> pd.Series:
+            table = bc.value
+            keys = url_hash64.to_numpy()
+            buckets = keys % nb  # python % == Spark pmod on int64
+            out = np.zeros(len(keys), dtype=bool)
+            for b in np.unique(buckets):
+                ent = table.get(int(b))
+                if ent is None:
+                    continue
+                bits, n_bits = ent
+                m = buckets == b
+                out[m] = _test_bits(bits, _positions(keys[m], k, n_bits))
+            return pd.Series(out)
+
+        return frontier.withColumn("_maybe_seen",
+                                   maybe_seen(F.col("url_hash64")))
+
+    def _probe_cogroup(self, frontier: DataFrame) -> DataFrame:
+        filters = self.catalog.read(self.filter_table)
+        out_schema = T.StructType(
+            [f for f in frontier.schema.fields] +
+            [T.StructField("_maybe_seen", T.BooleanType())])
+        k = self.k
+
+        def probe(keys_pdf: pd.DataFrame, flt_pdf: pd.DataFrame) -> pd.DataFrame:
+            if keys_pdf.empty:
+                keys_pdf["_maybe_seen"] = pd.Series([], dtype=bool)
+                return keys_pdf
+            if flt_pdf.empty:
+                keys_pdf["_maybe_seen"] = False
+                return keys_pdf
+            bits = np.frombuffer(flt_pdf["bits"].iloc[0], dtype=np.uint8)
+            n_bits = int(flt_pdf["n_bits"].iloc[0])
+            pos = _positions(keys_pdf["url_hash64"].to_numpy(), k, n_bits)
+            keys_pdf["_maybe_seen"] = _test_bits(bits, pos)
+            return keys_pdf
+
+        return (frontier.groupBy("_bucket")
+                .cogroup(filters.withColumnRenamed("bucket", "_bucket")
+                         .groupBy("_bucket"))
+                .applyInPandas(probe, out_schema))
+
     # ------------------------------------------------------------- updates
     def record(self, fetched: DataFrame, next_fetch) -> None:
-        """Upsert fetched hashes with the TTL and OR them into the blooms."""
+        """Record fetched hashes with the TTL and OR them into the blooms.
+
+        APPEND-only: re-recording a hash after TTL expiry appends a fresher
+        row; the probe's ``next_fetch > now`` filter makes any unexpired row
+        block, so history rows are harmless. This is deliberate at 10^10
+        scale — rewriting the seen table per round is not an option; a
+        periodic :meth:`compact` (Iceberg MERGE in prod) folds history.
+        """
         rows = (fetched.select("url_hash", "url_hash64").distinct()
                 .withColumn("next_fetch", F.lit(next_fetch)))
-        self.catalog.merge_upsert(self.table, rows, key="url_hash64")
+        self.catalog.append(self.table, rows)
         self._update_filters(rows)
+
+    def compact(self) -> None:
+        """Fold append history: keep max(next_fetch) per hash (MERGE INTO)."""
+        cur = self.catalog.read(self.table)
+        folded = cur.groupBy("url_hash64").agg(
+            F.max_by("url_hash", "next_fetch").alias("url_hash"),
+            F.max("next_fetch").alias("next_fetch"))
+        self.catalog.overwrite(self.table,
+                               folded.select("url_hash", "url_hash64",
+                                             "next_fetch"))
 
     def _update_filters(self, rows: DataFrame) -> None:
         spark = rows.sparkSession

@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill dir: tmpfs in this sandbox (one local disk can't serve 32
+    # concurrent shuffle writers; a real cluster has per-node NVMe shuffle
+    # dirs — tmpfs is the local-mode equivalent)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/spark-local"
+                               if os.path.isdir("/dev/shm") else "")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
