@@ -210,6 +210,14 @@ def q_query_language(spark, sf):  # F1/F4/F20/F22 — the workspace query surfac
     return out.select("doc_id")
 
 
+def q_tumbling_window(spark, sf):  # §2.9 — event-time tumbling-window agg
+    from fetcho_spark.streaming.loop import windowed_event_counts
+    ev = _t(spark, sf, "events")
+    out = windowed_event_counts(ev, "1 hour", watermark="2 hours")
+    return out.select(F.col("window_start").cast("string")
+                      .alias("window_start"), "event_type", "n")
+
+
 def q_sessionize(spark, sf):  # §2.9 count/gap windows over the event stream
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -310,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_window": q_distinct_window,
         "union_streams": q_union_streams,
         "query_language": q_query_language,
+        "tumbling_window": q_tumbling_window,
         "sessionize": q_sessionize,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -447,6 +456,11 @@ def oracle_sql() -> dict[str, str]:
               AND (strpos(lower(source), 'src1') > 0
                    OR strpos(lower(source), 'src2') > 0)
               AND NOT lower(lang) = 'zh'""",
+        "tumbling_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2""",
         "sessionize": """
             SELECT user_id, SUM(new_sess) AS n_sessions, count(*) AS n_events
             FROM (SELECT user_id,

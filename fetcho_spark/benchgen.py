@@ -51,6 +51,42 @@ def images_df(spark: SparkSession, n_images: int, seed: int = 42) -> DataFrame:
                 .repartition(32)
 
 
+def images_df_spark(spark: SparkSession, n_images: int, size: int = 128,
+                    seed: int = 42) -> DataFrame:
+    """Executor-parallel corpus generation (driver-side gen_images caps out
+    around 10^4 images; this shape generates 10^6+ and is how a 100 TB
+    synthetic corpus would be materialized)."""
+    import pandas as pd
+
+    from .fixtures import _BGS, _COLORS, _SHAPES
+
+    def gen(batches):
+        import numpy as np
+
+        from .functions.codec import decode as _dec
+        from .functions.codec import encode as _enc
+        from .functions.codec import phash64 as _ph
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed + i)
+                px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+                fmt = "png" if i % 3 == 0 else "jpeg"
+                data = _enc(px, fmt)
+                dec, _ = _dec(data)
+                cap = (f"a {_COLORS[i % len(_COLORS)]} "
+                       f"{_SHAPES[i % len(_SHAPES)]} on "
+                       f"{_BGS[i % len(_BGS)]}, sample {i}")
+                rows.append((f"img{i:08d}", bytearray(data), size, size,
+                             fmt, cap, _ph(dec)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGES_SCHEMA.fields])
+
+    return spark.range(n_images).repartition(64).mapInPandas(
+        gen, IMAGES_SCHEMA)
+
+
 def hosts_df(spark: SparkSession, n_hosts: int,
              crawl_delay_ms: int = 3_000) -> DataFrame:
     return (spark.range(n_hosts)

@@ -72,6 +72,10 @@ class CrawlConfig:
     bits_per_bucket: int = 1 << 20
     n_salts: int = 32
     salted_prepass: bool = True
+    ip_window_rounds: int = 0            # P9: >0 drops discardable items
+                                         # whose IP group was fetched within
+                                         # the last N rounds (Queueo.cs:
+                                         # 504-528 FIFO IP window, as rounds)
     assign_global_seq: bool = True       # off for throughput benches
     collect_counters: bool = True        # off for throughput benches: skips
                                          # the per-stage count() jobs and the
@@ -169,6 +173,18 @@ class CrawlEngine:
         frontier = (frontier.join(F.broadcast(hosts), "host", "left")
                     .filter(fr.network_ok(cfg.max_network_issues)))
 
+        # P9 — IP-seen-recently: discardable items (those with a referrer;
+        # seeds are never discardable, QueueItem.CanBeDiscarded) whose IP
+        # group was fetched within the window are dropped
+        if cfg.ip_window_rounds > 0 and c.exists("recent_ips"):
+            recent = (c.read("recent_ips")
+                      .filter(F.col("round") >= round_no - cfg.ip_window_rounds)
+                      .select("ip_group").distinct())
+            disc = frontier.filter(F.col("src_url").isNotNull()) \
+                           .join(recent, "ip_group", "left_anti")
+            frontier = frontier.filter(F.col("src_url").isNull()) \
+                               .unionByName(disc)
+
         # O1 — priority; P12 cap
         frontier = frontier.withColumn(
             "priority",
@@ -245,6 +261,15 @@ class CrawlEngine:
         # host feedback (429 penalty / network issues)
         c.overwrite("hosts", po.apply_429_penalty(c.read("hosts"), fetched),
                     meta={"round": round_no})
+
+        # P9 state: record the IP groups fetched this round
+        if cfg.ip_window_rounds > 0:
+            c.append("recent_ips",
+                     fetched.select(F.pmod(F.xxhash64("host"),
+                                           F.lit(fr.N_IP_GROUPS))
+                                    .alias("ip_group")).distinct()
+                     .withColumn("round", F.lit(round_no)),
+                     meta={"round": round_no})
 
         # C2/C3/O7 — link extraction → next frontier
         links = extract_links(fetched, cfg.seed, round_no,

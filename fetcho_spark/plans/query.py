@@ -55,12 +55,17 @@ class ParsedQuery:
 _TOKEN_RE = re.compile(r'"[^"]*"|\S+')
 
 
+_COMMENT_RE = re.compile(r"(?:^|\s)//")
+
+
 def tokenize(text: str) -> list[str]:
-    """Strip //-comments, honor quoted strings (Query.cs:306-332)."""
+    """Strip //-comments, honor quoted strings (Query.cs:306-332). A ``//``
+    only starts a comment at line start or after whitespace — mid-token
+    ``//`` (URLs, ``xpath://div``) is content."""
     lines = []
     for line in text.splitlines():
-        cut = line.find("//")
-        lines.append(line[:cut] if cut >= 0 else line)
+        m = _COMMENT_RE.search(line)
+        lines.append(line[:m.start()] if m else line)
     return [t[1:-1] if t.startswith('"') and t.endswith('"') and len(t) >= 2
             else t
             for t in _TOKEN_RE.findall(" ".join(lines))]
@@ -324,6 +329,40 @@ def evaluate(df: DataFrame, query_text: str, keep_tags: bool = True) -> DataFram
     include, tags = compile_query(q)
     out = df.filter(include)
     return out.withColumn(TAGS, tags) if keep_tags else out
+
+
+# ------------------------------------------------- cost bookkeeping (A3/R4)
+
+def query_cost_stats(q: ParsedQuery) -> dict:
+    """A3: static cost bookkeeping per query (Query.cs:20-27,258-267)."""
+    costs = [_term_cost(t) for t in q.filters]
+    tagger_costs = [_REGISTRY[t.kind][0] for t in q.taggers]
+    all_costs = costs + tagger_costs
+    return {
+        "n_filters": len(q.filters),
+        "n_taggers": len(q.taggers),
+        "n_excludes": sum(1 for t in q.filters if t.exclude),
+        "min_cost": min(all_costs) if all_costs else 0,
+        "max_cost": max(all_costs) if all_costs else 0,
+        "avg_cost": (sum(all_costs) / len(all_costs)) if all_costs else 0.0,
+        "total_cost": sum(all_costs),
+    }
+
+
+DEFAULT_QUERY_BUDGET = 1_000_000  # QueryBudgetForAverageQueryCost
+
+
+def schedule_queries(query_texts: dict[str, str],
+                     budget: int = DEFAULT_QUERY_BUDGET) -> list[str]:
+    """R4: evaluation order for standing queries — skip those whose average
+    cost exceeds the budget, cheapest-average first (reado/QueryConsumer.cs:
+    66-68). Driver-side logic, not a Catalyst concern."""
+    scored = []
+    for name, text in query_texts.items():
+        stats = query_cost_stats(parse_query(text))
+        if stats["avg_cost"] <= budget:
+            scored.append((stats["avg_cost"], name))
+    return [name for _, name in sorted(scored)]
 
 
 # --------------------------------------------------------- paging APIs (O3/O4)

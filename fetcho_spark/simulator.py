@@ -69,6 +69,7 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
              for r in hosts_rows}
     robots = compile_rules([tuple(r) for r in robots_rows], cfg.user_agent)
     res = SimResult()
+    recent_ips: dict[int, set[int]] = {}
     frontier = [FrontierItem(u, host_of(u) or "", None, None, 0) for u in seeds]
 
     for round_no in range(n_rounds):
@@ -107,6 +108,16 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
         items = [it for it in items
                  if hosts.get(it.host, {}).get("network_issues", 0)
                  <= cfg.max_network_issues]
+
+        # P9 IP-seen-recently (only when enabled; seeds not discardable)
+        if cfg.ip_window_rounds > 0:
+            window_ips: set[int] = set()
+            for r in range(max(0, round_no - cfg.ip_window_rounds), round_no):
+                window_ips |= recent_ips.get(r, set())
+            items = [it for it in items
+                     if it.src_url is None
+                     or (xxh64_signed(it.host.encode("utf-8")) % N_IP_GROUPS)
+                     not in window_ips]
 
         # O1 priority + P12
         kept = []
@@ -194,6 +205,10 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
             rec["network_issues"] = rec.get("network_issues", 0) + len(statuses)
             rec["crawl_delay_ms"] = (rec.get("crawl_delay_ms") or 20_000) + \
                 5_000 * sum(1 for s in statuses if s == 429)
+        if cfg.ip_window_rounds > 0:
+            recent_ips[round_no] = {
+                xxh64_signed(it.host.encode("utf-8")) % N_IP_GROUPS
+                for it in selected}
         res.counters.append({"round": round_no, "fetched": len(selected),
                              "fetched_ok": n_ok, "new_links": len(new_links),
                              "carryover": len(carryover)})

@@ -1,0 +1,48 @@
+"""Dump formatted physical plans for the key operators — the plan-review
+loop the build demands: check PushedFilters reach the parquet scan, small
+sides broadcast, WholeStageCodegen spans are wide, and no stray shuffles.
+
+    python scripts/explain_plans.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+CHECKS = {
+    "anti_join_seen": ["PushedFilters", "BroadcastHashJoin"],
+    "group_agg": ["HashAggregate", "ReadSchema"],
+    "order_page": ["TakeOrderedAndProject"],
+    "token_count": ["codegen id"],
+    "ann_topk": ["TakeOrderedAndProject"],
+}
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from fetcho_spark.session import get_spark
+    only = set(sys.argv[1:])
+    spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
+    sf = "/root/testdata/sf0.01"
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            fn(spark, sf).explain("formatted")
+        plan = buf.getvalue()
+        flags = []
+        for marker in CHECKS.get(name, []):
+            flags.append(f"{marker}={'Y' if marker in plan else 'n'}")
+        print(f"=== {name} {' '.join(flags)}")
+        if only:
+            print(plan)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
