@@ -293,6 +293,22 @@ def q_ann_topk(spark, sf):
             .select("vec_id", "cos"))
 
 
+def q_embedding_neardup(spark, sf):  # embedding-cosine near-dup pairs
+    from fetcho_spark.operators.similarity import pairwise_topk_within_label
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return (pairwise_topk_within_label(emb, k=2)
+            .select("id_a", "id_b", "cos", "rk")
+            .orderBy("id_a", "rk"))
+
+
+def q_random_page(spark, sf):  # O4 — seeded 'random' result page
+    from fetcho_spark.plans.query import random_results
+    docs = _t(spark, sf, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.col("doc_id"))
+    return random_results(docs, count=25).select("doc_id")
+
+
 def q_embedding_norms(spark, sf):  # zip_with/aggregate JVM-side vector math
     from fetcho_spark.operators.similarity import _norm
     emb = _t(spark, sf, "embeddings")
@@ -329,6 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "random_page": q_random_page,
         "embedding_norms": q_embedding_norms,
     }
 
@@ -540,6 +558,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM t WHERE tok <> '')
             SELECT doc_id, {simhash_bits} AS simhash
             FROM h GROUP BY doc_id ORDER BY doc_id""",
+        "embedding_neardup": """
+            SELECT id_a, id_b, cos, rk FROM (
+              SELECT id_a, id_b, cos,
+                     row_number() OVER (PARTITION BY id_a
+                                        ORDER BY cos DESC, id_b ASC) AS rk
+              FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                           round(list_cosine_similarity(
+                             a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                             AS cos
+                    FROM embeddings a JOIN embeddings b ON a.label = b.label
+                    WHERE a.vec_id <> b.vec_id
+                      AND a.vec_id < 200 AND b.vec_id < 200))
+            WHERE rk <= 2 ORDER BY id_a, rk""",
+        "random_page": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('doc://' || doc_id || 'rr'), 1, 15))
+                       ::BIGINT AS k,
+                     'doc://' || doc_id AS url
+              FROM documents)
+            ORDER BY k ASC, url ASC LIMIT 25""",
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -382,11 +382,11 @@ def page_results(df: DataFrame, order: str = "sequence:asc",
 def random_results(df: DataFrame, count: int = 50,
                    seed_salt: str = "rr") -> DataFrame:
     """Random page (Database.cs:1227-1252): the reference orders by a
-    pre-materialized ``random`` column; seeded hash order here → deterministic
-    and oracle-checkable."""
-    return (df.orderBy(F.pmod(F.xxhash64(F.col(URL), F.lit(seed_salt)),
-                              F.lit(1 << 31)).asc(), F.col(URL).asc())
-              .limit(count))
+    pre-materialized ``random`` column; seeded hash order here (md5-derived:
+    byte-identical in any ANSI engine) → deterministic and oracle-checkable."""
+    key = F.conv(F.substring(F.md5(F.concat(F.col(URL), F.lit(seed_salt))),
+                             1, 15), 16, 10).cast("long")
+    return df.orderBy(key.asc(), F.col(URL).asc()).limit(count)
 
 
 def distinct_window(df: DataFrame, field_name: str, n: int,
