@@ -210,6 +210,15 @@ def q_query_language(spark, sf):  # F1/F4/F20/F22 — the workspace query surfac
     return out.select("doc_id")
 
 
+def q_props_filter(spark, sf):  # F7/F8 — property-bag filters on real data
+    ev = _t(spark, sf, "events")
+    # try_cast: dirty property bags must degrade to null, not kill the job
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
+    return (ev.withColumn("k", k)
+            .filter(F.col("k").isNotNull() & (F.col("k") > 80))
+            .select("event_id", "k"))
+
+
 def q_tumbling_window(spark, sf):  # §2.9 — event-time tumbling-window agg
     from fetcho_spark.streaming.loop import windowed_event_counts
     ev = _t(spark, sf, "events")
@@ -334,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_window": q_distinct_window,
         "union_streams": q_union_streams,
         "query_language": q_query_language,
+        "props_filter": q_props_filter,
         "tumbling_window": q_tumbling_window,
         "sessionize": q_sessionize,
         "token_count": q_token_count,
@@ -474,6 +484,11 @@ def oracle_sql() -> dict[str, str]:
               AND (strpos(lower(source), 'src1') > 0
                    OR strpos(lower(source), 'src2') > 0)
               AND NOT lower(lang) = 'zh'""",
+        "props_filter": """
+            SELECT event_id,
+                   TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) > 80""",
         "tumbling_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                      AS window_start,

@@ -1,0 +1,64 @@
+"""JVM-expression canonicalizer ≡ Python reference, on the fast-path subset
+and through the hybrid route — the invariant that keeps the hot path in
+whole-stage codegen without semantic drift (functions/urls.py)."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fetcho_spark.functions.urls import (canonicalize, canonicalize_col,
+                                         canonicalize_fast_applicable,
+                                         canonicalize_udf)
+
+BASES = ["http://h1.example/dir/page", "https://s.example/",
+         "http://a.example/x?q=1"]
+
+EDGE_HREFS = [
+    "http://a.example/x", "http://a.example/x#frag", "//b.example/y",
+    "/root", "sibling", "../up", "HTTP://A.EXAMPLE:80/Path",
+    "https://a.example:443/x", "http://a.example:8080/x", "http://a.example",
+    "mailto:x@a", "javascript:void(0)", "ftp://a/b",
+    "http://a.example/x?a=1&amp;b=2", "http:///fix.example/x", "",
+    "#only-frag", "http://", "http://a.example/" + "x" * 2100,
+    "http://a.example./x", "http://a.example/x?", "http://a.example?q=2",
+    "http://user@a.example/x", "http://a.example:/x",
+    "http://a.example:99999/x", "  http://a.example/sp  ", "?q=3",
+    "//c.example", "http://B.Example/UPPER?Q=1", "data:text/plain,x",
+    "http://h9.example/p1#a#b", "/a/b?c=d#e", "HTTPS://x.example/y",
+]
+
+
+def _random_hrefs(n=250, seed=42):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        out.append(
+            rng.choice(["http://", "https://", "//", "/", "", "ftp://"])
+            + rng.choice([f"h{rng.randint(0, 99)}.example",
+                          f"H{rng.randint(0, 9)}.EXAMPLE:8080", ""])
+            + rng.choice([f"/p{rng.randint(0, 999)}", "", "/x y",
+                          "/q?a=1&amp;b=2", "/z#f", "/exact$x"]))
+    return out
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_hybrid_canonicalize_matches_python(spark):
+    pairs = [(h, b) for h, b in
+             itertools.product(EDGE_HREFS + _random_hrefs(), BASES)]
+    df = spark.createDataFrame(pairs, "href string, base string")
+    fast_ok = canonicalize_fast_applicable(F.col("href"), F.col("base"))
+    hybrid = F.when(fast_ok, canonicalize_col(F.col("href"), F.col("base"))) \
+              .otherwise(canonicalize_udf(F.col("href"), F.col("base")))
+    got = df.select("href", "base", fast_ok.alias("fast"),
+                    hybrid.alias("got")).collect()
+    n_fast = 0
+    for r in got:
+        exp = canonicalize(r["href"], r["base"])
+        assert r["got"] == exp, (r["href"], r["base"], r["fast"],
+                                 r["got"], exp)
+        n_fast += bool(r["fast"])
+    # the fast path must actually carry the bulk of realistic links
+    assert n_fast > len(got) * 0.4
