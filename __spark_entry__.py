@@ -408,8 +408,10 @@ def oracle_sql() -> dict[str, str]:
               FROM orders) WHERE chunk_seq < 3""",
         "politeness_budget": """
             SELECT user_id,
-                   SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS n_selected,
-                   SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS n_carryover
+                   CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_selected,
+                   CAST(SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_carryover
             FROM (SELECT user_id,
                          row_number() OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id) AS rk
@@ -495,7 +497,8 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2""",
         "sessionize": """
-            SELECT user_id, SUM(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM (SELECT user_id,
                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800

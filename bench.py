@@ -120,7 +120,7 @@ def run_payload(spark, data_dir: str) -> dict:
     for _rep in range(2):  # best-of-2, warm workers
         t0 = time.time()
         n_ok = verify_payload(df).filter(
-            "decode_ok AND dims_ok AND phash_ok").count()
+            "decode_ok AND dims_ok AND phash_ok AND psnr_ok").count()
         wall = time.time() - t0
         if best is None or wall < best["wall_sec"]:
             best = {"images": n, "verified_ok": n_ok,

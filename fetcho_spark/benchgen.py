@@ -66,6 +66,7 @@ def images_df_spark(spark: SparkSession, n_images: int, size: int = 128,
         from .functions.codec import decode as _dec
         from .functions.codec import encode as _enc
         from .functions.codec import phash64 as _ph
+        from .functions.codec import ref_sample_bytes as _rs
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
@@ -79,7 +80,7 @@ def images_df_spark(spark: SparkSession, n_images: int, size: int = 128,
                        f"{_SHAPES[i % len(_SHAPES)]} on "
                        f"{_BGS[i % len(_BGS)]}, sample {i}")
                 rows.append((f"img{i:08d}", bytearray(data), size, size,
-                             fmt, cap, _ph(dec)))
+                             fmt, cap, _ph(dec), bytearray(_rs(px))))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               IMAGES_SCHEMA.fields])
 

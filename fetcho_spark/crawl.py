@@ -117,7 +117,10 @@ class CrawlEngine:
             else:
                 seed_df = seeds.select(
                     F.col("url"),
-                    F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1))
+                    # same host definition as host_of()/extract_links —
+                    # stop at ':' '?' '#' so ports/userinfo/query never
+                    # leak into the hosts-join / robots / ranking key
+                    F.lower(F.regexp_extract("url", r"^https?://([^/:?#]+)", 1))
                     .alias("host"),
                     F.lit(None).cast("string").alias("src_url"),
                     F.lit(None).cast("string").alias("src_host"),
@@ -239,7 +242,8 @@ class CrawlEngine:
                     "image_id", "status", "priority"]
         c.append("fetched", fetched.select(
             *log_cols, "caption", "phash", "w", "h", "fmt",
-            "decode_ok", "dims_ok", "phash_ok", "psnr_db", "out_links"),
+            "decode_ok", "dims_ok", "phash_ok", "psnr_db", "psnr_ok",
+            "out_links"),
             meta={"round": round_no})
         fetched = c.read_incremental("fetched",
                                      c.current_snapshot_id("fetched") - 1)

@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .functions.codec import encode, phash64
+from .functions.codec import encode, phash64, ref_sample_bytes
 
 SEED = 42
 
@@ -30,6 +30,10 @@ IMAGES_SCHEMA = T.StructType([
     T.StructField("fmt", T.StringType()),
     T.StructField("caption", T.StringType()),
     T.StructField("phash", T.LongType()),
+    # strided pixel sample of the ORIGINAL (pre-encode) image: the ground
+    # truth the fetch-side verify computes PSNR against (so the ≥40 dB
+    # lossy invariant is a real comparison, not decode-vs-itself)
+    T.StructField("ref_sample", T.BinaryType()),
 ])
 
 WEBGRAPH_SCHEMA = T.StructType([
@@ -61,7 +65,8 @@ def gen_images(n: int, seed: int = SEED) -> list[tuple]:
         dec, _ = decode(data)
         cap = (f"a {_COLORS[i % len(_COLORS)]} {_SHAPES[i % len(_SHAPES)]} "
                f"on {_BGS[i % len(_BGS)]}, sample {i}")
-        rows.append((f"img{i:08d}", bytearray(data), s, s, fmt, cap, phash64(dec)))
+        rows.append((f"img{i:08d}", bytearray(data), s, s, fmt, cap,
+                     phash64(dec), bytearray(ref_sample_bytes(px))))
     return rows
 
 

@@ -68,6 +68,32 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
 
 
+_SAMPLE_GRID = 16
+
+
+def sample_grid(pixels: np.ndarray, g: int = _SAMPLE_GRID) -> np.ndarray:
+    """Deterministic g×g strided pixel sample of an (h, w, 3) image —
+    the fixture stores this of the ORIGINAL (pre-encode) pixels so the
+    fetch-side verify can compute a real PSNR of its decode against the
+    reference without shipping full reference frames."""
+    h, w = pixels.shape[:2]
+    gy, gx = min(g, h), min(g, w)
+    ys = (np.arange(gy) * h) // gy
+    xs = (np.arange(gx) * w) // gx
+    return pixels[np.ix_(ys, xs)]
+
+
+def ref_sample_bytes(pixels: np.ndarray, g: int = _SAMPLE_GRID) -> bytes:
+    """Serialized reference sample: 2-byte (gy, gx) header + raw uint8 RGB."""
+    s = sample_grid(pixels, g)
+    return struct.pack("<BB", s.shape[0], s.shape[1]) + s.tobytes()
+
+
+def ref_sample_decode(data: bytes) -> np.ndarray:
+    gy, gx = struct.unpack("<BB", data[:2])
+    return np.frombuffer(data[2:], dtype=np.uint8).reshape(gy, gx, 3)
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual hash: 8×8 block-mean of grayscale vs global mean.
 

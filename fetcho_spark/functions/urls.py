@@ -16,6 +16,7 @@ directly, so engine and oracle agree byte-for-byte by construction.
 from __future__ import annotations
 
 import html
+from html.entities import html5 as _HTML5_ENTITIES
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import pandas as pd
@@ -128,15 +129,42 @@ def path_udf(url: pd.Series) -> pd.Series:
     return url.map(path_of, na_action="ignore")
 
 
+# The JVM fast path decodes exactly 5 named entities (_pre_clean) while the
+# Python reference path uses full html.unescape. Any href whose decode could
+# differ between the two is routed to the UDF slow path by this regex:
+#   1. numeric refs (&#38; / &#x26; / semicolon-less &#39) except the exact
+#      '&#39;' the fast path handles identically;
+#   2. named entities with ';' other than the handled amp/lt/gt/quot
+#      (covers case variants like &AMP; which unescape decodes);
+#   3. '&amp;' cascades: sequential JVM replaces double-decode
+#      '&amp;lt;' → '<' while single-pass unescape yields '&lt;';
+#   4. HTML5 legacy semicolon-less entities (&not=, &amp at end, …) which
+#      unescape decodes mid-string (derived from html.entities.html5);
+# plus any control whitespace (Python str.strip() removes \t\n\r, F.trim
+# strips spaces only). Over-flagging is safe — slow path is always correct.
+_LEGACY_ENTITY_NAMES = sorted(
+    {k for k in _HTML5_ENTITIES if not k.endswith(";")},
+    key=len, reverse=True)
+ENTITY_RISK_RE = (
+    "&#(?!39;)"
+    "|&(?!(?:amp|lt|gt|quot);)[A-Za-z][A-Za-z0-9]*;"
+    "|&amp;(?:amp;|lt;|gt;|quot;|#39;)"
+    "|&(?:" + "|".join(_LEGACY_ENTITY_NAMES) + ")(?!;)"
+)
+_SLOW_PATH_RE = ENTITY_RISK_RE + "|[\\t\\n\\r]"
+
+
 def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:
     """True where the JVM expression fast-path produces the same result as
     :func:`canonicalize`: absolute http(s) links, scheme-relative ``//``
     links, and root-relative ``/path`` links (base is already canonical in
     the crawl — pages come from our own frontier). Doc-relative links
-    (``sibling``, ``../up``), userinfo URLs and exotic escapes go to the
-    pandas-UDF slow path. In practice ≥95% of extracted links are absolute
-    or root-relative, so the hot path stays in whole-stage codegen."""
+    (``sibling``, ``../up``), userinfo URLs, entity-decode-divergent hrefs
+    (see ``ENTITY_RISK_RE``) and exotic escapes go to the pandas-UDF slow
+    path. In practice ≥95% of extracted links are absolute or root-relative
+    with at most plain ``&amp;``, so the hot path stays in codegen."""
     h = _pre_clean(href)
+    decode_safe = ~href.rlike(_SLOW_PATH_RE)
     # absolute-or-scheme-relative with a plain host[:port] authority (no
     # userinfo, no IPv6 brackets — those keep python's urlsplit semantics)
     h_abs = F.when(h.startswith("//"), F.concat(F.lit("http:"), h)).otherwise(h)
@@ -145,7 +173,7 @@ def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:
         auth.rlike(r"^[A-Za-z0-9.\-]+(:[0-9]*)?$")
     is_root_rel = h.startswith("/") & ~h.startswith("//")
     no_scheme = ~h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
-    return is_abs | (is_root_rel & no_scheme)
+    return decode_safe & (is_abs | (is_root_rel & no_scheme))
 
 
 def _pre_clean(href: F.Column) -> F.Column:

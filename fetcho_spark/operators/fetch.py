@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window
 
-from ..functions.codec import decode, phash64, psnr
+from ..functions.codec import (decode, phash64, psnr, ref_sample_decode,
+                               sample_grid)
 from ..functions.urls import (canonicalize_col, canonicalize_fast_applicable,
                               canonicalize_udf)
 
@@ -72,7 +73,7 @@ def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
                                    F.col("bytes"))))
     verified = verify_payload(payloads).select(
         "image_id", "w", "h", "fmt", "caption", "phash",
-        "decode_ok", "dims_ok", "phash_ok", "psnr_db")
+        "decode_ok", "dims_ok", "phash_ok", "psnr_db", "psnr_ok")
     return joined.join(verified, "image_id", "left")
 
 
@@ -86,13 +87,13 @@ _VERIFY_STRUCT = T.StructType([
 
 @F.pandas_udf(_VERIFY_STRUCT)
 def _verify_udf(data: pd.Series, w: pd.Series, h: pd.Series,
-                fmt: pd.Series) -> pd.DataFrame:
+                fmt: pd.Series, ref: pd.Series) -> pd.DataFrame:
     n = len(data)
     dec_ok = [False] * n
     dims_ok = [False] * n
     ph = [None] * n
     ps = [None] * n
-    for i, (d, wi, hi, fi) in enumerate(zip(data, w, h, fmt)):
+    for i, (d, wi, hi, fi, rs) in enumerate(zip(data, w, h, fmt, ref)):
         if d is None:
             continue
         try:
@@ -103,8 +104,17 @@ def _verify_udf(data: pd.Series, w: pd.Series, h: pd.Series,
         dims_ok[i] = (px.shape[1] == wi and px.shape[0] == hi
                       and got_fmt == fi)
         ph[i] = phash64(px)
-        ps[i] = psnr(px, px)  # decode deterministic → inf; the PIL path
-        # compares our decode vs the fixture decode here (≥40 dB lossy)
+        if rs is not None:
+            # real fidelity check: our decode, sampled on the reference
+            # grid, vs the stored pre-encode pixels (≥40 dB lossy; inf
+            # lossless). Shape mismatch (corrupt dims) → 0 dB.
+            try:
+                want = ref_sample_decode(bytes(rs))
+                got = sample_grid(px)
+                ps[i] = (psnr(got, want)
+                         if got.shape == want.shape else 0.0)
+            except Exception:
+                ps[i] = 0.0
     return pd.DataFrame({"decode_ok": dec_ok, "dims_ok": dims_ok,
                          "phash_calc": pd.array(ph, dtype="Int64"),
                          "psnr_db": pd.array(ps, dtype="float64")})
@@ -113,12 +123,19 @@ def _verify_udf(data: pd.Series, w: pd.Series, h: pd.Series,
 def verify_payload(df: DataFrame) -> DataFrame:
     """C12: Arrow-batched decode + invariant check.
 
-    A *scalar* pandas UDF over only (bytes, w, h, fmt) — exact-valued int64
-    columns (phash, hashes) never cross into pandas, where nullable-int64
-    batches upcast to float64 and silently corrupt values past 2^53. The
-    recomputed phash comes back as int64 and the equality runs JVM-side.
+    A *scalar* pandas UDF over only (bytes, w, h, fmt, ref_sample) —
+    exact-valued int64 columns (phash, hashes) never cross into pandas,
+    where nullable-int64 batches upcast to float64 and silently corrupt
+    values past 2^53. The recomputed phash comes back as int64 and the
+    equality runs JVM-side.
+
+    ``psnr_db`` is our decode vs the fixture's stored pre-encode pixel
+    sample; ``psnr_ok`` encodes the input_hint invariant: lossless formats
+    must reproduce exactly (inf), lossy formats must reach ≥ 40 dB.
     """
-    v = _verify_udf(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+    ref = (F.col("ref_sample") if "ref_sample" in df.columns
+           else F.lit(None).cast("binary"))
+    v = _verify_udf(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"), ref)
     return (df.withColumn("_v", v)
             .withColumn("decode_ok", F.col("_v.decode_ok"))
             .withColumn("dims_ok", F.col("_v.dims_ok"))
@@ -126,6 +143,10 @@ def verify_payload(df: DataFrame) -> DataFrame:
                         F.coalesce(F.col("_v.phash_calc") == F.col("phash"),
                                    F.lit(False)))
             .withColumn("psnr_db", F.col("_v.psnr_db"))
+            .withColumn("psnr_ok",
+                        F.when(F.col("fmt") == "png",
+                               F.col("_v.psnr_db") == float("inf"))
+                         .otherwise(F.col("_v.psnr_db") >= 40.0))
             .drop("_v"))
 
 

@@ -66,14 +66,18 @@ def apply_429_penalty(hosts: DataFrame, fetched: DataFrame) -> DataFrame:
     return (
         hosts.join(per_host, "host", "left")
         .withColumn(
+            # coalesce the host-state side too: a null crawl_delay_ms row
+            # must accumulate from the 20 s default (as the simulator does),
+            # not null-propagate and forget the penalty
             "crawl_delay_ms",
-            (F.col("crawl_delay_ms")
+            (F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_DELAY_MS))
              + F.coalesce(F.col("n_429"), F.lit(0)) * F.lit(PENALTY_429_MS)
              ).cast("int"),
         )
         .withColumn(
             "network_issues",
-            (F.col("network_issues") + F.coalesce(F.col("n_err"), F.lit(0))
+            (F.coalesce(F.col("network_issues"), F.lit(0))
+             + F.coalesce(F.col("n_err"), F.lit(0))
              ).cast("int"),
         )
         .drop("n_429", "n_err")

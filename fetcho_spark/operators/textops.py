@@ -92,17 +92,17 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """argmax over marker scores; 'und' when all zero. Ties break by fixed
-    language order (en, fr, de, es) — mirrored exactly in the SQL oracle."""
-    scores = lang_scores(col)
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in ("es", "de", "fr", "en"):  # reverse priority; later wins ties ≥
-        s = scores[lang]
-        cond = s > best_score
-        # strictly-greater, evaluated in reverse order → en wins ties
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best
+    priority order en > fr > de > es — built as the same nested ``>=`` chain
+    the SQL oracle uses, so tied scores agree by construction (the round-1
+    loop formulation inverted the tie-break: es kept ties)."""
+    s = lang_scores(col)
+    en, fr, de, es = s["en"], s["fr"], s["de"], s["es"]
+    return (
+        F.when((en >= fr) & (en >= de) & (en >= es) & (en > 0), F.lit("en"))
+         .when((fr >= de) & (fr >= es) & (fr > 0), F.lit("fr"))
+         .when((de >= es) & (de > 0), F.lit("de"))
+         .when(es > 0, F.lit("es"))
+         .otherwise(F.lit("und")))
 
 
 def fingerprint(col: Column) -> Column:

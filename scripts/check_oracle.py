@@ -26,11 +26,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
+    # Representation-strict, mirroring the driver's value hash: a DuckDB
+    # HUGEINT rendered as float64 (3.0) must NOT match Spark's bigint (3),
+    # even though they're numerically equal — that divergence produced a
+    # false local "OK" in round 1 (VERDICT r1 "What's wrong" #1).
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return abs(a - b) < 1e-6
-    return a == b
+        return a == b  # both already rounded to 6dp in normalize()
+    return type(a) == type(b) and a == b
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
@@ -40,6 +46,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
         return f"ROWS {len(spark_pdf)} vs {len(duck_pdf)}"
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb:
+            return f"DTYPE col={c}: {a[c].dtype} vs {b[c].dtype}"
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if not values_equal(x, y):

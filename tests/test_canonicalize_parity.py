@@ -27,6 +27,16 @@ EDGE_HREFS = [
     "http://a.example:99999/x", "  http://a.example/sp  ", "?q=3",
     "//c.example", "http://B.Example/UPPER?Q=1", "data:text/plain,x",
     "http://h9.example/p1#a#b", "/a/b?c=d#e", "HTTPS://x.example/y",
+    # entity-decode divergence candidates (must route to the slow path:
+    # full html.unescape semantics — numeric refs, case variants, legacy
+    # semicolon-less entities, &amp; cascades)
+    "http://a.example/x?a=1&#38;b=2", "http://a.example/x?a=1&#x26;b=2",
+    "http://a.example/x?q=&not=1", "http://a.example/x?q=&notarized",
+    "http://a.example/x?a=1&amp;lt;", "http://a.example/x?a=1&AMP;b=2",
+    "http://a.example/x?a=&copy;", "http://a.example/x?a=1&amp",
+    "http://a.example/x?a=1&nbsp", "http://a.example/x?a=1&amp;#39;",
+    "http://a.example/x?frac=&frac12", "http://a.example/x\t",
+    "http://a.example/\nx", "http://a.example/x?a=1&b=2&c=3",
 ]
 
 
@@ -62,3 +72,9 @@ def test_hybrid_canonicalize_matches_python(spark):
         n_fast += bool(r["fast"])
     # the fast path must actually carry the bulk of realistic links
     assert n_fast > len(got) * 0.4
+    # the common query-string shapes stay on the JVM fast path: plain '&'
+    # separators and the ubiquitous '&amp;' must NOT be routed to Python
+    fast_by_href = {(r["href"], r["base"]): r["fast"] for r in got}
+    for href in ("http://a.example/x?a=1&b=2&c=3",
+                 "http://a.example/x?a=1&amp;b=2"):
+        assert fast_by_href[(href, BASES[0])], href

@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from fetcho_spark.functions.codec import (
-    decode, encode, hamming64, phash64, psnr)
+    decode, encode, hamming64, phash64, psnr, ref_sample_bytes,
+    ref_sample_decode, sample_grid)
 
 
 def _pixels(seed: int, s: int = 64) -> np.ndarray:
@@ -56,3 +57,29 @@ def test_phash_various_sizes():
 def test_unknown_format_stubbed():
     with pytest.raises(NotImplementedError):
         encode(_pixels(8), "webp")
+
+
+def test_ref_sample_roundtrip_and_psnr():
+    px = _pixels(9, 100)
+    rs = ref_sample_decode(ref_sample_bytes(px))
+    assert rs.shape == (16, 16, 3)
+    assert (rs == sample_grid(px)).all()
+    # lossy decode vs the original sample: finite and over the invariant
+    dec, _ = decode(encode(px, "jpeg"))
+    p = psnr(sample_grid(dec), rs)
+    assert 40.0 <= p < float("inf")
+
+
+def test_corruption_detected():
+    """The invariant must actually be able to fail (VERDICT r1 'What's
+    wrong' #2): a payload that decodes fine but to the WRONG pixels must
+    produce PSNR far below 40 dB vs the stored reference sample."""
+    px = _pixels(10)
+    ref = ref_sample_decode(ref_sample_bytes(px))
+    other, _ = decode(encode(_pixels(11), "jpeg"))  # same dims, wrong content
+    assert psnr(sample_grid(other), ref) < 20.0
+    # and a 1-byte flip in the compressed stream must fail decode outright
+    data = bytearray(encode(px, "jpeg"))
+    data[len(data) // 2] ^= 0xFF
+    with pytest.raises(Exception):
+        decode(bytes(data))

@@ -84,13 +84,44 @@ def test_payload_invariants(crawl_run):
     assert ok.filter(~F.col("decode_ok")).count() == 0
     assert ok.filter(~F.col("dims_ok")).count() == 0
     assert ok.filter(~F.col("phash_ok")).count() == 0
+    # PSNR is a real comparison vs the fixture's stored pre-encode pixels:
+    # must be present on every fetched image, ≥40 dB lossy, exact lossless
+    assert ok.filter(F.col("psnr_db").isNull()).count() == 0
+    assert ok.filter(~F.col("psnr_ok")).count() == 0
     lossy = ok.filter(F.col("fmt") == "jpeg")
     assert lossy.filter(F.col("psnr_db") < 40.0).count() == 0
+    # lossy really is lossy: a finite PSNR, not decode-vs-itself inf
+    assert lossy.filter(F.col("psnr_db") == float("inf")).count() == 0
     # caption equality: fetched caption equals the corpus caption by join
     img = cat.read("images").select("image_id",
                                     F.col("caption").alias("expected"))
     assert (ok.join(img, "image_id")
               .filter(F.col("caption") != F.col("expected")).count()) == 0
+
+
+@pytest.mark.spark
+def test_verify_payload_catches_corruption(spark):
+    """Injected corruption must fail the payload invariants: a 1-byte flip
+    in the compressed stream kills decode_ok; swapped image bytes (valid
+    decode, wrong pixels) kill phash_ok and psnr_ok."""
+    from fetcho_spark.operators.fetch import verify_payload
+    rows = [list(r) for r in fx.gen_images(6)]
+    flipped = bytearray(rows[0][1])
+    flipped[len(flipped) // 2] ^= 0xFF
+    rows[0][1] = flipped                      # img0: corrupt stream
+    rows[1][1], rows[4][1] = rows[4][1], rows[1][1]  # img1/img4: same dims+
+    # fmt (both 64px jpeg), wrong content for their stored phash/ref_sample
+    df = spark.createDataFrame([tuple(r) for r in rows], fx.IMAGES_SCHEMA)
+    got = {r["image_id"]: r for r in verify_payload(df).collect()}
+    assert not got["img00000000"]["decode_ok"]
+    for bad in ("img00000001", "img00000004"):
+        assert got[bad]["decode_ok"] and got[bad]["dims_ok"]
+        assert not got[bad]["phash_ok"]
+        assert not got[bad]["psnr_ok"]
+        assert got[bad]["psnr_db"] < 40.0
+    for good in ("img00000002", "img00000003", "img00000005"):
+        assert got[good]["decode_ok"] and got[good]["phash_ok"] \
+            and got[good]["psnr_ok"]
 
 
 @pytest.mark.spark

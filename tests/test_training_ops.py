@@ -108,3 +108,19 @@ def test_textops(spark):
     assert by[3]["lang"] == "und"
     assert 0.0 <= by[3]["q"] < by[1]["q"] <= 1.0
     assert len(by[1]["fp"]) == 32
+
+
+@pytest.mark.spark
+def test_lang_id_tiebreak(spark):
+    """Tied nonzero marker scores resolve by fixed priority en > fr > de > es
+    — the same >= chain as the DuckDB oracle (ADVICE r1: the loop
+    formulation let es win ties)."""
+    df = spark.createDataFrame(
+        [(1, "it is so el nino"),       # en==es==1 → en
+         (2, "le chat ist hier"),       # fr==de==1 → fr
+         (3, "der hombre el perro"),    # de==es==1 → de
+         (4, "los gatos aqui")],        # es only → es
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es"}
