@@ -38,7 +38,7 @@ HEADLINE = [
     "seeded_sample", "order_page", "priority_semantics", "query_language",
 ]
 
-# crawl bench universe: 400k-page web, 20k hosts (zipf-skewed), 30M-mention
+# crawl bench universe: 400k-page web, 20k hosts (zipf-skewed), 16M-mention
 # frontier (the 10^10-scale shape: heavy duplication into the dedup stage)
 CRAWL_PAGES = 400_000
 CRAWL_HOSTS = 20_000

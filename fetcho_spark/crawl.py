@@ -94,6 +94,9 @@ class CrawlEngine:
         self.cfg = config or CrawlConfig()
         self.seen = SeenSet(catalog, self.cfg.n_seen_buckets,
                             self.cfg.bits_per_bucket)
+        # compiled robots rules, memoized per robots-table snapshot id:
+        # one distributed compile job per snapshot, not one per round
+        self._robots_rules: tuple[int | None, DataFrame] | None = None
 
     # ------------------------------------------------------------ lifecycle
     def logical_now(self, round_no: int) -> dt.datetime:
@@ -137,6 +140,21 @@ class CrawlEngine:
                .agg(F.max("round").alias("r")).collect()[0])
         return int(row["r"]) if row["r"] is not None else None
 
+    def _compiled_robots(self) -> DataFrame:
+        """Distributed per-host LIKE-rule compile (robots.rules_like_df),
+        cached per robots snapshot — rebuilt only when the robots table
+        advances, materialized once, broadcast-joined every round."""
+        from .operators.robots import rules_like_df
+        sid = self.catalog.current_snapshot_id("robots")
+        if self._robots_rules is None or self._robots_rules[0] != sid:
+            if self._robots_rules is not None:
+                self._robots_rules[1].unpersist()
+            rules = rules_like_df(self.spark, self.catalog.read("robots"),
+                                  self.cfg.user_agent).persist()
+            rules.count()  # materialize the compile once per snapshot
+            self._robots_rules = (sid, rules)
+        return self._robots_rules[1]
+
     # ----------------------------------------------------------- one round
     def run_round(self, round_no: int) -> dict:
         cfg, c = self.cfg, self.catalog
@@ -144,7 +162,6 @@ class CrawlEngine:
         counters: dict[str, int] = {}
 
         frontier = c.read("frontier")
-        counters["frontier_in"] = frontier.count()  # = URLs entering dedup
 
         # P1 — batch dedup with a deterministic survivor (min src_url; None
         # first) so the same referrer feeds the priority model at any
@@ -152,7 +169,10 @@ class CrawlEngine:
         # aggregation collapses duplicates map-side, so the shuffle carries
         # ~unique URLs, not the raw frontier — the decisive difference at a
         # 10^10-mention frontier. Keyed on the 64-bit hash (the reference's
-        # seen set is likewise hash-keyed, Md5Hash semantics).
+        # seen set is likewise hash-keyed, Md5Hash semantics). The agg also
+        # carries the mention count, so frontier_in needs no separate
+        # full-frontier count() job: one action materializes the (small)
+        # deduped set, which every downstream stage then reuses.
         frontier = frontier.withColumn("_h", F.xxhash64("url"))
         dedup_key = F.struct(
             F.when(F.col("src_url").isNull(), 0).otherwise(1).alias("k0"),
@@ -160,9 +180,16 @@ class CrawlEngine:
             F.col("round_added").alias("k2"))
         row = F.struct(*[F.col(c) for c in
                          ("url", "host", "src_url", "src_host", "round_added")])
-        frontier = (frontier.groupBy("_h")
-                    .agg(F.min_by(row, dedup_key).alias("_r"))
-                    .select("_r.*"))
+        deduped = (frontier.groupBy("_h")
+                   .agg(F.min_by(row, dedup_key).alias("_r"),
+                        F.count("*").alias("_mentions"))
+                   .select("_r.*", "_mentions")
+                   .persist())
+        agg = deduped.agg(F.sum("_mentions").alias("m"),
+                          F.count("*").alias("u")).collect()[0]
+        counters["frontier_in"] = int(agg["m"] or 0)
+        counters["frontier_unique"] = int(agg["u"] or 0)
+        frontier = deduped.drop("_mentions")
 
         # cheap cascade (P2/P3/P5), keys, synthetic IP (J3/P6)
         frontier = with_url_keys(fr.cheap_cascade(frontier))
@@ -216,7 +243,8 @@ class CrawlEngine:
         frontier = frontier.withColumn(
             "path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
         frontier = apply_robots_gate(self.spark, frontier, c.read("robots"),
-                                     cfg.user_agent)
+                                     cfg.user_agent,
+                                     compiled_rules=self._compiled_robots())
 
         # O5 — politeness budget split (chunk_seq already ranks per host).
         # Persist: selected and carryover both consume the full pipeline; a
@@ -227,11 +255,11 @@ class CrawlEngine:
                      .filter(F.col("chunk_seq") >= F.col("fetch_budget"))
                      .select("url", "host", "src_url", "src_host", "round_added"))
 
-        # deterministic global fetch order for lineage/golden tests
+        # deterministic global fetch order for lineage/golden tests —
+        # two-phase range rank, never a single-task global Window (the
+        # selected set is millions of rows per round at 10^10 scale)
         if cfg.assign_global_seq:
-            w_seq = Window.orderBy("priority", "url_hash64", "url")
-            selected = selected.withColumn(
-                "fetch_seq", F.row_number().over(w_seq) - F.lit(1))
+            selected = pr.with_global_seq(selected)
         else:
             selected = selected.withColumn("fetch_seq", F.lit(None).cast("int"))
 
@@ -304,6 +332,7 @@ class CrawlEngine:
             counters["fetched_ok"] = int(agg["ok"] or 0)
 
         frontier.unpersist()
+        deduped.unpersist()
 
         # checkpoint LAST → a round is complete iff its checkpoint row exists
         snap_ids = {t: self.catalog.current_snapshot_id(t)

@@ -84,16 +84,26 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
-                  shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
+                  shingle_n: int = 3, threshold: float = 0.8,
+                  max_shingle_df: int | None = 1000) -> DataFrame:
     """n-gram Jaccard similarity for pairs (all pairs sharing ≥1 shingle, or
     only LSH candidates when given): |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
 
     Shuffles on the shingle (inverted-index join), then on the pair — the
-    standard scalable shape; hot shingles can be frequency-capped upstream.
+    standard scalable shape. ``max_shingle_df`` drops shingles whose
+    document frequency exceeds the cap BEFORE the self-join: one ubiquitous
+    stop-phrase shingle (boilerplate menus, license headers) would otherwise
+    emit O(df²) intermediate pairs — the quadratic blowup at corpus scale.
+    Capped shingles are excluded from both intersections and set sizes, so
+    the Jaccard stays consistent over the reduced shingle universe.
     """
     sh = (df.select(F.col(id_col),
                     F.explode(shingles(F.col(text_col), shingle_n))
                     .alias("shingle")).distinct())
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_shingle_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

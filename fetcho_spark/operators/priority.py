@@ -64,6 +64,38 @@ def priority_col(seed: int, round_no: int,
     )
 
 
+def with_global_seq(df: DataFrame,
+                    sort_cols: tuple[str, ...] = ("priority", "url_hash64",
+                                                  "url"),
+                    out_col: str = "fetch_seq") -> DataFrame:
+    """Deterministic 0-based global rank over a total sort key, scale-safe.
+
+    Equivalent to ``row_number()`` over an unpartitioned Window, but never
+    funnels the dataset through one task: range-partition on the key, rank
+    within each range partition, then add cumulative partition offsets. The
+    only single-partition work is the offsets window over ≤
+    ``spark.sql.shuffle.partitions`` count rows — bounded by config, not by
+    data. Because the key is total (url is unique post-dedup), the result is
+    independent of where the range boundaries land, hence identical at any
+    parallelism level (golden-tested at shuffle.partitions ∈ {3, default}).
+    """
+    cols = [F.col(c) for c in sort_cols]
+    ranged = (df.repartitionByRange(*cols)
+                .withColumn("_pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid") \
+                  .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+    return (ranged.join(F.broadcast(offsets), "_pid")
+            .withColumn(out_col,
+                        (F.col("_off") + F.row_number().over(w_local)
+                         - F.lit(1)).cast("int"))
+            .drop("_pid", "_off"))
+
+
 def with_chunk_seq(df: DataFrame, partition_col: str = "host_hash") -> DataFrame:
     """O2: per-host chunk sequence — rank within host by (priority, url_hash).
 

@@ -113,7 +113,8 @@ def make_disallowed_udf(spark: SparkSession, robots_df: DataFrame,
 
 def apply_robots_gate(spark: SparkSession, frontier: DataFrame,
                       robots_df: DataFrame, user_agent: str = DEFAULT_UA,
-                      path_col: str = "path") -> DataFrame:
+                      path_col: str = "path",
+                      compiled_rules: DataFrame | None = None) -> DataFrame:
     """P11: drop frontier rows the host's robots rules disallow. Runs LAST in
     the cascade — most expensive predicate (Queueo.cs:426 ordering, R3).
 
@@ -123,8 +124,12 @@ def apply_robots_gate(spark: SparkSession, frontier: DataFrame,
     Python crossing, longest-match/allow-ties preserved via array_max over
     (plen, allow) structs. The pandas-UDF route (make_disallowed_udf) remains
     for regex-semantics tests; both are pinned to the same HostRules oracle.
+
+    Pass ``compiled_rules`` (from :func:`rules_like_df`, cached per robots
+    snapshot) to avoid recompiling unchanged robots state every round.
     """
-    rules = rules_like_df(spark, robots_df, user_agent)
+    rules = (compiled_rules if compiled_rules is not None
+             else rules_like_df(spark, robots_df, user_agent))
     joined = frontier.join(F.broadcast(rules), "host", "left")
     matched = F.filter(
         F.col("_rules"),
@@ -158,22 +163,49 @@ def pattern_to_like(pattern: str) -> str | None:
 def rules_like_df(spark: SparkSession, robots_df: DataFrame,
                   user_agent: str = DEFAULT_UA) -> DataFrame:
     """Per-host LIKE-rule arrays (host, _rules array<struct<pat,plen,allow>>)
-    after per-UA group selection — one small broadcastable row per host."""
+    after per-UA group selection — one small broadcastable row per host.
+
+    Fully distributive (groupBy(host) + collect_list + higher-order filter;
+    no driver ``collect()``), so compiling millions of hosts' robots state
+    is one shuffle on host, not a driver OOM. The per-host rule list is
+    bounded by robots-file size, so collect_list stays small. The LIKE
+    translation itself is JVM expressions mirroring :func:`pattern_to_like`
+    (escape ``\\ % _``, ``*`` → ``%``, trailing ``$`` anchors else append
+    ``%``); ``plen`` is the FULL original pattern length (incl. ``$``),
+    matching HostRules' longest-match tie-break.
+    """
     ua = user_agent.lower()
-    rows = [tuple(r) for r in robots_df
-            .select("host", "user_agent", "directive", "pattern").collect()]
-    by_host: dict[str, dict[str, list[tuple[str, int, int]]]] = {}
-    for host, agent, directive, pattern in rows:
-        if not pattern:
-            continue
-        by_host.setdefault(host, {}).setdefault(agent.lower(), []).append(
-            (pattern_to_like(pattern), len(pattern),
-             1 if directive.lower() == "allow" else 0))
-    out = []
-    for host, groups in by_host.items():
-        chosen = groups.get(ua) if ua in groups else groups.get("*")
-        if chosen:
-            out.append((host, chosen))
-    schema = ("host string, "
-              "_rules array<struct<pat:string,plen:int,allow:int>>")
-    return spark.createDataFrame(out, schema)
+    pat = F.col("pattern")
+    anchored = pat.endswith("$")
+    body = F.when(anchored, F.substring(pat, 1, F.length(pat) - 1)) \
+            .otherwise(pat)
+    esc = F.replace(body, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    like_pat = F.when(anchored, esc).otherwise(F.concat(esc, F.lit("%")))
+    rules = (robots_df
+             .filter(pat.isNotNull() & (pat != ""))
+             .withColumn("_agent", F.lower("user_agent"))
+             .filter(F.col("_agent").isin(ua, "*"))
+             .select("host",
+                     (F.col("_agent") == ua).cast("int").alias("_is_ua"),
+                     F.struct(
+                         like_pat.alias("pat"),
+                         F.length(pat).cast("int").alias("plen"),
+                         F.when(F.lower("directive") == "allow", 1)
+                          .otherwise(0).cast("int").alias("allow"),
+                         (F.col("_agent") == ua).cast("int").alias("is_ua"),
+                     ).alias("_rule")))
+    grouped = rules.groupBy("host").agg(
+        F.max("_is_ua").alias("_has_ua"),
+        F.collect_list("_rule").alias("_all"))
+    # per-UA precedence: a host with any UA-specific rules ignores its '*'
+    # group (RobotsTest github-fixture semantics)
+    chosen = F.filter(F.col("_all"),
+                      lambda r: r["is_ua"] == F.col("_has_ua"))
+    return grouped.select(
+        "host",
+        F.transform(chosen, lambda r: F.struct(
+            r["pat"].alias("pat"), r["plen"].alias("plen"),
+            r["allow"].alias("allow"))).alias("_rules"))

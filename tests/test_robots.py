@@ -1,6 +1,8 @@
 """robots.txt gating — semantics pinned by commonTest/RobotsTest.cs
 (/root/reference/commonTest/RobotsTest.cs:24-38,76-86,113-128), re-expressed."""
 
+import pytest
+
 from fetcho_spark.operators.robots import HostRules, compile_rules
 
 
@@ -72,6 +74,43 @@ def test_full_block_and_empty_pattern():
     c = compile_rules(rows)
     assert c["h.example"].disallowed("/anything")
     assert "e.example" not in c            # empty Disallow == allow all
+
+
+@pytest.mark.spark
+def test_distributed_compile_matches_hostrules(spark):
+    """The distributed JVM compile (groupBy + collect_list + LIKE arrays,
+    no driver collect) must gate exactly like the HostRules oracle across
+    prefix / mid-* / $-anchor / per-UA / allow-tie / LIKE-metachar rules."""
+    from fetcho_spark.operators.robots import apply_robots_gate
+    rows = [
+        ("a.ex", "*", "disallow", "/private"),
+        ("a.ex", "*", "disallow", "/tmp/*.bak"),
+        ("a.ex", "*", "disallow", "/exact$"),
+        ("a.ex", "*", "disallow", "/news/0"),
+        ("a.ex", "*", "allow", "/private/ok"),
+        ("b.ex", "fetcho", "disallow", "/only-fetcho"),
+        ("b.ex", "*", "disallow", "/common"),
+        ("c.ex", "*", "disallow", "/"),
+        ("d.ex", "*", "disallow", ""),              # empty == allow all
+        ("e.ex", "*", "disallow", "/100%_x"),       # LIKE metachars escaped
+    ]
+    paths = ["/", "/private", "/private/ok/x", "/privateer", "/tmp/a.bak",
+             "/tmp/x.txt", "/exact", "/exact/sub", "/news/0123",
+             "/news/world-asia", "/only-fetcho", "/common", "/anything",
+             "/100%_x/y", "/100yz"]
+    robots = spark.createDataFrame(
+        rows, "host string, user_agent string, directive string, "
+              "pattern string")
+    frontier = spark.createDataFrame(
+        [(h, p) for h in ("a.ex", "b.ex", "c.ex", "d.ex", "e.ex", "f.ex")
+         for p in paths], "host string, path string")
+    kept = {(r["host"], r["path"]) for r in
+            apply_robots_gate(spark, frontier, robots).collect()}
+    oracle = compile_rules(rows)
+    for h in ("a.ex", "b.ex", "c.ex", "d.ex", "e.ex", "f.ex"):
+        for p in paths:
+            want = not (h in oracle and oracle[h].disallowed(p))
+            assert ((h, p) in kept) == want, (h, p, want)
 
 
 def test_robots_match_throughput():

@@ -111,6 +111,27 @@ def test_textops(spark):
 
 
 @pytest.mark.spark
+def test_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not drive O(n²) pairs:
+    with the document-frequency cap it is excluded from intersections AND
+    set sizes, so unrelated docs that share only boilerplate produce no
+    pair at all."""
+    from fetcho_spark.operators.dedup import jaccard_pairs
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"unique text number {i} w{i}x w{i}y w{i}z " + boiler)
+            for i in range(30)]
+    rows += [(100, "a near duplicate pair of documents here one"),
+             (101, "a near duplicate pair of documents here two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = jaccard_pairs(df, threshold=0.2, max_shingle_df=10).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(100, 101)}
+    # uncapped: the shared boilerplate makes every doc pair a candidate
+    uncapped = jaccard_pairs(df, threshold=0.0, max_shingle_df=None)
+    assert uncapped.count() >= 30 * 29 / 2
+
+
+@pytest.mark.spark
 def test_lang_id_tiebreak(spark):
     """Tied nonzero marker scores resolve by fixed priority en > fr > de > es
     — the same >= chain as the DuckDB oracle (ADVICE r1: the loop
