@@ -318,6 +318,56 @@ def q_random_page(spark, sf):  # O4 — seeded 'random' result page
     return random_results(docs, count=25).select("doc_id")
 
 
+def q_geo_filter(spark, sf):  # F13 — geo-ip family over the synthetic dim
+    from fetcho_spark.operators.geo import bind_geo, geo_dim_df
+    from fetcho_spark.plans.query import evaluate
+    docs = _t(spark, sf, "documents")
+    n_groups = 64
+    ip_group = F.pmod(
+        F.conv(F.substring(F.md5(F.col("source")), 1, 15), 16, 10)
+        .cast("long"), F.lit(n_groups))
+    bound = (docs.select(
+        "doc_id", "text",
+        F.col("source").alias("host"),
+        F.col("source").alias("title"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        ip_group.alias("ip_group"))
+        .withColumn("tags", F.array().cast("array<string>")))
+    bound = bind_geo(bound, geo_dim_df(spark, n_groups))
+    out = evaluate(bound,
+                   "geo-ip-country:U geo-ip-ll:[[-90,-180],[45,180]]",
+                   keep_tags=False)
+    return (out.select("doc_id", "geo_country", "geo_city", "geo_lat")
+            .orderBy("doc_id"))
+
+
+def q_xpath_extract(spark, sf):  # F18 — xpath subset over constructed HTML
+    from fetcho_spark.functions.xpath import xpath_col
+    docs = _t(spark, sf, "documents")
+    safe = F.regexp_replace(F.substring("text", 1, 40), "[<>&]", "")
+    html = F.concat(
+        F.lit('<html><head><title>t</title></head>'
+              '<body><div class="main">'), safe,
+        F.lit('</div><div class="other">x</div></body></html>'))
+    m = xpath_col(html, "//div[@class='main']/text()")
+    return docs.select("doc_id", F.get(m, 0).alias("xtext"))
+
+
+def q_fragment_dedup(spark, sf):  # F1 — TextMatchFilter fragment FIFO window
+    from fetcho_spark.plans.query import word_match_fragment_dedup
+    docs = _t(spark, sf, "documents").withColumn("seq", F.col("doc_id"))
+    out = word_match_fragment_dedup(docs, "join", window=100, seq_col="seq")
+    return out.select("doc_id")
+
+
+def q_ml_classify(spark, sf):  # F14 — NB classifier (no SQL twin: rows-only)
+    from fetcho_spark.functions.mlmodel import make_ml_udf
+    docs = _t(spark, sf, "documents")
+    pred = make_ml_udf("topics")(F.col("text"))
+    return docs.select("doc_id", pred["label"].alias("label"),
+                       F.round(pred["score"], 6).alias("score"))
+
+
 def q_embedding_norms(spark, sf):  # zip_with/aggregate JVM-side vector math
     from fetcho_spark.operators.similarity import _norm
     emb = _t(spark, sf, "embeddings")
@@ -358,6 +408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "random_page": q_random_page,
         "embedding_norms": q_embedding_norms,
+        "geo_filter": q_geo_filter,
+        "xpath_extract": q_xpath_extract,
+        "fragment_dedup": q_fragment_dedup,
+        "ml_classify": q_ml_classify,
     }
 
 
@@ -610,4 +664,51 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                                       x -> x * x))), 6) AS l2
             FROM embeddings""",
+        # geo-ip family: the synthetic ip→geo dimension is md5-derived
+        # (operators/geo.py geo_cols) so the oracle recomputes the whole
+        # lookup + substring-match + bounding-box semantics inline
+        "geo_filter": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(source), 1, 15))::BIGINT % 64
+                       AS ip_group
+              FROM documents),
+            geo AS (
+              SELECT doc_id,
+                (['{"','".join(["US", "DE", "FR", "JP", "BR", "IN", "GB",
+                                "CA", "AU", "ES", "IT", "NL"])}'])[
+                  (('0x' || substr(md5(ip_group::VARCHAR || ':c'), 1, 15))
+                    ::BIGINT % 12)::INT + 1] AS geo_country,
+                'city' || (('0x' || substr(md5(ip_group::VARCHAR || ':t'),
+                                           1, 15))::BIGINT % 100)::VARCHAR
+                  AS geo_city,
+                (('0x' || substr(md5(ip_group::VARCHAR || ':lat'), 1, 15))
+                  ::BIGINT % 180000) / 1000.0 - 90.0 AS geo_lat,
+                (('0x' || substr(md5(ip_group::VARCHAR || ':lon'), 1, 15))
+                  ::BIGINT % 360000) / 1000.0 - 180.0 AS geo_lon
+              FROM g)
+            SELECT doc_id, geo_country, geo_city, geo_lat FROM geo
+            WHERE strpos(lower(geo_country), 'u') > 0
+              AND geo_lat >= -90 AND geo_lat <= 45
+              AND geo_lon >= -180 AND geo_lon <= 180
+            ORDER BY doc_id""",
+        "xpath_extract": """
+            SELECT doc_id, CASE WHEN t = '' THEN NULL ELSE t END AS xtext
+            FROM (SELECT doc_id,
+                    trim(regexp_replace(
+                      regexp_replace(substr(text, 1, 40), '[<>&]', '', 'g'),
+                      '\\s+', ' ', 'g')) AS t
+                  FROM documents)""",
+        "fragment_dedup": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     lag(doc_id) OVER (PARTITION BY frag ORDER BY doc_id)
+                       AS prev
+              FROM (SELECT doc_id,
+                      substr(lower(text),
+                             greatest(strpos(lower(text), 'join') - 20, 1),
+                             44) AS frag
+                    FROM documents
+                    WHERE strpos(lower(text), 'join') > 0))
+            WHERE prev IS NULL OR doc_id - prev > 100""",
     }

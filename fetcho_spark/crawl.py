@@ -268,11 +268,18 @@ class CrawlEngine:
         fetched = fetched.withColumn("round", F.lit(round_no))
         log_cols = ["round", "fetch_seq", "url", "url_hash64", "host",
                     "image_id", "status", "priority"]
-        c.append("fetched", fetched.select(
-            *log_cols, "caption", "phash", "w", "h", "fmt",
+        # the fetched table is the packet-file analog: payload verification
+        # verdicts, header maps (F9), content type, and — for raw-body
+        # corpora — the response body itself (WebDataPacketWriter stores
+        # request+response+data; link extraction re-reads it like ReadLinko)
+        fetched_cols = log_cols + [
+            "caption", "phash", "w", "h", "fmt",
             "decode_ok", "dims_ok", "phash_ok", "psnr_db", "psnr_ok",
-            "out_links"),
-            meta={"round": round_no})
+            "out_links", "content_type", "req_headers", "resp_headers"]
+        if "body" in fetched.columns:
+            fetched_cols.append("body")
+        c.append("fetched", fetched.select(*fetched_cols),
+                 meta={"round": round_no})
         fetched = c.read_incremental("fetched",
                                      c.current_snapshot_id("fetched") - 1)
         if cfg.collect_counters:

@@ -43,6 +43,9 @@ WEBGRAPH_SCHEMA = T.StructType([
     T.StructField("out_links", T.ArrayType(T.StringType())),
     T.StructField("status", T.IntegerType()),
     T.StructField("content_type", T.StringType()),
+    # raw response body (null = pre-extracted out_links corpus); when set,
+    # the engine extracts links from it (C3) instead of out_links
+    T.StructField("body", T.StringType()),
 ])
 
 _COLORS = ["red", "blue", "green", "amber", "violet", "teal", "coral", "slate"]
@@ -84,10 +87,15 @@ def _host_ids(n_pages: int, n_hosts: int, rng: np.random.Generator) -> np.ndarra
 
 
 def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
-                 seed: int = SEED) -> list[tuple]:
+                 seed: int = SEED, html_bodies: bool = False) -> list[tuple]:
     """Synthetic web: one row per servable page; out_links include dirty
     variants (fragments, //scheme-relative, relative, http:///, blocked
     schemes, &amp;-encoded) to exercise canonicalization (Utility.cs parity).
+
+    ``html_bodies=True`` renders each page as a raw HTML (or occasionally
+    plain-text) body embedding the same links as a/link/script tags — plus
+    mid-document <base href> switches on some pages — so the raw-body link
+    extractor (C3) drives the crawl instead of the out_links array.
     """
     rng = np.random.default_rng(seed)
     hids = _host_ids(n_pages, n_hosts, rng)
@@ -126,8 +134,37 @@ def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
                 links.append("mailto:x@" + hosts[int(t)])  # unsupported scheme
             else:
                 links.append(u)
+        body, ctype = None, "text/html"
+        if html_bodies:
+            style = int(rng.integers(0, 10))
+            if style == 0:  # plain-text body: raw-URL + href= scanning path
+                ctype = "text/plain"
+                parts = [f"notes for {urls[i]} :"]
+                for j, ln in enumerate(links[:6]):
+                    parts.append(f'see "{ln}"' if j % 2 == 0
+                                 else f'ref href="{ln}" end')
+                body = " ".join(parts)
+            else:
+                head = [f"<title>Page {i}</title>"]
+                tail = []
+                k = 0
+                if style == 1 and links:  # mid-doc <base> switch
+                    head.append(f'<link href="{links[0]}">')
+                    k = 1
+                    tail.append(
+                        f'<base href="http://{host_name((i + 1) % n_hosts)}'
+                        f'/based/">')
+                for j, ln in enumerate(links[k:]):
+                    if j % 5 == 4:
+                        tail.append(f'<script src="{ln}"></script>')
+                    elif j % 5 == 3:
+                        tail.append(f'<link href="{ln}">')
+                    else:
+                        tail.append(f'<a href="{ln}">link {j}</a>')
+                body = ("<html><head>" + "".join(head) + "</head><body>"
+                        + "".join(tail) + "</body></html>")
         rows.append((urls[i], hosts[i], f"img{int(img_idx[i]):08d}",
-                     links, int(status[i]), "text/html"))
+                     links, int(status[i]), ctype, body))
     return rows
 
 
@@ -205,9 +242,10 @@ def images_df(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
 
 
 def webgraph_df(spark: SparkSession, n_pages: int, n_hosts: int, n_images: int,
-                seed: int = SEED) -> DataFrame:
+                seed: int = SEED, html_bodies: bool = False) -> DataFrame:
     return spark.createDataFrame(
-        gen_webgraph(n_pages, n_hosts, n_images, seed), WEBGRAPH_SCHEMA)
+        gen_webgraph(n_pages, n_hosts, n_images, seed, html_bodies),
+        WEBGRAPH_SCHEMA)
 
 
 def robots_df(spark: SparkSession, n_hosts: int, seed: int = SEED) -> DataFrame:

@@ -49,9 +49,12 @@ def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
     images join shuffles on ``image_id``. Column pruning matters: only the
     payload columns cross into the verify stage.
     """
-    page = webgraph.select(
-        F.col("url"), F.col("status").alias("status"),
-        F.col("image_id"), F.col("out_links"), F.col("content_type"))
+    page_cols = [F.col("url"), F.col("status").alias("status"),
+                 F.col("image_id"), F.col("out_links"),
+                 F.col("content_type")]
+    if "body" in webgraph.columns:  # raw-body corpus (C3 path)
+        page_cols.append(F.col("body"))
+    page = webgraph.select(*page_cols)
     joined = (selected.join(page, "url", "left")
               .withColumn("status",
                           F.coalesce(F.col("status"), F.lit(404)))
@@ -60,6 +63,22 @@ def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
               .withColumn("out_links",
                           F.coalesce(F.col("out_links"),
                                      F.array().cast("array<string>"))))
+    # F9 end-to-end: request/response header maps on every fetched row
+    # (WorkspaceResult.RequestProperties/ResponseProperties,
+    # common/Entities/WorkspaceResult.cs:8-69). Deterministic synthesis —
+    # the simulated-fetch analog of HttpResourceFetcher's recorded headers.
+    joined = (joined
+              .withColumn("req_headers", F.create_map(
+                  F.lit("user-agent"), F.lit("fetcho"),
+                  F.lit("host"), F.col("host"),
+                  F.lit("accept"), F.lit("*/*")))
+              .withColumn("resp_headers", F.create_map(
+                  F.lit("content-type"),
+                  F.coalesce(F.col("content_type"), F.lit("")),
+                  F.lit("status"), F.col("status").cast("string"),
+                  F.lit("server"),
+                  F.format_string("srv-%d",
+                                  F.pmod(F.xxhash64("host"), F.lit(7))))))
     # R5 memoization (Filter.cs:30 / dedup-before-inference, SURVEY.md §4):
     # decode-verify each DISTINCT payload once, then join the verdict back —
     # image bytes never fan out across fetched rows and never ride the
@@ -154,24 +173,42 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
                   max_links: int = MAX_LINKS_PER_PAGE) -> DataFrame:
     """Fetched pages → canonical outbound link rows (src_url, url, host).
 
-    The per-page cap uses a seeded total order (xxhash64 of the link) —
+    Pages carrying a raw ``body`` go through the real HTML/text link
+    extractor (C3, operators/htmllinks.py — a/link/script/base tags, raw
+    http/href= scanning for text) which also yields the per-link resolution
+    base (a mid-document ``<base href>`` changes it); pages with a
+    pre-extracted ``out_links`` array resolve against their own URL. The
+    per-page cap uses a seeded total order (xxhash64 of the link) —
     reproducible across parallelism levels, unlike the reference's
     wall-clock shuffle.
     """
-    raw = (fetched
-           .filter(F.col("status") == 200)
-           .select(F.col("url").alias("src_url"),
-                   F.col("host").alias("src_host"),
-                   F.explode_outer("out_links").alias("href")))
+    ok = fetched.filter(F.col("status") == 200)
+    src = [F.col("url").alias("src_url"), F.col("host").alias("src_host")]
+    if "body" in fetched.columns:
+        from .htmllinks import extract_links_udf
+        pairs = extract_links_udf(F.col("body"), F.col("url"),
+                                  F.col("content_type"))
+        raw_body = (ok.filter(F.col("body").isNotNull())
+                    .select(*src, F.explode_outer(pairs).alias("_hb"))
+                    .select("src_url", "src_host",
+                            F.col("_hb.href").alias("href"),
+                            F.col("_hb.base").alias("base")))
+        raw_arr = (ok.filter(F.col("body").isNull())
+                   .select(*src, F.explode_outer("out_links").alias("href"))
+                   .withColumn("base", F.col("src_url")))
+        raw = raw_body.unionByName(raw_arr)
+    else:
+        raw = (ok.select(*src, F.explode_outer("out_links").alias("href"))
+               .withColumn("base", F.col("src_url")))
     # hybrid canonicalization: JVM expression for absolute/root-relative
     # links (the overwhelming majority — stays in codegen), Arrow-batched
     # python UDF only for genuinely doc-relative/exotic hrefs. Both routes
     # are byte-identical to functions.urls.canonicalize (parity-tested).
-    applicable = canonicalize_fast_applicable(F.col("href"), F.col("src_url"))
+    applicable = canonicalize_fast_applicable(F.col("href"), F.col("base"))
     fast = raw.filter(applicable).withColumn(
-        "url", canonicalize_col(F.col("href"), F.col("src_url")))
+        "url", canonicalize_col(F.col("href"), F.col("base")))
     slow = raw.filter(~applicable).withColumn(
-        "url", canonicalize_udf(F.col("href"), F.col("src_url")))
+        "url", canonicalize_udf(F.col("href"), F.col("base")))
     links = (fast.unionByName(slow)
              .filter(F.col("url").isNotNull())
              .withColumn("host", F.lower(F.regexp_extract(
@@ -180,4 +217,4 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
         F.xxhash64(F.col("url"), F.lit(f"links:{seed}:{round_no}")))
     return (links.withColumn("_lr", F.row_number().over(w))
             .filter(F.col("_lr") <= max_links)
-            .drop("_lr", "href"))
+            .drop("_lr", "href", "base"))

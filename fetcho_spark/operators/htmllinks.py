@@ -1,0 +1,129 @@
+"""Raw-HTML / raw-text link extraction (SURVEY.md §2.8 C3).
+
+Re-expresses the reference's two ILinkExtractors — not a translation of
+their streaming readers, but the same observable link set:
+
+- HTML (common/ContentReader/HtmlFileLinkExtractor.cs:26-80): hrefs of
+  ``<a>``/``<link>``, ``src`` of ``<script>``, and ``<base href>`` which
+  RESETS the resolution base for every subsequent link (document order
+  matters — links before the base tag resolve against the page URL).
+- plain text (common/ContentReader/TextFileLinkExtractor.cs:29-166): scan
+  for ``http``-prefixed runs (terminated by whitespace/quote/``<``/closing
+  bracket of the opening delimiter) and ``href=`` attribute values
+  (quoted), html-decoding candidates — ported test cases in
+  tests/test_htmllinks.py.
+
+Each extractor is a pure function (shared byte-for-byte with the oracle
+simulator, like the canonicalizer) wrapped in one Arrow-batched pandas UDF
+returning ``array<struct<href,base>>`` — the hybrid JVM/UDF canonicalizer
+then runs on the exploded pairs, so the hot path after extraction stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.urls import canonicalize
+
+_TAG_RE = re.compile(r"<(a|script|link|base)\b([^>]*)>", re.I)
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""")
+
+_OPEN_TO_CLOSE = {'"': '"', "'": "'", "(": ")", "[": "]", "{": "}", "<": ">"}
+_HTTP_STOP = set(" '\t\n\r<")
+_HREF_ATTR_RE = re.compile(r"""href=\s*("([^"]*)"|'([^']*)')""", re.I)
+_HTTP_RUN_RE = re.compile(r"http")
+
+
+def _attrs(attr_text: str) -> dict[str, str]:
+    out = {}
+    for m in _ATTR_RE.finditer(attr_text):
+        out[m.group(1).lower()] = next(
+            g for g in m.groups()[1:] if g is not None)
+    return out
+
+
+def extract_html_links(html_src: str | None,
+                       page_url: str | None) -> list[tuple[str, str]]:
+    """→ [(raw href, effective base url), …] in document order.
+    a[href], link[href], script[src]; base[href] switches the base for all
+    following links (HtmlFileLinkExtractor.cs:64-76 semantics)."""
+    if not html_src:
+        return []
+    base = page_url
+    out: list[tuple[str, str]] = []
+    for m in _TAG_RE.finditer(html_src):
+        tag = m.group(1).lower()
+        attrs = _attrs(m.group(2))
+        if tag == "base":
+            href = attrs.get("href")
+            if href and href.strip():
+                b = canonicalize(href, None)
+                if b is not None:
+                    base = b
+            continue
+        href = attrs.get("src" if tag == "script" else "href")
+        if href and href.strip():
+            out.append((href, base))
+    return out
+
+
+def extract_text_links(text: str | None,
+                       page_url: str | None) -> list[tuple[str, str]]:
+    """→ [(raw candidate, base), …]: 'http…' runs (stopping at whitespace,
+    quotes, '<', or the closing bracket of the delimiter that preceded the
+    run) and quoted href= values, html-decoded — TextFileLinkExtractor's
+    observable behavior, without the char-at-a-time stream machinery."""
+    if not text:
+        return []
+    out: list[tuple[str, str]] = []
+    taken: list[tuple[int, int]] = []
+    for m in _HREF_ATTR_RE.finditer(text):
+        cand = m.group(2) if m.group(2) is not None else m.group(3)
+        cand = _html.unescape(cand).strip()
+        if cand:
+            out.append((cand, page_url))
+            taken.append(m.span())
+    for m in _HTTP_RUN_RE.finditer(text):
+        s = m.start()
+        if any(a <= s < b for a, b in taken):
+            continue  # already captured via href=
+        stop = set(_HTTP_STOP)
+        if s > 0 and text[s - 1] in _OPEN_TO_CLOSE:
+            stop.add(_OPEN_TO_CLOSE[text[s - 1]])
+        e = s
+        while e < len(text) and text[e] not in stop:
+            e += 1
+        cand = _html.unescape(text[s:e])
+        if len(cand) > len("http"):
+            out.append((cand, page_url))
+    return out
+
+
+_LINKS_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("href", T.StringType()),
+    T.StructField("base", T.StringType()),
+]))
+
+
+@F.pandas_udf(_LINKS_SCHEMA)
+def extract_links_udf(body: pd.Series, url: pd.Series,
+                      content_type: pd.Series) -> pd.Series:
+    """One Arrow crossing: raw body → (href, base) pairs, HTML or text mode
+    by content type (ContentReader dispatch)."""
+    out = []
+    for b, u, ct in zip(body, url, content_type):
+        if b is None:
+            out.append([])
+        elif ct is not None and "html" in ct:
+            out.append(extract_html_links(b, u))
+        else:
+            out.append(extract_text_links(b, u))
+    return pd.Series(out, dtype=object)

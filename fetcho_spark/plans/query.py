@@ -240,27 +240,85 @@ def _f_tag(t: Term):
         F.lit(t.value)
 
 
-@_reg("ml-model", 500)  # F14 — deterministic stand-in classifier (STUB):
+@_reg("ml-model", 500)  # F14 — multinomial NB (functions/mlmodel.py)
 def _f_ml_model(t: Term):
-    # real ML.NET model replaced by a seeded hash "classifier" over text;
-    # memoization by data_hash (R5) is inherent: same text → same class.
-    n_classes = 8
-    cls = F.pmod(F.xxhash64(F.col(TEXT), F.lit(f"ml:{t.key}")),
-                 F.lit(n_classes))
-    label = F.concat(F.lit("class_"), cls.cast("string"))
-    return _ci_contains(label, t.value), label
+    # ml-model(name[,conf]):class — predicted label contains class AND
+    # maxScore > confidence (MachineLearningModelFilter.cs:57-76 semantics;
+    # default 0.98, 'any' → 0.01, unparsable → default, clamped [0,1]).
+    # Unknown model name raises at query-compile time
+    # (ThrowIfModelDoesntExist).
+    from ..functions.mlmodel import (ANY_CONFIDENCE, DEFAULT_CONFIDENCE,
+                                     make_ml_udf)
+    args = [a.strip() for a in (t.key or "").split(",")]
+    name = args[0]
+    if len(args) < 2 or args[1] == "":
+        conf = DEFAULT_CONFIDENCE
+    elif args[1].lower() == "any":
+        conf = ANY_CONFIDENCE
+    else:
+        try:
+            conf = min(max(float(args[1]), 0.0), 1.0)
+        except ValueError:
+            conf = DEFAULT_CONFIDENCE
+    pred = make_ml_udf(name)(F.col(TEXT))
+    match = pred["label"].isNotNull() & (pred["score"] > F.lit(conf))
+    if t.value not in ("", "*"):
+        match = match & _ci_contains(pred["label"], t.value)
+    return match, pred["label"]
 
 
-@_reg("geo-ip-country", 500)  # F13 — joins synthetic geo dim (see bind_geo)
-def _f_geo_country(t: Term):
-    return _ci_contains(F.col("geo_country"), t.value), F.col("geo_country")
+# F13 — geo-ip family; requires geo_* columns from operators/geo.bind_geo
+# (broadcast join on the synthetic ip_group). Semantics per GeoIPFilter.cs:
+# substring match on the looked-up attribute; empty value matches any row
+# that HAS the attribute; ll is a bounding-box range predicate.
+
+def _geo_contains(col_name: str):
+    def f(t: Term):
+        c = F.col(col_name)
+        if t.value in ("", "*"):
+            return c.isNotNull() & (c != ""), c
+        return _ci_contains(c, t.value), c
+    return f
 
 
-@_reg("xpath", 1000)  # F18 — STUB: lxml not in container
+_BBOX_RE = re.compile(
+    r"^\[\[\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*\]\s*,"
+    r"\s*\[\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*\]\]$")
+
+
+def _f_geo_ll(t: Term):
+    # geo-ip-ll:[[lat,lon],[lat,lon]] — inside-box predicate
+    # (GeoIPCoordinateFilter.BoundingBox.IsWithin: min/max of each corner);
+    # tag = "[lat,lon]" at 3 decimals (GetTags format)
+    lat, lon = F.col("geo_lat"), F.col("geo_lon")
+    tag = F.format_string("[%.3f,%.3f]", lat, lon)
+    if t.value in ("", "*"):
+        return lat.isNotNull(), tag
+    m = _BBOX_RE.match(t.value.strip())
+    if not m:
+        raise ValueError(f"bad geo-ip-ll bounding box {t.value!r}")
+    a1, o1, a2, o2 = (float(m.group(i)) for i in (1, 2, 3, 4))
+    pred = (lat.isNotNull()
+            & (lat >= min(a1, a2)) & (lat <= max(a1, a2))
+            & (lon >= min(o1, o2)) & (lon <= max(o1, o2)))
+    return pred, tag
+
+
+_REGISTRY["geo-ip-country"] = (500, _geo_contains("geo_country"))
+_REGISTRY["geo-ip-city"] = (500, _geo_contains("geo_city"))
+_REGISTRY["geo-ip-subdivision"] = (500, _geo_contains("geo_subdivision"))
+_REGISTRY["geo-ip-ll"] = (500, _f_geo_ll)
+
+
+@_reg("xpath", 1000)  # F18 — subset evaluator (functions/xpath.py)
 def _f_xpath(t: Term):
-    raise NotImplementedError(
-        "xpath: filter requires lxml (not in this container); the reference "
-        "uses HtmlAgilityPack (common/Query/Filters/XPathFilter.cs)")
+    # match = xpath selects ≥1 node on the raw 'html' column
+    # (XPathFilter.cs:29-56: include-only, runs last-ish at cost 1000);
+    # tag = first matched node text / attr value. Invalid xpath raises at
+    # query-compile time.
+    from ..functions.xpath import make_xpath_udf
+    matches = make_xpath_udf(t.value)(F.col("html"))
+    return F.size(matches) > 0, F.get(matches, 0)
 
 
 # F19 — sub-query: evaluates another registered workspace query inline
@@ -387,6 +445,25 @@ def random_results(df: DataFrame, count: int = 50,
     key = F.conv(F.substring(F.md5(F.concat(F.col(URL), F.lit(seed_salt))),
                              1, 15), 16, 10).cast("long")
     return df.orderBy(key.asc(), F.col(URL).asc()).limit(count)
+
+
+def word_match_fragment_dedup(df: DataFrame, word: str, window: int = 1000,
+                              seq_col: str = "seq",
+                              text_col: str = TEXT) -> DataFrame:
+    """F1 SimpleTextMatchFilter with the fragment FIFO de-dup
+    (TextMatchFilter.cs:10-95): match = case-insensitive substring; the
+    ±20-char fragment around the FIRST match is remembered in a
+    1000-fragment window, and a repeated fragment suppresses the match —
+    "should get rid of menu links referring to the same link over and over".
+    Count-based FIFO window = lag over (fragment, seq), like F16."""
+    lower = F.lower(F.col(text_col))
+    idx = F.instr(lower, word.lower())
+    frag = F.substring(lower, F.greatest(idx - 20, F.lit(1)),
+                       len(word) + 40)
+    return (df.filter(idx > 0)
+            .withColumn("_frag", frag)
+            .transform(lambda d: distinct_window(d, "_frag", window, seq_col))
+            .drop("_frag"))
 
 
 def distinct_window(df: DataFrame, field_name: str, n: int,

@@ -64,7 +64,10 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
              n_rounds: int, cfg: CrawlConfig | None = None) -> SimResult:
     cfg = cfg or CrawlConfig()
     web = {r[0]: {"host": r[1], "image_id": r[2], "out_links": r[3],
-                  "status": r[4]} for r in webgraph_rows}
+                  "status": r[4],
+                  "content_type": r[5] if len(r) > 5 else "text/html",
+                  "body": r[6] if len(r) > 6 else None}
+           for r in webgraph_rows}
     hosts = {r[0]: {"crawl_delay_ms": r[1], "network_issues": r[2]}
              for r in hosts_rows}
     robots = compile_rules([tuple(r) for r in robots_rows], cfg.user_agent)
@@ -183,9 +186,19 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
                 err_by_host.setdefault(it.host, []).append(status)
             if page and status == 200:
                 n_ok += 1
+                # raw-body pages share the engine's exact extractor (C3)
+                if page.get("body") is not None:
+                    from .operators.htmllinks import (extract_html_links,
+                                                      extract_text_links)
+                    ct = page.get("content_type") or ""
+                    fn = (extract_html_links if "html" in ct
+                          else extract_text_links)
+                    pairs = fn(page["body"], it.url)
+                else:
+                    pairs = [(href, it.url) for href in page["out_links"]]
                 links = []
-                for href in page["out_links"]:
-                    cu = canonicalize(href, it.url)
+                for href, base in pairs:
+                    cu = canonicalize(href, base)
                     if cu is None:
                         continue
                     links.append(cu)

@@ -100,6 +100,41 @@ def test_payload_invariants(crawl_run):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
+def test_crawl_order_matches_oracle_html_bodies(spark):
+    """C3 golden: a corpus of raw HTML/text bodies (a/link/script tags,
+    mid-document <base> switches, plain-text http/href= pages) crawled via
+    the real link extractor must reproduce the oracle's order and seen set
+    exactly — both sides share extract_html_links/extract_text_links."""
+    d = tempfile.mkdtemp(prefix="golden-html-")
+    try:
+        wg = fx.gen_webgraph(N_PAGES, N_HOSTS, N_IMAGES, html_bodies=True)
+        seeds = fx.gen_seeds(wg, N_SEEDS)
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, CFG)
+        eng.init(seeds,
+                 fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES,
+                                html_bodies=True),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        eng.run(2)
+        sim = simulate(seeds, wg, fx.gen_robots(N_HOSTS),
+                       fx.gen_hosts(N_HOSTS), 2, CFG)
+        eng_log = _log_rows(cat)
+        sim_log = [tuple(r[c] for c in LOG_COLS) for r in sim.log]
+        assert len(eng_log) > 0
+        assert eng_log == sim_log
+        eng_seen = {r["url_hash64"] for r in
+                    cat.read("seen").select("url_hash64").collect()}
+        assert eng_seen == set(sim.seen.keys())
+        # the body-extraction path really ran: fetched rows carry bodies
+        assert cat.read("fetched").filter(
+            F.col("body").isNotNull()).count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
 def test_verify_payload_catches_corruption(spark):
     """Injected corruption must fail the payload invariants: a 1-byte flip
     in the compressed stream kills decode_ok; swapped image bytes (valid

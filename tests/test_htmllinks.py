@@ -1,0 +1,92 @@
+"""Raw-HTML / raw-text link extraction (C3) — semantics pinned by the
+reference's extractors and test file:
+HtmlFileLinkExtractor.cs:26-80 (a/link[href], script[src], base switch),
+TextFileLinkExtractorTest.cs (raw http runs, quoted href= values)."""
+
+import pytest
+
+from fetcho_spark.functions.urls import canonicalize
+from fetcho_spark.operators.htmllinks import (extract_html_links,
+                                              extract_text_links)
+
+
+def _canon_text(fragment, base="http://www.blah.com"):
+    pairs = extract_text_links(fragment, base)
+    return [canonicalize(h, b) for h, b in pairs]
+
+
+def test_text_extractor_ported_cases():
+    # TextFileLinkExtractorTest.ExtractTest, re-expressed: the reference
+    # normalizes via System.Uri (adds trailing '/' on bare hosts) — our
+    # canonicalizer does the same via path normalization
+    assert _canon_text("https://www.test.com/") == ["https://www.test.com/"]
+    assert _canon_text('<a href="https://www.blahblah.com">blah blah</a>') \
+        == ["https://www.blahblah.com/"]
+    assert _canon_text("<a href='https://www.blahblah.com'>blah blah</a>") \
+        == ["https://www.blahblah.com/"]
+
+
+def test_text_extractor_raw_runs_and_delimiters():
+    got = _canon_text("see http://a.example/x and (http://b.example/y) end")
+    assert got == ["http://a.example/x", "http://b.example/y"]
+    # quote-delimited run stops at the closing quote
+    got = _canon_text('link "http://c.example/z?q=1" trailing')
+    assert got == ["http://c.example/z?q=1"]
+    # html-encoded href= value is decoded before canonicalization
+    got = _canon_text('x href="http://d.example/p?a=1&amp;b=2" y')
+    assert got == ["http://d.example/p?a=1&b=2"]
+
+
+def test_html_extractor_tags_and_base_switch():
+    page = "http://h.example/dir/page"
+    src = (
+        '<html><head>'
+        '<link href="/style.css">'
+        '<script src="https://cdn.example/lib.js"></script>'
+        '</head><body>'
+        '<a href="one.html">1</a>'
+        '<base href="http://other.example/root/">'
+        '<a href="two.html">2</a>'
+        '<a href="/abs">3</a>'
+        '</body></html>')
+    pairs = extract_html_links(src, page)
+    got = [canonicalize(h, b) for h, b in pairs]
+    assert got == [
+        "http://h.example/style.css",          # link, pre-base
+        "https://cdn.example/lib.js",          # script src
+        "http://h.example/dir/one.html",       # relative, pre-base
+        "http://other.example/root/two.html",  # relative, post-base
+        "http://other.example/abs",            # root-relative, post-base
+    ]
+
+
+def test_html_extractor_ignores_other_tags_and_blank_hrefs():
+    src = ('<img src="http://x.example/i.png"><a href="  ">blank</a>'
+           '<a name="anchor">no href</a><a href="http://ok.example/p">k</a>')
+    pairs = extract_html_links(src, "http://h.example/")
+    assert [h for h, _ in pairs] == ["http://ok.example/p"]
+
+
+@pytest.mark.spark
+def test_extract_links_udf_modes(spark):
+    from pyspark.sql import functions as F
+
+    from fetcho_spark.operators.htmllinks import extract_links_udf
+    rows = [
+        ("http://h.example/a", "text/html",
+         '<a href="/x">x</a><base href="http://b.example/"><a href="y">y</a>'),
+        ("http://h.example/b", "text/plain",
+         "raw http://c.example/z here"),
+        ("http://h.example/c", "text/html", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, content_type string, "
+                                     "body string")
+    out = {r["url"]: r["pairs"] for r in df.select(
+        "url", extract_links_udf(F.col("body"), F.col("url"),
+                                 F.col("content_type")).alias("pairs"))
+        .collect()}
+    assert [(p["href"], p["base"]) for p in out["http://h.example/a"]] == [
+        ("/x", "http://h.example/a"), ("y", "http://b.example/")]
+    assert [p["href"] for p in out["http://h.example/b"]] \
+        == ["http://c.example/z"]
+    assert out["http://h.example/c"] == []

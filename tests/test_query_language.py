@@ -117,12 +117,108 @@ def test_subquery_filter(spark):
         Q.SUBQUERIES.clear()
 
 
+def _ml_docs(spark):
+    rows = [
+        ("http://s.ex/1", "quantum physics experiment data research theory"),
+        ("http://s.ex/2", "doctor patient vaccine therapy clinic medicine"),
+        ("http://s.ex/3", "team match league score coach player season"),
+        ("http://s.ex/4", "zzz qqq unrelated mumble"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    return df.withColumn("tags", F.array().cast("array<string>"))
+
+
 @pytest.mark.spark
-def test_ml_model_stub_deterministic(spark):
-    df = _results(spark)
-    a = _urls(df, "ml-model(m1):class_")
-    b = _urls(df, "ml-model(m1):class_")
-    assert a == b and len(a) == 4  # every row gets some class_N label
+def test_ml_model_classifier(spark):
+    """F14: real NB classifier — label-contains match + confidence gate
+    (MachineLearningModelFilter.cs:57-76)."""
+    df = _ml_docs(spark)
+    assert _urls(df, "ml-model(topics,0.5):Science") == ["http://s.ex/1"]
+    assert _urls(df, "ml-model(topics,0.5):Health") == ["http://s.ex/2"]
+    # 'any' confidence (0.01) with wildcard class: every predictable row
+    assert len(_urls(df, "ml-model(topics,any):*")) == 4
+    # confidence gate actually gates: threshold 1.0 matches nothing
+    # (strict >), and the low-confidence Finance guess fails default 0.98
+    assert _urls(df, "ml-model(topics,1):Science") == []
+    assert _urls(df, "ml-model(topics):Finance") == []
+    # deterministic
+    assert _urls(df, "ml-model(topics,0.5):Sports") \
+        == _urls(df, "ml-model(topics,0.5):Sports")
+    # unknown model raises at query-compile time (ThrowIfModelDoesntExist)
+    with pytest.raises(KeyError):
+        Q.evaluate(df, "ml-model(nope):X")
+
+
+@pytest.mark.spark
+def test_geo_ip_filters(spark):
+    """F13: country/city/subdivision substring + ll bounding box, over the
+    broadcast geo dimension."""
+    from fetcho_spark.operators.geo import bind_geo, geo_dim_df
+    geo = geo_dim_df(spark, 32)
+    df = (_results(spark)
+          .withColumn("ip_group", F.pmod(F.xxhash64("host"), F.lit(32))))
+    bound = bind_geo(df, geo)
+    ref = {r["url"]: r for r in bound.collect()}
+    for url, r in ref.items():
+        got = _urls(bound, f"geo-ip-country:{r['geo_country']}")
+        assert url in got
+        got_city = _urls(bound, f"geo-ip-city:{r['geo_city']}")
+        assert url in got_city
+        got_sub = _urls(bound, f"geo-ip-subdivision:{r['geo_subdivision']}")
+        assert url in got_sub
+    # bounding box: a 1e-3-degree box around one row's coords matches it
+    any_url, r0 = next(iter(ref.items()))
+    la, lo = r0["geo_lat"], r0["geo_lon"]
+    box = f"[[{la - 0.001},{lo - 0.001}],[{la + 0.001},{lo + 0.001}]]"
+    inside = _urls(bound, f"geo-ip-ll:{box}")
+    assert any_url in inside
+    # whole-world box matches everything with coordinates
+    assert len(_urls(bound, "geo-ip-ll:[[-90,-180],[90,180]]")) == 4
+    with pytest.raises(ValueError):
+        Q.evaluate(bound, "geo-ip-ll:[bogus]")
+
+
+@pytest.mark.spark
+def test_xpath_filter(spark):
+    """F18: match = xpath selects ≥1 node; tag = first match; invalid
+    xpath raises at compile (XPathFilter semantics)."""
+    rows = [
+        ("http://x.ex/1",
+         "<html><body><div class='m'>hello <b>world</b></div></body></html>"),
+        ("http://x.ex/2", "<html><body><p>nothing here</p></body></html>"),
+    ]
+    df = (spark.createDataFrame(rows, "url string, html string")
+          .withColumn("tags", F.array().cast("array<string>")))
+    got = _urls(df, "xpath://div[@class='m']")
+    assert got == ["http://x.ex/1"]
+    # tag form: the first matched node's recursive text becomes the tag
+    tagged = Q.evaluate(df, "xpath://div[@class='m']:*")
+    rows_t = tagged.collect()
+    assert [r["url"] for r in rows_t] == ["http://x.ex/1"]
+    assert rows_t[0]["tags"] == ["hello world"]
+    with pytest.raises(ValueError):
+        Q.evaluate(df, "xpath:///[")
+
+
+@pytest.mark.spark
+def test_fragment_dedup_window(spark):
+    """F1 fragment FIFO: repeated menu fragments suppress the match within
+    the window; far-apart repeats match again (TextMatchFilter.cs)."""
+    menu = "home | products | about us | contact | careers | blog"
+    rows = [(i, f"{menu} body text {i}" if i % 2 == 0
+             else f"unique page {i} mentions products differently {i}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "seq long, text string")
+    kept = Q.word_match_fragment_dedup(df, "products", window=100)
+    seqs = sorted(r["seq"] for r in kept.collect())
+    # first menu page (seq 0) survives; later identical menu fragments are
+    # suppressed; the odd pages have distinct fragments → all survive
+    assert 0 in seqs
+    assert all(s not in seqs for s in (2, 4, 6, 8))
+    assert all(s in seqs for s in (1, 3, 5, 7, 9))
+    # a window smaller than the repeat distance lets repeats through
+    kept2 = Q.word_match_fragment_dedup(df, "products", window=1)
+    assert sorted(r["seq"] for r in kept2.collect()) == list(range(10))
 
 
 @pytest.mark.spark
