@@ -368,6 +368,37 @@ def q_ml_classify(spark, sf):  # F14 — NB classifier (no SQL twin: rows-only)
                        F.round(pred["score"], 6).alias("score"))
 
 
+def q_social_format(spark, sf):  # /results/social — og: re-parse over a page
+    from fetcho_spark.plans.query import social_results
+    docs = _t(spark, sf, "documents")
+    safe = F.regexp_replace(F.substring("text", 1, 30), "[<>&\"]", "")
+    body = F.concat(
+        F.lit("<html><head><title>"), safe,
+        F.lit('</title><meta property="og:image" content="http://img.example/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.png"/><meta property="og:author" content="author '),
+        F.col("source"),
+        F.lit('"/><meta property="og:type" content="article"/>'
+              '<meta property="og:site_name" content="'),
+        F.col("source"),
+        F.lit('"/></head><body></body></html>'))
+    df = docs.select("doc_id", F.col("doc_id").alias("seq"),
+                     F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+                     body.alias("body"))
+    return social_results(df, offset=10, count=40).select(
+        "doc_id", "title", "image_url", "author", "result_type", "site_name")
+
+
+def q_ann_ivf(spark, sf):  # IVF ANN probing every list — must equal exact
+    from fetcho_spark.operators.similarity import ann_topk_ivf, ivf_centroids
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents = ivf_centroids(corpus, n_list=8)
+    return ann_topk_ivf(corpus, [float(x) for x in qv], k=10, n_list=8,
+                        n_probes=8, cents=cents).select("vec_id", "cos")
+
+
 def q_embedding_norms(spark, sf):  # zip_with/aggregate JVM-side vector math
     from fetcho_spark.operators.similarity import _norm
     emb = _t(spark, sf, "embeddings")
@@ -412,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xpath_extract": q_xpath_extract,
         "fragment_dedup": q_fragment_dedup,
         "ml_classify": q_ml_classify,
+        "social_format": q_social_format,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -699,6 +732,28 @@ def oracle_sql() -> dict[str, str]:
                       regexp_replace(substr(text, 1, 40), '[<>&]', '', 'g'),
                       '\\s+', ' ', 'g')) AS t
                   FROM documents)""",
+        # social_format: the body HTML is constructed deterministically from
+        # documents, so the oracle recomputes the og: fields directly — a
+        # round-trip check of the HTML construction + meta-tag parse
+        "social_format": """
+            SELECT doc_id,
+                   NULLIF(trim(regexp_replace(
+                     regexp_replace(substr(text, 1, 30), '[<>&"]', '', 'g'),
+                     '\\s+', ' ', 'g')), '') AS title,
+                   'http://img.example/' || doc_id || '.png' AS image_url,
+                   'author ' || source AS author,
+                   'article' AS result_type,
+                   source AS site_name
+            FROM documents
+            ORDER BY doc_id LIMIT 40 OFFSET 10""",
+        "ann_ivf": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv), 6)
+                     AS cos
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id ASC LIMIT 10""",
         "fragment_dedup": """
             SELECT doc_id FROM (
               SELECT doc_id,

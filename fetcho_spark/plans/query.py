@@ -447,6 +447,28 @@ def random_results(df: DataFrame, count: int = 50,
     return df.orderBy(key.asc(), F.col(URL).asc()).limit(count)
 
 
+def social_results(df: DataFrame, body_col: str = "body",
+                   order: str = "sequence:asc", offset: int = 0,
+                   count: int = 50) -> DataFrame:
+    """/results/social analog (FetchoAPI/Controllers/WorkspacesController.cs:
+    554-597): page the results, then re-parse each cached body's og: meta
+    tags into the social shape — image_url ← og:image, author ← og:author,
+    result_type ← og:type, site_name ← og:site_name. The reference re-reads
+    the body cache row-by-row on the API server; here the re-parse is an
+    Arrow-batched UDF over the already-paged (≤50-row) set, so the expensive
+    HTML parse never touches more than one page of results."""
+    from ..functions.text import extract_page_meta
+    page = page_results(df, order=order, offset=offset, count=count)
+    m = extract_page_meta(F.col(body_col))
+    return (page.withColumn("_m", m)
+            .select(*[c for c in page.columns if c != body_col],
+                    F.col("_m.title").alias("title"),
+                    F.col("_m.props")["og:image"].alias("image_url"),
+                    F.col("_m.props")["og:author"].alias("author"),
+                    F.col("_m.props")["og:type"].alias("result_type"),
+                    F.col("_m.props")["og:site_name"].alias("site_name")))
+
+
 def word_match_fragment_dedup(df: DataFrame, word: str, window: int = 1000,
                               seq_col: str = "seq",
                               text_col: str = TEXT) -> DataFrame:

@@ -77,6 +77,86 @@ def test_brute_force_topk_and_lsh_recall(spark):
     assert any(r["vec_id"] == 7 for r in approx)
 
 
+def test_probe_buckets_shape():
+    """Multi-probe sequence: query bucket first, then Hamming-1 flips of the
+    lowest-margin planes, then Hamming-2 — all distinct."""
+    planes = S._hyperplanes(8, 6)
+    q = [0.3, -0.1, 0.7, 0.2, -0.5, 0.1, 0.0, 0.4]
+    probes = S.probe_buckets(q, planes, n_probes=10)
+    assert len(probes) == 10 and len(set(probes)) == 10
+    qb = probes[0]
+    for p in probes[1:7]:
+        assert bin(p ^ qb).count("1") == 1
+    for p in probes[7:]:
+        assert bin(p ^ qb).count("1") == 2
+
+
+@pytest.mark.spark
+def test_lsh_multiprobe_recall_dominates_single(spark):
+    """Multi-probe recall (vs brute force top-10) must be >= single-probe
+    recall over a batch of queries, and full-probe (all buckets) must equal
+    brute force exactly."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>").cache()
+    single_hits = multi_hits = total = 0
+    for qi in (0, 1, 2):
+        q = [float(x) for x in vecs[qi]]
+        corpus = df.filter(f"vec_id != {qi}")
+        exact = {r["vec_id"] for r in
+                 S.brute_force_topk(corpus, q, k=10).collect()}
+        one = {r["vec_id"] for r in S.ann_topk_lsh(
+            corpus, q, dim=16, k=10, n_planes=5, n_probes=1).collect()}
+        multi = {r["vec_id"] for r in S.ann_topk_lsh(
+            corpus, q, dim=16, k=10, n_planes=5, n_probes=8).collect()}
+        single_hits += len(exact & one)
+        multi_hits += len(exact & multi)
+        total += len(exact)
+    assert multi_hits >= single_hits
+    assert multi_hits / total >= 0.5  # multi-probe recovers the recall cliff
+    q0 = [float(x) for x in vecs[0]]
+    allp = {r["vec_id"]: r["cos"] for r in S.ann_topk_lsh(
+        df.filter("vec_id != 0"), q0, dim=16, k=10,
+        n_planes=5, n_probes=32).collect()}
+    exact0 = {r["vec_id"]: r["cos"] for r in
+              S.brute_force_topk(df.filter("vec_id != 0"), q0, k=10).collect()}
+    assert allp == exact0
+    df.unpersist()
+
+
+@pytest.mark.spark
+def test_ivf_topk(spark):
+    """IVF with n_probes == n_list scores everything → equals brute force;
+    with a strong neighbour present, a 2-probe search still finds it."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    vecs[7] = vecs[0] * 0.9 + 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    corpus = df.filter("vec_id != 0")
+    q = [float(x) for x in vecs[0]]
+    cents = S.ivf_centroids(corpus, n_list=8)
+    assert len(cents) == 8
+    assert cents == S.ivf_centroids(corpus, n_list=8)  # deterministic
+    full = S.ann_topk_ivf(corpus, q, k=5, n_list=8, n_probes=8,
+                          cents=cents).collect()
+    exact = S.brute_force_topk(corpus, q, k=5).collect()
+    assert [(r["vec_id"], r["cos"]) for r in full] == \
+        [(r["vec_id"], r["cos"]) for r in exact]
+    probe2 = S.ann_topk_ivf(corpus, q, k=5, n_list=8, n_probes=2,
+                            cents=cents).collect()
+    assert any(r["vec_id"] == 7 for r in probe2)
+    # inverted-list assignment covers every vector with a valid list id
+    lists = S.with_ivf_list(corpus, cents)
+    assert lists.filter("ivf_list IS NULL OR ivf_list < 0 OR ivf_list >= 8") \
+        .count() == 0
+
+
 @pytest.mark.spark
 def test_lsh_bucket_deterministic(spark):
     df = spark.createDataFrame([(1, [0.5] * 8), (2, [-0.5] * 8)],
