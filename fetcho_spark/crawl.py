@@ -76,6 +76,14 @@ class CrawlConfig:
                                          # whose IP group was fetched within
                                          # the last N rounds (Queueo.cs:
                                          # 504-528 FIFO IP window, as rounds)
+    blocked_extensions: tuple | None = None  # P4: IsProbablyBlocked media
+                                         # extensions; None = off (this
+                                         # engine's corpus IS media — see
+                                         # frontier.BLOCKED_EXTENSIONS)
+    max_link_quota: int | None = None    # P14: stop accepting new links once
+                                         # this many were queued (Queueo.cs:
+                                         # 383,477 QuotaEnabled/MaxLinkQuota;
+                                         # None = disabled, as in reference)
     assign_global_seq: bool = True       # off for throughput benches
     collect_counters: bool = True        # off for throughput benches: skips
                                          # the per-stage count() jobs and the
@@ -97,6 +105,9 @@ class CrawlEngine:
         # compiled robots rules, memoized per robots-table snapshot id:
         # one distributed compile job per snapshot, not one per round
         self._robots_rules: tuple[int | None, DataFrame] | None = None
+        # P14 cumulative accepted-link count; lazily restored from the last
+        # checkpoint so quota survives resume
+        self._links_accepted: int | None = None
 
     # ------------------------------------------------------------ lifecycle
     def logical_now(self, round_no: int) -> dt.datetime:
@@ -191,8 +202,11 @@ class CrawlEngine:
         counters["frontier_unique"] = int(agg["u"] or 0)
         frontier = deduped.drop("_mentions")
 
-        # cheap cascade (P2/P3/P5), keys, synthetic IP (J3/P6)
+        # cheap cascade (P2/P3/P5/P4), keys, synthetic IP (J3/P6)
         frontier = with_url_keys(fr.cheap_cascade(frontier))
+        if cfg.blocked_extensions:
+            frontier = frontier.filter(
+                fr.extension_allowed(blocked=cfg.blocked_extensions))
         frontier = fr.with_ip_group(frontier)
 
         # P8/J1 — seen set (bloom-routed exact anti-join)
@@ -275,7 +289,8 @@ class CrawlEngine:
         fetched_cols = log_cols + [
             "caption", "phash", "w", "h", "fmt",
             "decode_ok", "dims_ok", "phash_ok", "psnr_db", "psnr_ok",
-            "out_links", "content_type", "req_headers", "resp_headers"]
+            "out_links", "content_type", "req_headers", "resp_headers",
+            "blocked_reason"]
         if "body" in fetched.columns:
             fetched_cols.append("body")
         c.append("fetched", fetched.select(*fetched_cols),
@@ -316,6 +331,27 @@ class CrawlEngine:
         new_frontier = links.select(
             "url", "host", "src_url", "src_host",
             F.lit(round_no + 1).alias("round_added"))
+        quota_df = None
+        if cfg.max_link_quota is not None:
+            # P14 — global link quota. Acceptance order is a pure function
+            # of data (seeded hash, then url/src_url) so the cut is identical
+            # at any parallelism; the sorted limit is TakeOrderedAndProject,
+            # bounded by the remaining quota — never a full global sort.
+            if self._links_accepted is None:
+                self._links_accepted = self._restore_links_accepted()
+            remaining = cfg.max_link_quota - self._links_accepted
+            if remaining <= 0:
+                new_frontier = new_frontier.limit(0)
+            else:
+                qkey = F.xxhash64("url",
+                                  F.lit(f"quota:{cfg.seed}:{round_no}"))
+                new_frontier = (new_frontier
+                                .orderBy(qkey.asc(), F.col("url").asc(),
+                                         F.col("src_url").asc())
+                                .limit(remaining))
+            quota_df = new_frontier.persist()
+            self._links_accepted += quota_df.count()
+            counters["links_accepted_total"] = self._links_accepted
         nxt = carryover.unionByName(new_frontier)
         c.overwrite("frontier", nxt, meta={"round": round_no})
         if cfg.collect_counters:
@@ -340,6 +376,8 @@ class CrawlEngine:
 
         frontier.unpersist()
         deduped.unpersist()
+        if quota_df is not None:
+            quota_df.unpersist()
 
         # checkpoint LAST → a round is complete iff its checkpoint row exists
         snap_ids = {t: self.catalog.current_snapshot_id(t)
@@ -350,6 +388,18 @@ class CrawlEngine:
             "round int, snapshots string, counters string")
         c.append("checkpoints", ckpt, meta={"round": round_no})
         return counters
+
+    def _restore_links_accepted(self) -> int:
+        """P14 resume: the cumulative accepted-link count rides the round
+        checkpoint counters, so quota state survives engine restarts."""
+        if not self.catalog.exists("checkpoints"):
+            return 0
+        rows = (self.catalog.read("checkpoints")
+                .orderBy(F.col("round").desc()).limit(1).collect())
+        if not rows:
+            return 0
+        counters = json.loads(rows[0]["counters"])
+        return int(counters.get("links_accepted_total", 0))
 
     def run(self, n_rounds: int) -> list[dict]:
         start = (self.last_completed_round() + 1

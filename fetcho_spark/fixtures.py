@@ -46,7 +46,14 @@ WEBGRAPH_SCHEMA = T.StructType([
     # raw response body (null = pre-extracted out_links corpus); when set,
     # the engine extracts links from it (C3) instead of out_links
     T.StructField("body", T.StringType()),
+    # P15: sites self-label adult content via a 'Rating' response header
+    # (DefaultBlockProvider.cs:9-11); null = unrated
+    T.StructField("rating", T.StringType()),
 ])
+
+# the RTA label string sites send in their Rating header (P15 owner:
+# operators/fetch.py — re-exported here for fixture generation)
+from .operators.fetch import ADULT_RATING  # noqa: E402
 
 _COLORS = ["red", "blue", "green", "amber", "violet", "teal", "coral", "slate"]
 _SHAPES = ["circle", "square", "triangle", "hexagon", "star", "spiral"]
@@ -87,7 +94,9 @@ def _host_ids(n_pages: int, n_hosts: int, rng: np.random.Generator) -> np.ndarra
 
 
 def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
-                 seed: int = SEED, html_bodies: bool = False) -> list[tuple]:
+                 seed: int = SEED, html_bodies: bool = False,
+                 media_links: bool = False,
+                 adult_ratings: bool = False) -> list[tuple]:
     """Synthetic web: one row per servable page; out_links include dirty
     variants (fragments, //scheme-relative, relative, http:///, blocked
     schemes, &amp;-encoded) to exercise canonicalization (Utility.cs parity).
@@ -96,8 +105,14 @@ def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
     plain-text) body embedding the same links as a/link/script tags — plus
     mid-document <base href> switches on some pages — so the raw-body link
     extractor (C3) drives the crawl instead of the out_links array.
+
+    ``media_links=True`` sprinkles links to .jpg/.mp4/… URLs (P4 extension
+    block targets); ``adult_ratings=True`` marks ~10% of pages with the RTA
+    Rating header value (P15). Both draw from an independent rng stream so
+    the base universe stays byte-identical when they're off.
     """
     rng = np.random.default_rng(seed)
+    rng2 = np.random.default_rng(seed + 101)  # feature stream (P4/P15)
     hids = _host_ids(n_pages, n_hosts, rng)
     per_host_seq: dict[int, int] = {}
     urls, hosts = [], []
@@ -134,6 +149,16 @@ def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
                 links.append("mailto:x@" + hosts[int(t)])  # unsupported scheme
             else:
                 links.append(u)
+        if media_links and rng2.random() < 0.5:
+            exts = [".jpg", ".png", ".mp4", ".mp3", ".svg"]
+            e = exts[int(rng2.integers(0, len(exts)))]
+            links.append(f"http://{hosts[i]}/media/m{i}{e}")
+            # extension check is on the PATH only — a query string after a
+            # blocked extension must not hide it, and a blocked-looking
+            # query value on a clean path must not trigger it
+            if rng2.random() < 0.3:
+                links.append(f"http://{hosts[i]}/asset{i}{e}?v=2")
+                links.append(f"http://{hosts[i]}/ok{i}?file=x{e}")
         body, ctype = None, "text/html"
         if html_bodies:
             style = int(rng.integers(0, 10))
@@ -163,8 +188,10 @@ def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
                         tail.append(f'<a href="{ln}">link {j}</a>')
                 body = ("<html><head>" + "".join(head) + "</head><body>"
                         + "".join(tail) + "</body></html>")
+        rating = (ADULT_RATING
+                  if adult_ratings and rng2.random() < 0.1 else None)
         rows.append((urls[i], hosts[i], f"img{int(img_idx[i]):08d}",
-                     links, int(status[i]), ctype, body))
+                     links, int(status[i]), ctype, body, rating))
     return rows
 
 
@@ -242,9 +269,12 @@ def images_df(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
 
 
 def webgraph_df(spark: SparkSession, n_pages: int, n_hosts: int, n_images: int,
-                seed: int = SEED, html_bodies: bool = False) -> DataFrame:
+                seed: int = SEED, html_bodies: bool = False,
+                media_links: bool = False,
+                adult_ratings: bool = False) -> DataFrame:
     return spark.createDataFrame(
-        gen_webgraph(n_pages, n_hosts, n_images, seed, html_bodies),
+        gen_webgraph(n_pages, n_hosts, n_images, seed, html_bodies,
+                     media_links, adult_ratings),
         WEBGRAPH_SCHEMA)
 
 

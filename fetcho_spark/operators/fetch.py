@@ -39,6 +39,7 @@ from ..functions.urls import (canonicalize_col, canonicalize_fast_applicable,
 
 MAX_LINKS_PER_PAGE = 500  # FetchoConfiguration.cs:91-92
 MAX_BODY_BYTES = 1 << 20  # MaxFileDownloadLengthInBytes (1 MiB cap, P15)
+ADULT_RATING = "RTA-5042-1996-1400-1577-RTA"  # DefaultBlockProvider.cs:11
 
 def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
                    images: DataFrame) -> DataFrame:
@@ -54,15 +55,40 @@ def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
                  F.col("content_type")]
     if "body" in webgraph.columns:  # raw-body corpus (C3 path)
         page_cols.append(F.col("body"))
+    if "rating" in webgraph.columns:  # P15 self-labelled Rating header
+        page_cols.append(F.col("rating"))
     page = webgraph.select(*page_cols)
     joined = (selected.join(page, "url", "left")
               .withColumn("status",
                           F.coalesce(F.col("status"), F.lit(404)))
-              .withColumn("image_id",
-                          F.when(F.col("status") == 200, F.col("image_id")))
               .withColumn("out_links",
                           F.coalesce(F.col("out_links"),
                                      F.array().cast("array<string>"))))
+    # P15 — block-before-download (DefaultBlockProvider.cs:32-60): an
+    # RTA-rated response or an over-length body is never downloaded — the
+    # attempt is logged and the URL marked seen, but payload, body and
+    # out-links are all suppressed. Content-length check uses the response
+    # byte length (octet_length), the Rating check the self-label header.
+    rating = (F.col("rating") if "rating" in joined.columns
+              else F.lit(None).cast("string"))
+    body_len = (F.octet_length("body") if "body" in joined.columns
+                else F.lit(0))
+    joined = joined.withColumn(
+        "blocked_reason",
+        F.when(F.coalesce(body_len, F.lit(0)) > MAX_BODY_BYTES,
+               F.lit("length"))
+         .when(rating == ADULT_RATING, F.lit("adult")))
+    blocked = F.col("blocked_reason").isNotNull()
+    joined = (joined
+              .withColumn("image_id",
+                          F.when((F.col("status") == 200) & ~blocked,
+                                 F.col("image_id")))
+              .withColumn("out_links",
+                          F.when(blocked, F.array().cast("array<string>"))
+                           .otherwise(F.col("out_links"))))
+    if "body" in joined.columns:
+        joined = joined.withColumn(
+            "body", F.when(~blocked, F.col("body")))
     # F9 end-to-end: request/response header maps on every fetched row
     # (WorkspaceResult.RequestProperties/ResponseProperties,
     # common/Entities/WorkspaceResult.cs:8-69). Deterministic synthesis —
@@ -79,6 +105,14 @@ def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
                   F.lit("server"),
                   F.format_string("srv-%d",
                                   F.pmod(F.xxhash64("host"), F.lit(7))))))
+    if "rating" in joined.columns:  # sites that self-label send it back
+        joined = joined.withColumn(
+            "resp_headers",
+            F.when(F.col("rating").isNotNull(),
+                   F.map_concat(F.col("resp_headers"),
+                                F.create_map(F.lit("rating"),
+                                             F.col("rating"))))
+             .otherwise(F.col("resp_headers")))
     # R5 memoization (Filter.cs:30 / dedup-before-inference, SURVEY.md §4):
     # decode-verify each DISTINCT payload once, then join the verdict back —
     # image bytes never fan out across fetched rows and never ride the

@@ -30,6 +30,14 @@ N_IP_GROUPS = 1 << 16
 NO_IP_BUCKETS = 7  # hash buckets treated as DNS failures (deterministic tail)
 MAX_CHUNK = 2_000  # MaxQueueBufferQueueLength (FetchoConfiguration.cs:78-79)
 
+# P4 — media extensions the reference refuses to queue
+# (DefaultBlockProvider.cs:68-78 IsProbablyBlocked). NOTE: this engine's
+# north star is an image+caption corpus, so the block is OFF by default
+# (CrawlConfig.blocked_extensions=None) — the reference crawls text and
+# drops media; we crawl media. The predicate itself is identical.
+BLOCKED_EXTENSIONS = (".jpg", ".jpeg", ".gif", ".png", ".ico", ".svg",
+                      ".avi", ".mp4", ".mp3", ".wav")
+
 
 def scheme_ok(url_col: str = "url") -> Column:
     """P2 — only http/https (ResourceFetcher.cs:80)."""
@@ -52,6 +60,18 @@ def with_ip_group(df: DataFrame, host_col: str = "host") -> DataFrame:
     grp = F.pmod(F.xxhash64(F.col(host_col)), F.lit(N_IP_GROUPS))
     return (df.withColumn("ip_group", grp)
               .withColumn("has_ip", grp >= F.lit(NO_IP_BUCKETS)))
+
+
+def extension_allowed(url_col: str = "url",
+                      blocked: tuple[str, ...] = BLOCKED_EXTENSIONS) -> Column:
+    """P4 — IsProbablyBlocked: the URI *path* (query/fragment excluded, like
+    Uri.AbsolutePath) must not end with a blocked extension. Case-sensitive,
+    matching the reference's EndsWith."""
+    path = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]*([^?#]*)", 1)
+    cond = F.lit(True)
+    for ext in blocked:
+        cond = cond & ~path.endswith(F.lit(ext))
+    return cond
 
 
 def priority_acceptable(max_priority: int = 740_000_000) -> Column:

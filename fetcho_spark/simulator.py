@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 from .crawl import EPOCH0, CrawlConfig
 from .functions.hashing import xxh64, xxh64_signed
+from .operators.fetch import ADULT_RATING, MAX_BODY_BYTES
 from .functions.urls import canonicalize, host_of
 from .operators import priority as pr
 from .operators.frontier import BLOCKED_TLDS, N_IP_GROUPS, NO_IP_BUCKETS
@@ -30,6 +31,7 @@ from .operators.robots import compile_rules
 
 _SCHEME_RE = re.compile(r"^https?://")
 _PATH_RE = re.compile(r"^https?://[^/]*")
+_EXTPATH_RE = re.compile(r"^https?://[^/?#]*([^?#]*)")  # P4: path sans query
 
 
 def spark_xxhash64_2(s1: str, s2: str) -> int:
@@ -66,8 +68,10 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
     web = {r[0]: {"host": r[1], "image_id": r[2], "out_links": r[3],
                   "status": r[4],
                   "content_type": r[5] if len(r) > 5 else "text/html",
-                  "body": r[6] if len(r) > 6 else None}
+                  "body": r[6] if len(r) > 6 else None,
+                  "rating": r[7] if len(r) > 7 else None}
            for r in webgraph_rows}
+    links_accepted = 0  # P14 cumulative quota state
     hosts = {r[0]: {"crawl_delay_ms": r[1], "network_issues": r[2]}
              for r in hosts_rows}
     robots = compile_rules([tuple(r) for r in robots_rows], cfg.user_agent)
@@ -89,7 +93,7 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
                 by_url[it.url] = it
         items = list(by_url.values())
 
-        # cheap cascade P2/P3/P5 + keys + synthetic IP J3/P6
+        # cheap cascade P2/P3/P5/P4 + keys + synthetic IP J3/P6
         survivors = []
         for it in items:
             if not _SCHEME_RE.match(it.url):
@@ -98,6 +102,11 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
                 continue
             if it.host.rsplit(".", 1)[-1] in BLOCKED_TLDS:
                 continue
+            if cfg.blocked_extensions:
+                m = _EXTPATH_RE.match(it.url)
+                path = m.group(1) if m else ""
+                if any(path.endswith(e) for e in cfg.blocked_extensions):
+                    continue
             it.url_hash64 = xxh64_signed(it.url.encode("utf-8"))
             survivors.append(it)
         items = survivors
@@ -176,7 +185,17 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
         for seq, it in enumerate(selected):
             page = web.get(it.url)
             status = page["status"] if page else 404
-            image_id = page["image_id"] if page and status == 200 else None
+            # P15 block-before-download: RTA rating or over-length body —
+            # attempt logged + seen, payload/links suppressed (fetch.py)
+            blocked = False
+            if page:
+                if page.get("rating") == ADULT_RATING:
+                    blocked = True
+                elif (page.get("body") is not None
+                      and len(page["body"].encode("utf-8")) > MAX_BODY_BYTES):
+                    blocked = True
+            image_id = (page["image_id"]
+                        if page and status == 200 and not blocked else None)
             res.log.append({"round": round_no, "fetch_seq": seq,
                             "url": it.url, "url_hash64": it.url_hash64,
                             "host": it.host, "image_id": image_id,
@@ -186,6 +205,8 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
                 err_by_host.setdefault(it.host, []).append(status)
             if page and status == 200:
                 n_ok += 1
+                if blocked:
+                    continue  # nothing downloaded → no links
                 # raw-body pages share the engine's exact extractor (C3)
                 if page.get("body") is not None:
                     from .operators.htmllinks import (extract_html_links,
@@ -222,6 +243,20 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
             recent_ips[round_no] = {
                 xxh64_signed(it.host.encode("utf-8")) % N_IP_GROUPS
                 for it in selected}
+
+        # P14 — global link quota: accept links in seeded-hash order up to
+        # the remaining budget (mirrors the engine's TakeOrdered cut)
+        if cfg.max_link_quota is not None:
+            remaining = cfg.max_link_quota - links_accepted
+            if remaining <= 0:
+                new_links = []
+            else:
+                new_links.sort(key=lambda x: (
+                    spark_xxhash64_2(x.url, f"quota:{cfg.seed}:{round_no}"),
+                    x.url, x.src_url or ""))
+                new_links = new_links[:remaining]
+            links_accepted += len(new_links)
+
         res.counters.append({"round": round_no, "fetched": len(selected),
                              "fetched_ok": n_ok, "new_links": len(new_links),
                              "carryover": len(carryover)})

@@ -135,6 +135,109 @@ def test_crawl_order_matches_oracle_html_bodies(spark):
 
 
 @pytest.mark.spark
+def test_extension_allowed_predicate(spark):
+    """P4 — IsProbablyBlocked parity: path-only (query excluded),
+    case-sensitive EndsWith."""
+    from fetcho_spark.operators.frontier import extension_allowed
+    rows = [("http://h/x.jpg",), ("http://h/x.jpg?v=1",),
+            ("http://h/x?f=.jpg",), ("http://h/x.JPG",),
+            ("http://h/x.html",), ("http://h/",), ("http://h/a.mp3",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["url"] for r in df.filter(extension_allowed()).collect()}
+    assert got == {"http://h/x?f=.jpg", "http://h/x.JPG",
+                   "http://h/x.html", "http://h/"}
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_crawl_order_matches_oracle_blocks_and_quota(spark):
+    """P4 + P14 + P15 golden: with media-extension links, a global link
+    quota, and RTA-rated pages in the universe, the engine must still match
+    the oracle byte-for-byte — and the blocks must actually bite."""
+    from fetcho_spark.operators.frontier import BLOCKED_EXTENSIONS
+    cfg = CrawlConfig(max_chunk=50, n_seen_buckets=8, bits_per_bucket=1 << 14,
+                      blocked_extensions=BLOCKED_EXTENSIONS,
+                      max_link_quota=120)
+    d = tempfile.mkdtemp(prefix="golden-blocks-")
+    try:
+        wg = fx.gen_webgraph(N_PAGES, N_HOSTS, N_IMAGES,
+                             media_links=True, adult_ratings=True)
+        seeds = fx.gen_seeds(wg, N_SEEDS)
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, cfg)
+        eng.init(seeds,
+                 fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES,
+                                media_links=True, adult_ratings=True),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        counters = eng.run(N_ROUNDS)
+        sim = simulate(seeds, wg, fx.gen_robots(N_HOSTS),
+                       fx.gen_hosts(N_HOSTS), N_ROUNDS, cfg)
+        eng_log = _log_rows(cat)
+        sim_log = [tuple(r[c] for c in LOG_COLS) for r in sim.log]
+        assert len(eng_log) > 0
+        assert eng_log == sim_log
+        eng_seen = {r["url_hash64"] for r in
+                    cat.read("seen").select("url_hash64").collect()}
+        assert eng_seen == set(sim.seen.keys())
+        # the features actually fired, not just passed through:
+        fetched = cat.read("fetched")
+        # P15 — rated pages were attempted but carried no payload/links
+        blocked = fetched.filter(F.col("blocked_reason") == "adult")
+        assert blocked.count() > 0
+        assert blocked.filter(F.col("image_id").isNotNull()).count() == 0
+        assert blocked.filter(F.size("out_links") > 0).count() == 0
+        # P4 — no media-extension URL was ever fetched
+        assert fetched.filter(
+            F.col("url").rlike(r"\.(jpg|jpeg|gif|png|ico|svg|avi|mp4|mp3|wav)$")
+        ).count() == 0
+        # but the universe did contain such links (the block did something)
+        assert any(any(ln.split("?")[0].endswith(BLOCKED_EXTENSIONS)
+                       for ln in r[3]) for r in wg)
+        # P14 — quota reached and never exceeded; engine counter == oracle
+        assert counters[-1]["links_accepted_total"] == cfg.max_link_quota
+        eng_new = [c["new_links"] for c in counters]
+        sim_new = [c["new_links"] for c in sim.counters]
+        assert eng_new == sim_new
+        assert sum(eng_new) == cfg.max_link_quota
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_quota_state_survives_resume(spark):
+    """P14 resume: K rounds in one engine == K rounds split across two
+    engines (the cumulative accepted count rides the checkpoint)."""
+    cfg = CrawlConfig(max_chunk=50, n_seen_buckets=8, bits_per_bucket=1 << 14,
+                      max_link_quota=80)
+    wg = fx.gen_webgraph(N_PAGES, N_HOSTS, N_IMAGES)
+    seeds = fx.gen_seeds(wg, N_SEEDS)
+
+    def _run(d, split):
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, cfg)
+        eng.init(seeds, fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        if split:
+            eng.run(1)
+            eng2 = CrawlEngine(spark, Catalog(spark, d), cfg)
+            eng2.run(2)
+        else:
+            eng.run(3)
+        return _log_rows(cat)
+
+    d1 = tempfile.mkdtemp(prefix="quota-one-")
+    d2 = tempfile.mkdtemp(prefix="quota-two-")
+    try:
+        assert _run(d1, split=False) == _run(d2, split=True)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+@pytest.mark.spark
 def test_verify_payload_catches_corruption(spark):
     """Injected corruption must fail the payload invariants: a 1-byte flip
     in the compressed stream kills decode_ok; swapped image bytes (valid
