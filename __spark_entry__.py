@@ -368,6 +368,18 @@ def q_ml_classify(spark, sf):  # F14 — NB classifier (no SQL twin: rows-only)
                        F.round(pred["score"], 6).alias("score"))
 
 
+def q_dedup_clusters(spark, sf):  # near-dup pairs → connected components
+    from fetcho_spark.operators.dedup import dedup_clusters, jaccard_pairs
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    # a deterministic 7-step chain is unioned in so the test exercises real
+    # transitivity (diameter 6), not just the near-clique jaccard pairs
+    chain = spark.range(0, 36, 7).select(
+        F.col("id").alias("id_a"), (F.col("id") + 7).alias("id_b"))
+    pairs = (jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+             .unionByName(chain))
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
 def q_social_format(spark, sf):  # /results/social — og: re-parse over a page
     from fetcho_spark.plans.query import social_results
     docs = _t(spark, sf, "documents")
@@ -445,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_classify": q_ml_classify,
         "social_format": q_social_format,
         "ann_ivf": q_ann_ivf,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -732,6 +745,40 @@ def oracle_sql() -> dict[str, str]:
                       regexp_replace(substr(text, 1, 40), '[<>&]', '', 'g'),
                       '\\s+', ' ', 'g')) AS t
                   FROM documents)""",
+        # dedup_clusters: connected components over the jaccard pair list +
+        # a synthetic 7-step chain; the oracle computes the transitive
+        # closure with a recursive CTE and takes the per-node minimum
+        "dedup_clusters": f"""
+            WITH w AS ({words_cte}),
+            sh AS (SELECT DISTINCT doc_id, unnest({shingle}) AS shingle
+                   FROM w WHERE doc_id < 200),
+            sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            jp AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2),
+            pairs AS (
+              SELECT * FROM jp
+              UNION ALL
+              SELECT x AS id_a, x + 7 AS id_b
+              FROM generate_series(0, 35, 7) t(x)),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs),
+            reach AS (
+              WITH RECURSIVE r(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+              SELECT a, b FROM r)
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id""",
         # social_format: the body HTML is constructed deterministically from
         # documents, so the oracle recomputes the og: fields directly — a
         # round-trip check of the HTML construction + meta-tag parse

@@ -121,6 +121,55 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
             .select("id_a", "id_b", "jaccard"))
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iters: int = 25, checkpoint_every: int = 5) -> DataFrame:
+    """Near-dup pair list → connected components: (doc_id, cluster_id) with
+    ``cluster_id`` = the minimum doc id in the component — the canonical
+    survivor choice for a dedup cluster (same min-id discipline as
+    exact_dedup_groups).
+
+    Iterative min-label propagation: every node adopts the minimum label in
+    its closed neighbourhood each round; converges in O(component diameter)
+    rounds with one shuffle per round (groupBy node). Dedup components are
+    near-cliques from LSH banding, so the diameter is small in practice —
+    and the pair list itself is bounded by banding, never O(n²). The loop is
+    driver-coordinated (as any iterative Spark algorithm) but all data stays
+    distributed; ``localCheckpoint`` every few rounds truncates the lineage
+    so plans don't grow unboundedly. Output is a pure function of the edge
+    set — partitioning/iteration order never leaks in.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .persist())
+    labels.count()
+    for it in range(max_iters):
+        # min over neighbours' labels, then min with own label
+        nbr = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.join(nbr, "node", "left")
+                      .select("node",
+                              F.least("label", "nbr_min").alias("label")))
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (labels.withColumnRenamed("label", "old")
+                   .join(new_labels, "node")
+                   .filter(F.col("old") != F.col("label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 SIMHASH_BITS = 60  # 60 bits keep the value in signed-int64 range both engines
 
 

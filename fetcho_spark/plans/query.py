@@ -160,9 +160,27 @@ def _f_word(t: Term):
     return _ci_contains(F.col(TEXT), t.value), F.lit(t.value)
 
 
-@_reg("text", 100)  # F2
+@_reg("text", 100)  # F2 — ComplexTextFilter: match against visible text
 def _f_text(t: Term):
-    return _ci_contains(F.col(TEXT), t.value), F.lit(t.value)
+    """``text:word`` re-parses the RAW body into visible-text fragments and
+    matches those (ComplexTextFilter.cs:30-53 streams BracketPipe Core
+    fragments) — distinct from F1, which matches the pre-extracted text
+    column. When the bound frame carries a raw ``body`` column, strip
+    script/style + tags JVM-side and match there; otherwise the extracted
+    text column IS the visible text and F2 degrades to F1 (the reference's
+    behavior when only extracted text is cached). ``text:*`` / ``text:``
+    matches any page with a body (IsReducingFilter=false passthrough)."""
+    def pred_for(df_cols):
+        if "body" in df_cols:
+            visible = F.regexp_replace(
+                F.col("body"),
+                r"(?is)<(script|style)[^>]*>.*?</\1>|<[^>]+>", " ")
+        else:
+            visible = F.col(TEXT)
+        if t.value in ("", "*"):
+            return visible.isNotNull()
+        return _ci_contains(visible, t.value)
+    return pred_for, F.lit(t.value)
 
 
 @_reg("regex", 50)  # F3 — tags = first match
@@ -338,10 +356,22 @@ def _f_subquery(t: Term):
         raise RecursionError("sub-query recursion depth > 10")
     _subquery_depth += 1
     try:
-        include, _ = compile_query(parse_query(SUBQUERIES[key]))
+        # compile eagerly (depth/raise semantics at parse time) but with no
+        # column context; re-resolve lazily so plan-dependent filters in the
+        # sub-query (F2) see the outer frame's columns
+        compile_query(parse_query(SUBQUERIES[key]))
+
+        def pred_for(cols):
+            global _subquery_depth
+            _subquery_depth += 1
+            try:
+                include, _ = compile_query(parse_query(SUBQUERIES[key]), cols)
+            finally:
+                _subquery_depth -= 1
+            return include
     finally:
         _subquery_depth -= 1
-    return include, F.lit(key)
+    return pred_for, F.lit(key)
 
 
 def _term_cost(t: Term) -> int:
@@ -351,25 +381,34 @@ def _term_cost(t: Term) -> int:
     return cost * (EXCLUDE_COST_FACTOR if t.exclude else 1)
 
 
-def _term_predicate(t: Term) -> Column:
-    pred, _ = _REGISTRY[t.kind][1](t)
+def _resolve(pred, cols) -> Column:
+    """Registry predicates are Columns, or callables of the bound frame's
+    column list for filters whose plan depends on what's bound (F2 needs to
+    know whether a raw ``body`` column exists)."""
+    return pred(cols or ()) if callable(pred) else pred
+
+
+def _term_predicate(t: Term, cols=None) -> Column:
+    pred = _resolve(_REGISTRY[t.kind][1](t)[0], cols)
     if t.or_with is not None:
-        pred = pred | _term_predicate(t.or_with)
+        pred = pred | _term_predicate(t.or_with, cols)
     return ~pred if t.exclude else pred
 
 
-def compile_query(q: ParsedQuery) -> tuple[Column, Column]:
-    """→ (include predicate, tags array) Column pair.
+def compile_query(q: ParsedQuery, cols=None) -> tuple[Column, Column]:
+    """→ (include predicate, tags array) Column pair. ``cols`` is the bound
+    frame's column list for plan-dependent filters (see _resolve).
 
     Conjunction is built cheapest-first (R1); tags are the distinct union of
     all tagger outputs on included rows (FilterCollection.GetTags).
     """
     include = F.lit(True)
     for t in sorted(q.filters, key=_term_cost):
-        include = include & _term_predicate(t)
+        include = include & _term_predicate(t, cols)
     tag_exprs = []
     for t in q.taggers:
         pred, tag = _REGISTRY[t.kind][1](t)
+        pred = _resolve(pred, cols)
         emit = pred if (t.value not in ("", "*")) else F.lit(True)
         tag_exprs.append(F.when(emit & tag.isNotNull() & (tag != ""), tag))
     if tag_exprs:
@@ -384,7 +423,7 @@ def evaluate(df: DataFrame, query_text: str, keep_tags: bool = True) -> DataFram
     """Distill: rows matching the query, with tags attached (Query.Evaluate +
     Distill, Query.cs:59-103)."""
     q = parse_query(query_text)
-    include, tags = compile_query(q)
+    include, tags = compile_query(q, df.columns)
     out = df.filter(include)
     return out.withColumn(TAGS, tags) if keep_tags else out
 

@@ -40,6 +40,27 @@ def test_simple_word_and_exclude(spark):
 
 
 @pytest.mark.spark
+def test_text_filter_reparse_vs_word(spark):
+    """F2 ``text:`` re-parses the raw body's VISIBLE text (ComplexTextFilter
+    streams BracketPipe Core fragments): script/style content must not
+    match, visible content must; without a body column it degrades to the
+    extracted-text match (F1)."""
+    df = _results(spark).withColumn(
+        "body",
+        F.when(F.col("seq") == 1,
+               F.lit('<p>hello world</p><script>var secret=1;</script>'
+                     '<style>.x{color:red}</style>'))
+         .when(F.col("seq") == 2, F.lit("<div>secret plans</div>")))
+    # 'secret' is visible only on page 2; page 1 has it inside <script> only
+    assert _urls(df, "text:secret") == ["http://b.example/2"]
+    assert _urls(df, "text:hello") == ["http://a.example/1"]
+    # text:* passes any page with a body (IsReducingFilter=false analog)
+    assert _urls(df, "text:*") == ["http://a.example/1", "http://b.example/2"]
+    # no body column → extracted text is the visible text (F1 behavior)
+    assert _urls(_results(spark), "text:fish") == ["http://c.example/3"]
+
+
+@pytest.mark.spark
 def test_implicit_and_and_ignored_token(spark):
     df = _results(spark)
     assert _urls(df, "cats and about") == ["http://a.example/1"]

@@ -59,6 +59,30 @@ def test_simhash_near_dup_close_hamming(spark):
 
 
 @pytest.mark.spark
+def test_dedup_clusters_connected_components(spark):
+    """Chain (transitivity over diameter 4), triangle, isolated pair — every
+    node labelled with its component's min id, invariant to partitioning."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                           # pair
+        "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # partitioning must not leak into the labels
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = {r["doc_id"]: r["cluster_id"]
+                 for r in D.dedup_clusters(pairs.repartition(5)).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert again == got
+
+
+@pytest.mark.spark
 def test_brute_force_topk_and_lsh_recall(spark):
     import numpy as np
     rng = np.random.default_rng(42)
