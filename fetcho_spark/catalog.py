@@ -98,6 +98,51 @@ class Catalog:
         self._store(name, snaps)
         return sid
 
+    def overwrite_bucketed(self, name: str, df: DataFrame, bucket_col: str,
+                           n_buckets: int, sort_col: str | None = None,
+                           meta: dict | None = None) -> int:
+        """Bucketed snapshot — the Iceberg ``bucket(N, col)`` partition
+        transform's shim: written via ``bucketBy().sortBy().saveAsTable`` so
+        every later equi-join on ``bucket_col`` reads this side WITHOUT an
+        Exchange. The decisive case is the fetch join: the webgraph is the
+        100 TB side and static between rounds — bucketed by url it never
+        re-shuffles; only the (much smaller) per-round frontier moves.
+
+        The bucket spec + schema ride the manifest, and ``read()``
+        re-registers the table in a fresh session's metastore, so bucketed
+        snapshots stay resumable like plain ones.
+        """
+        os.makedirs(self._tdir(name), exist_ok=True)
+        snaps = self._load(name)
+        sid = (snaps[-1].id + 1) if snaps else 0
+        tbl = f"fetcho_{name}_{uuid.uuid4().hex[:10]}"
+        snap_dir = os.path.join(self._tdir(name), f"bucketed-{tbl}")
+        (df.write.mode("overwrite")
+           .bucketBy(n_buckets, bucket_col)
+           .sortBy(sort_col or bucket_col)
+           .option("path", snap_dir)
+           .saveAsTable(tbl))
+        m = dict(meta or {})
+        m["bucket"] = {"table": tbl, "col": bucket_col, "n": n_buckets,
+                       "schema": df.schema.json()}
+        snaps.append(Snapshot(sid, "overwrite", [snap_dir], m))
+        self._store(name, snaps)
+        return sid
+
+    def _read_bucketed(self, snap: Snapshot) -> DataFrame:
+        from pyspark.sql import types as T
+        spec = snap.meta["bucket"]
+        tbl, col, n = spec["table"], spec["col"], spec["n"]
+        if not self.spark.catalog.tableExists(tbl):
+            schema = T.StructType.fromJson(json.loads(spec["schema"]))
+            ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in schema.fields)
+            self.spark.sql(
+                f"CREATE TABLE `{tbl}` ({ddl}) USING parquet "
+                f"CLUSTERED BY (`{col}`) SORTED BY (`{col}`) "
+                f"INTO {n} BUCKETS LOCATION '{snap.dirs[0]}'")
+        return self.spark.table(tbl)
+
     def merge_upsert(self, name: str, updates: DataFrame, key: str,
                      meta: dict | None = None) -> int:
         """MERGE INTO semantics: rows in ``updates`` replace same-key rows.
@@ -136,6 +181,8 @@ class Catalog:
             if not match:
                 raise KeyError(f"{name}: no snapshot {snapshot_id}")
             snap = match[0]
+        if snap.meta.get("bucket"):
+            return self._read_bucketed(snap)
         return self.spark.read.parquet(*snap.dirs)
 
     def read_incremental(self, name: str, after_snapshot_id: int) -> DataFrame | None:

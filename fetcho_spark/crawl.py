@@ -84,6 +84,12 @@ class CrawlConfig:
                                          # this many were queued (Queueo.cs:
                                          # 383,477 QuotaEnabled/MaxLinkQuota;
                                          # None = disabled, as in reference)
+    webgraph_buckets: int | None = None  # bucket the (static, 100 TB-side)
+                                         # corpus by url at init: the fetch
+                                         # join then reads it with NO
+                                         # Exchange — only the per-round
+                                         # frontier shuffles. None = plain
+                                         # parquet snapshots.
     assign_global_seq: bool = True       # off for throughput benches
     collect_counters: bool = True        # off for throughput benches: skips
                                          # the per-stage count() jobs and the
@@ -121,7 +127,11 @@ class CrawlEngine:
         ``url`` column (bench-scale frontiers stay distributed end-to-end).
         """
         c = self.catalog
-        c.overwrite("webgraph", webgraph)
+        if self.cfg.webgraph_buckets:
+            c.overwrite_bucketed("webgraph", webgraph, "url",
+                                 self.cfg.webgraph_buckets)
+        else:
+            c.overwrite("webgraph", webgraph)
         c.overwrite("images", images)
         c.overwrite("robots", robots)
         c.overwrite("hosts", hosts)

@@ -19,6 +19,10 @@ CHECKS = {
     "order_page": ["TakeOrderedAndProject"],
     "token_count": ["codegen id"],
     "ann_topk": ["TakeOrderedAndProject"],
+    "ann_ivf": ["TakeOrderedAndProject"],
+    # offset+limit paging compiles to GlobalLimit (offset needs the global
+    # order), bounded by the ≤50-row page size
+    "social_format": ["GlobalLimit"],
 }
 
 

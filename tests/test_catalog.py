@@ -38,3 +38,39 @@ def test_merge_upsert(spark, tmp_catalog):
     c.merge_upsert("t", upd, key="k")
     got = {r["k"]: r["v"] for r in c.read("t").collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+@pytest.mark.spark
+def test_bucketed_snapshot_roundtrip_and_no_exchange(spark, tmp_catalog):
+    """Bucketed snapshot: values round-trip; an equi-join on the bucket
+    column reads the bucketed side WITHOUT an Exchange (the fetch-join
+    scale property); re-registration works after the metastore forgets."""
+    from pyspark.sql import functions as F
+    c = tmp_catalog
+    df = spark.range(1000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+        (F.col("id") % 7).alias("v"))
+    c.overwrite_bucketed("wg", df, "url", n_buckets=4)
+    got = c.read("wg")
+    assert got.count() == 1000
+    assert {r["v"] for r in got.filter("url = 'http://h/3'").collect()} == {3 % 7}
+    # join on url: bucketed side must not exchange (broadcast disabled so
+    # the join is SMJ/SHJ and the property is visible in the plan)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = spark.range(50).select(
+            F.concat(F.lit("http://h/"), F.col("id")).alias("url"))
+        plan = (probe.join(c.read("wg"), "url")
+                ._jdf.queryExecution().executedPlan().toString())
+        # exactly one Exchange: the probe side; the bucketed scan has none
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # metastore amnesia (fresh session analog): drop the temp table entry,
+    # read() must re-register from the manifest
+    tbl = c.snapshots("wg")[-1].meta["bucket"]["table"]
+    spark.sql(f"DROP TABLE `{tbl}`")
+    again = c.read("wg")
+    assert again.count() == 1000

@@ -206,6 +206,33 @@ def test_crawl_order_matches_oracle_blocks_and_quota(spark):
 
 @pytest.mark.spark
 @pytest.mark.slow
+def test_bucketed_webgraph_crawl_is_byte_identical(spark, crawl_run):
+    """cfg.webgraph_buckets only changes the PHYSICAL layout of the fetch
+    join (bucketed scan, no corpus-side Exchange) — crawl order and seen set
+    must match the plain-parquet run exactly."""
+    cat_plain, _ = crawl_run
+    cfg = CrawlConfig(max_chunk=50, n_seen_buckets=8, bits_per_bucket=1 << 14,
+                      webgraph_buckets=4)
+    d = tempfile.mkdtemp(prefix="golden-bucketed-")
+    try:
+        wg, rb, hs, seeds = _universe()
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, cfg)
+        eng.init(seeds, fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        eng.run(N_ROUNDS)
+        assert _log_rows(cat) == _log_rows(cat_plain)
+        # the webgraph really is bucketed (scan carries bucket metadata)
+        plan = (cat.read("webgraph")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Bucketed: true" in plan or "bucket" in plan.lower()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
 def test_quota_state_survives_resume(spark):
     """P14 resume: K rounds in one engine == K rounds split across two
     engines (the cumulative accepted count rides the checkpoint)."""
