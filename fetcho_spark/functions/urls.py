@@ -164,7 +164,16 @@ def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:
     path. In practice ≥95% of extracted links are absolute or root-relative
     with at most plain ``&amp;``, so the hot path stays in codegen."""
     h = _pre_clean(href)
-    decode_safe = ~href.rlike(_SLOW_PATH_RE)
+    # the entity-risk alternation (100+ legacy entity names) is by far the
+    # most expensive regex here — gate it behind a substring probe on the
+    # bare input column ('&' appears in every ENTITY_RISK_RE branch), so the
+    # common ampersand-free href skips it entirely. Leaf-level gating only:
+    # when()-wrapping derived when-trees duplicates subtrees at every
+    # reference and blows up codegen (measured: analysis/codegen hang).
+    entity_risk = F.when(href.contains("&"),
+                         href.rlike(ENTITY_RISK_RE)).otherwise(F.lit(False))
+    ctl_ws = (href.contains("\t") | href.contains("\n") | href.contains("\r"))
+    decode_safe = ~entity_risk & ~ctl_ws
     # absolute-or-scheme-relative with a plain host[:port] authority (no
     # userinfo, no IPv6 brackets — those keep python's urlsplit semantics)
     h_abs = F.when(h.startswith("//"), F.concat(F.lit("http:"), h)).otherwise(h)
@@ -224,6 +233,89 @@ def canonicalize_col(href: F.Column, base: F.Column) -> F.Column:
     ok = (scheme != "") & (host != "") & port_ok \
         & (F.length(out) <= MAX_URL_LEN)
     return F.when(ok, out)
+
+
+def with_fast_canonical(df, href_col: str = "href", base_col: str = "base"):
+    """Staged-projection form of the hybrid canonicalizer: adds ``_appl``
+    (fast path applicable — same truth table as
+    :func:`canonicalize_fast_applicable`) and ``_fast_url`` (the fast-path
+    result, same values as :func:`canonicalize_col` where ``_appl``).
+
+    Why this exists: the Column-function forms inline ``_pre_clean``'s
+    replace/regex tree at EVERY reference — the expression tree grows
+    multiplicatively with nesting and the generated code falls out of
+    whole-stage codegen (and at worst hangs analysis). Here every shared
+    piece is a named intermediate column computed once per row; Catalyst's
+    CollapseProject keeps multiply-referenced non-cheap expressions staged.
+    """
+    H, B = F.col(href_col), F.col(base_col)
+    df = df.withColumn("_pc", _pre_clean(H))
+    pc = F.col("_pc")
+    # ---- applicability --------------------------------------------------
+    entity_risk = F.when(H.contains("&"),
+                         H.rlike(ENTITY_RISK_RE)).otherwise(F.lit(False))
+    ctl_ws = H.contains("\t") | H.contains("\n") | H.contains("\r")
+    df = df.withColumn("_safe", ~entity_risk & ~ctl_ws)
+    df = df.withColumn(
+        "_habs",
+        F.when(pc.startswith("//"), F.concat(F.lit("http:"), pc))
+         .otherwise(pc))
+    habs = F.col("_habs")
+    df = df.withColumn(
+        "_auth0", F.regexp_extract(habs, r"^(?i)https?://([^/?#]+)", 1))
+    is_abs = habs.rlike("^(?i)https?://") & \
+        F.col("_auth0").rlike(r"^[A-Za-z0-9.\-]+(:[0-9]*)?$")
+    is_root_rel = pc.startswith("/") & ~pc.startswith("//")
+    no_scheme = ~pc.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    df = df.withColumn(
+        "_appl", F.col("_safe") & (is_abs | (is_root_rel & no_scheme)))
+    # ---- fast-path value (canonicalize_col, staged) ----------------------
+    df = df.withColumn(
+        "_bsch0", F.lower(F.regexp_extract(B, r"^(?i)(https?)://", 1)))
+    df = df.withColumn(
+        "_bsch", F.when(F.col("_bsch0") == "", F.lit("http"))
+                  .otherwise(F.col("_bsch0")))
+    df = df.withColumn(
+        "_bhost", F.lower(F.regexp_extract(B, r"^(?i)https?://([^/?#]+)", 1)))
+    df = df.withColumn(
+        "_res",
+        F.when(pc.startswith("//"),
+               F.concat(F.col("_bsch"), F.lit(":"), pc))
+         .when(pc.startswith("/") & ~pc.startswith("//")
+               & (F.col("_bhost") != ""),
+               F.concat(F.col("_bsch"), F.lit("://"), F.col("_bhost"), pc))
+         .otherwise(pc))
+    r = F.col("_res")
+    df = df.withColumn(
+        "_scheme", F.lower(F.regexp_extract(r, r"^(?i)(https?)://", 1)))
+    df = df.withColumn(
+        "_auth", F.regexp_extract(r, r"^(?i)https?://([^/?#]+)", 1))
+    a = F.col("_auth")
+    df = df.withColumn(
+        "_host", F.regexp_replace(
+            F.lower(F.regexp_extract(a, r"^([^:]+)", 1)), r"\.+$", ""))
+    df = df.withColumn("_port", F.regexp_extract(a, r":(\d+)$", 1))
+    s, hh, p = F.col("_scheme"), F.col("_host"), F.col("_port")
+    default_port = F.when(s == "http", F.lit("80")).otherwise(F.lit("443"))
+    df = df.withColumn(
+        "_netloc", F.when((p == "") | (p == default_port), hh)
+                    .otherwise(F.concat(hh, F.lit(":"), p)))
+    df = df.withColumn(
+        "_rest0", F.regexp_replace(
+            F.regexp_extract(r, r"^(?i)https?://[^/?#]+([/?].*)?$", 1),
+            r"\?$", ""))
+    df = df.withColumn(
+        "_rest", F.when(F.col("_rest0") == "", F.lit("/"))
+                  .when(F.col("_rest0").startswith("?"),
+                        F.concat(F.lit("/"), F.col("_rest0")))
+                  .otherwise(F.col("_rest0")))
+    out = F.concat(s, F.lit("://"), F.col("_netloc"), F.col("_rest"))
+    port_ok = (p == "") | (p.cast("int") <= 65535)
+    ok = (s != "") & (hh != "") & port_ok & (F.length(out) <= MAX_URL_LEN)
+    df = df.withColumn("_fast_url", F.when(ok, out))
+    return df.drop("_pc", "_safe", "_habs", "_auth0", "_bsch0", "_bsch",
+                   "_bhost", "_res", "_scheme", "_auth", "_host", "_port",
+                   "_netloc", "_rest0", "_rest")
 
 
 def with_url_keys(df, url_col: str = "url"):

@@ -34,8 +34,7 @@ from pyspark.sql import Window
 
 from ..functions.codec import (decode, phash64, psnr, ref_sample_decode,
                                sample_grid)
-from ..functions.urls import (canonicalize_col, canonicalize_fast_applicable,
-                              canonicalize_udf)
+from ..functions.urls import canonicalize_udf, with_fast_canonical
 
 MAX_LINKS_PER_PAGE = 500  # FetchoConfiguration.cs:91-92
 MAX_BODY_BYTES = 1 << 20  # MaxFileDownloadLengthInBytes (1 MiB cap, P15)
@@ -218,37 +217,56 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
     """
     ok = fetched.filter(F.col("status") == 200)
     src = [F.col("url").alias("src_url"), F.col("host").alias("src_host")]
+    # every exploded row carries its page's RAW link count (_nraw): the
+    # per-page cap can then shuffle ONLY links of pages that might exceed it
+    # (raw count > max_links ⇒ canonical count might; ≤ ⇒ never, since
+    # canonicalization maps 1:1-or-null). At a 10^10 frontier the cap's
+    # Window otherwise shuffles the whole link stream to trim the rare
+    # mega-page — measured 40-70% of the round's wall at bench scale.
     if "body" in fetched.columns:
         from .htmllinks import extract_links_udf
         pairs = extract_links_udf(F.col("body"), F.col("url"),
                                   F.col("content_type"))
         raw_body = (ok.filter(F.col("body").isNotNull())
-                    .select(*src, F.explode_outer(pairs).alias("_hb"))
-                    .select("src_url", "src_host",
+                    .select(*src, pairs.alias("_arr"))
+                    .select("src_url", "src_host", F.size("_arr").alias("_nraw"),
+                            F.explode_outer("_arr").alias("_hb"))
+                    .select("src_url", "src_host", "_nraw",
                             F.col("_hb.href").alias("href"),
                             F.col("_hb.base").alias("base")))
         raw_arr = (ok.filter(F.col("body").isNull())
-                   .select(*src, F.explode_outer("out_links").alias("href"))
+                   .select(*src, F.size("out_links").alias("_nraw"),
+                           F.explode_outer("out_links").alias("href"))
                    .withColumn("base", F.col("src_url")))
         raw = raw_body.unionByName(raw_arr)
     else:
-        raw = (ok.select(*src, F.explode_outer("out_links").alias("href"))
+        raw = (ok.select(*src, F.size("out_links").alias("_nraw"),
+                         F.explode_outer("out_links").alias("href"))
                .withColumn("base", F.col("src_url")))
     # hybrid canonicalization: JVM expression for absolute/root-relative
     # links (the overwhelming majority — stays in codegen), Arrow-batched
     # python UDF only for genuinely doc-relative/exotic hrefs. Both routes
     # are byte-identical to functions.urls.canonicalize (parity-tested).
-    applicable = canonicalize_fast_applicable(F.col("href"), F.col("base"))
-    fast = raw.filter(applicable).withColumn(
-        "url", canonicalize_col(F.col("href"), F.col("base")))
-    slow = raw.filter(~applicable).withColumn(
-        "url", canonicalize_udf(F.col("href"), F.col("base")))
+    # Staged-projection form: shared subexpressions are named columns
+    # computed once per row (the Column-function form inlines them at every
+    # reference and the generated code explodes — see with_fast_canonical).
+    canon = with_fast_canonical(raw)
+    fast = (canon.filter(F.col("_appl"))
+            .withColumn("url", F.col("_fast_url")))
+    slow = (canon.filter(~F.col("_appl"))
+            .withColumn("url", canonicalize_udf(F.col("href"), F.col("base"))))
+    fast = fast.drop("_appl", "_fast_url")
+    slow = slow.drop("_appl", "_fast_url")
     links = (fast.unionByName(slow)
              .filter(F.col("url").isNotNull())
              .withColumn("host", F.lower(F.regexp_extract(
                  "url", r"^https?://([^/:?#]+)", 1))))
+    cold = links.filter(F.col("_nraw") <= max_links)
+    hot = links.filter(F.col("_nraw") > max_links)
     w = Window.partitionBy("src_url").orderBy(
         F.xxhash64(F.col("url"), F.lit(f"links:{seed}:{round_no}")))
-    return (links.withColumn("_lr", F.row_number().over(w))
-            .filter(F.col("_lr") <= max_links)
-            .drop("_lr", "href", "base"))
+    hot = (hot.withColumn("_lr", F.row_number().over(w))
+           .filter(F.col("_lr") <= max_links)
+           .drop("_lr"))
+    return (cold.unionByName(hot)
+            .drop("_nraw", "href", "base"))

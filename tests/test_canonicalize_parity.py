@@ -78,3 +78,33 @@ def test_hybrid_canonicalize_matches_python(spark):
     for href in ("http://a.example/x?a=1&b=2&c=3",
                  "http://a.example/x?a=1&amp;b=2"):
         assert fast_by_href[(href, BASES[0])], href
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_staged_canonicalizer_matches_column_form(spark):
+    """with_fast_canonical (the staged-projection production path) must
+    agree with the Column-function forms AND the Python reference on every
+    parity case — same _appl truth table, same fast-path values."""
+    from fetcho_spark.functions.urls import with_fast_canonical
+    pairs = [(h, b) for h, b in
+             itertools.product(EDGE_HREFS + _random_hrefs(), BASES)]
+    df = spark.createDataFrame(pairs, "href string, base string")
+    staged = {(r["href"], r["base"]): (r["_appl"], r["_fast_url"])
+              for r in with_fast_canonical(df)
+              .select("href", "base", "_appl", "_fast_url").collect()}
+    colform = {(r["href"], r["base"]): (r["a"], r["u"])
+               for r in df.select(
+                   "href", "base",
+                   canonicalize_fast_applicable(F.col("href"), F.col("base"))
+                   .alias("a"),
+                   canonicalize_col(F.col("href"), F.col("base")).alias("u"))
+               .collect()}
+    assert staged.keys() == colform.keys() and len(staged) > 500
+    n_appl = 0
+    for key, (appl, url) in staged.items():
+        assert appl == colform[key][0], key
+        if appl:
+            n_appl += 1
+            assert url == colform[key][1] == canonicalize(*key), key
+    assert n_appl > len(staged) * 0.4

@@ -135,6 +135,55 @@ def test_crawl_order_matches_oracle_html_bodies(spark):
 
 
 @pytest.mark.spark
+def test_link_cap_hot_page_only(spark):
+    """O7 cap: a page over the per-page link budget keeps exactly the
+    max_links smallest by the seeded hash (the simulator's truncation);
+    pages under budget keep everything (and skip the cap's shuffle)."""
+    from fetcho_spark.operators.fetch import extract_links
+    from fetcho_spark.simulator import spark_xxhash64_2
+    hot_links = [f"http://h1.example/l{i}" for i in range(10)]
+    cold_links = [f"http://h2.example/c{i}" for i in range(3)]
+    fetched = spark.createDataFrame(
+        [("http://h1.example/", "h1.example", 200, hot_links),
+         ("http://h2.example/", "h2.example", 200, cold_links)],
+        "url string, host string, status int, out_links array<string>")
+    got: dict = {}
+    for r in extract_links(fetched, seed=42, round_no=0, max_links=4).collect():
+        got.setdefault(r["src_url"], set()).add(r["url"])
+    want_hot = sorted(hot_links,
+                      key=lambda u: spark_xxhash64_2(u, "links:42:0"))[:4]
+    assert got["http://h1.example/"] == set(want_hot)
+    assert got["http://h2.example/"] == set(cold_links)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_crawl_order_matches_oracle_small_link_cap(spark):
+    """Golden with max_links_per_page small enough that the cap's hot path
+    actually fires on fixture pages (5-21 links each)."""
+    cfg = CrawlConfig(max_chunk=50, n_seen_buckets=8, bits_per_bucket=1 << 14,
+                      max_links_per_page=4)
+    d = tempfile.mkdtemp(prefix="golden-cap-")
+    try:
+        wg = fx.gen_webgraph(N_PAGES, N_HOSTS, N_IMAGES)
+        seeds = fx.gen_seeds(wg, N_SEEDS)
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, cfg)
+        eng.init(seeds, fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        eng.run(2)
+        sim = simulate(seeds, wg, fx.gen_robots(N_HOSTS),
+                       fx.gen_hosts(N_HOSTS), 2, cfg)
+        eng_log = _log_rows(cat)
+        sim_log = [tuple(r[c] for c in LOG_COLS) for r in sim.log]
+        assert len(eng_log) > 0
+        assert eng_log == sim_log
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
 def test_extension_allowed_predicate(spark):
     """P4 — IsProbablyBlocked parity: path-only (query excluded),
     case-sensitive EndsWith."""
