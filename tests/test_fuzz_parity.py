@@ -1,0 +1,125 @@
+"""Hypothesis fuzz: the cross-implementation parity invariants that the
+golden tests pin on fixtures, pushed through randomized inputs.
+
+Each Spark-side property batches one generated list into ONE job (per-example
+jobs would be pathologically slow), with a small example budget — the pure
+Python properties run at full hypothesis depth.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fetcho_spark.functions.hashing import xxh64_signed
+from fetcho_spark.functions.urls import MAX_URL_LEN, canonicalize
+from fetcho_spark.operators.robots import HostRules, compile_rules
+
+# printable-ish URL characters incl. the ones our fast/slow routing cares
+# about: entities, control whitespace, fragments, ports, userinfo
+_URLISH = st.text(
+    alphabet="abcdefghijXYZ0123456789:/?#&;.%=_-~@ \t\n*$'\"<>\\",
+    max_size=60)
+_HREF = st.one_of(
+    _URLISH,
+    _URLISH.map(lambda s: "http://" + s),
+    _URLISH.map(lambda s: "https://h.example/" + s),
+    _URLISH.map(lambda s: "//" + s),
+    _URLISH.map(lambda s: "/" + s),
+    _URLISH.map(lambda s: s + "&amp;x=1"),
+    _URLISH.map(lambda s: s + "&#38;"),
+)
+_BASE = st.one_of(
+    st.none(),
+    st.just("http://base.example/dir/page"),
+    st.just("https://s.example/"),
+    _URLISH.map(lambda s: "http://b.example/" + s),
+)
+
+
+@given(_HREF, _BASE)
+@settings(max_examples=500, deadline=None)
+def test_canonicalize_output_invariants(href, base):
+    out = canonicalize(href, base)
+    if out is None:
+        return
+    assert out.startswith(("http://", "https://"))
+    assert len(out) <= MAX_URL_LEN
+    assert "#" not in out
+    scheme, rest = out.split("://", 1)
+    authority = rest.split("/", 1)[0].split("?", 1)[0]
+    host = authority.split(":", 1)[0]
+    assert host == host.lower() and host and not host.endswith(".")
+    # canonical output is a fixed point: re-canonicalizing changes nothing
+    assert canonicalize(out, base) == out
+
+
+@given(st.lists(st.tuples(_HREF, st.just("http://base.example/dir/page")),
+                min_size=1, max_size=80))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.spark
+@pytest.mark.slow
+def test_hybrid_routing_matches_python_fuzz(spark, pairs):
+    """The staged fast/slow hybrid must equal pure-Python canonicalize on
+    arbitrary hrefs — the invariant the crawl's seen-set keys depend on."""
+    from pyspark.sql import functions as F
+    from fetcho_spark.functions.urls import canonicalize_udf, with_fast_canonical
+    df = spark.createDataFrame(pairs, "href string, base string")
+    c = with_fast_canonical(df)
+    got = (c.withColumn(
+        "url", F.when(F.col("_appl"), F.col("_fast_url"))
+                .otherwise(canonicalize_udf(F.col("href"), F.col("base"))))
+        .select("href", "base", "url").collect())
+    for r in got:
+        assert r["url"] == canonicalize(r["href"], r["base"]), \
+            (r["href"], r["base"])
+
+
+_PATTERN = st.text(alphabet="/abcxyz019*$._-%", min_size=1, max_size=20)
+_PATH = st.text(alphabet="/abcxyz019._-%?=", min_size=1, max_size=30) \
+    .map(lambda s: "/" + s.lstrip("/"))
+
+
+@given(st.lists(st.tuples(st.sampled_from(["allow", "disallow"]), _PATTERN),
+                min_size=1, max_size=10),
+       st.lists(_PATH, min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.spark
+@pytest.mark.slow
+def test_robots_like_compile_matches_hostrules_fuzz(spark, rules, paths):
+    """The distributed JVM LIKE-array gate must agree with the pure-Python
+    longest-match HostRules on random patterns (incl. LIKE metachars %_)."""
+    from pyspark.sql import functions as F
+    from fetcho_spark.operators.robots import apply_robots_gate, rules_like_df
+    rows = [("h.example", "*", d, p) for d, p in rules]
+    robots_df = spark.createDataFrame(
+        rows, "host string, user_agent string, directive string, pattern string")
+    compiled = rules_like_df(spark, robots_df, "fetcho")
+    frontier = spark.createDataFrame(
+        [("h.example", p, f"http://h.example{p}") for p in paths],
+        "host string, path string, url string")
+    survivors = {r["path"] for r in
+                 apply_robots_gate(spark, frontier, robots_df, "fetcho",
+                                   compiled_rules=compiled).collect()}
+    oracle = compile_rules(rows, "fetcho")
+    hr = oracle.get("h.example")
+    for p in paths:
+        expect_kept = not (hr and hr.disallowed(p))
+        assert (p in survivors) == expect_kept, (rules, p)
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=200))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.spark
+@pytest.mark.slow
+def test_xxhash64_parity_fuzz(spark, values):
+    """Pure-Python XXH64 == Spark's builtin xxhash64 on arbitrary strings
+    (the simulator's crawl-order keys depend on exact parity)."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = {r["s"]: r["h"] for r in
+           df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for v in set(values):
+        assert got[v] == xxh64_signed(v.encode("utf-8")), repr(v)
