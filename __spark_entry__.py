@@ -360,12 +360,27 @@ def q_fragment_dedup(spark, sf):  # F1 — TextMatchFilter fragment FIFO window
     return out.select("doc_id")
 
 
-def q_ml_classify(spark, sf):  # F14 — NB classifier (no SQL twin: rows-only)
-    from fetcho_spark.functions.mlmodel import make_ml_udf
+def q_ml_classify(spark, sf):  # F14 — NB classifier, quantized JVM path
+    # Integer-quantized log scores: the Spark plan and the generated SQL twin
+    # share the exact same weight integers, so the driver hash-checks the
+    # classifier end-to-end (round 1 shipped this rows-only via the pandas
+    # UDF; unit tests pin UDF argmax ≡ quantized argmax).
+    from fetcho_spark.functions.mlmodel import nb_classify
     docs = _t(spark, sf, "documents")
-    pred = make_ml_udf("topics")(F.col("text"))
-    return docs.select("doc_id", pred["label"].alias("label"),
-                       F.round(pred["score"], 6).alias("score"))
+    return nb_classify(docs, "doc_id", "text", "topics").orderBy("doc_id")
+
+
+def q_gopher_quality(spark, sf):  # Gopher repetition + word-shape rules
+    from fetcho_spark.operators.textops import gopher_repetition
+    return gopher_repetition(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf):  # n-gram train/eval decontamination
+    from fetcho_spark.operators.textops import ngram_contamination
+    docs = _t(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(corpus, eval_df, n=4).orderBy("doc_id")
 
 
 def q_dedup_clusters(spark, sf):  # near-dup pairs → connected components
@@ -458,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_format": q_social_format,
         "ann_ivf": q_ann_ivf,
         "dedup_clusters": q_dedup_clusters,
+        "gopher_quality": q_gopher_quality,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -478,6 +495,11 @@ def _sql_hits(expr: str, kw: str) -> str:
 
 def _sql_lang_score(lang: str) -> str:
     return " + ".join(_sql_hits("pt", kw) for kw in _LANGS[lang])
+
+
+def _ml_sql() -> str:
+    from fetcho_spark.functions.mlmodel import nb_classify_sql
+    return nb_classify_sql("topics")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -813,4 +835,85 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                     WHERE strpos(lower(text), 'join') > 0))
             WHERE prev IS NULL OR doc_id - prev > 100""",
+        # ml_classify: generated from the SAME quantized integer weights the
+        # Spark plan uses (fetcho_spark/functions/mlmodel.nb_classify_sql) —
+        # integer log-score sums are order-independent, so parity is exact
+        "ml_classify": _ml_sql(),
+        # gopher_quality / decontaminate: fractions are floor-quantized to
+        # 6dp (floor of identical doubles is engine-independent; ROUND's
+        # HALF_UP-vs-HALF_EVEN boundary is not)
+        "gopher_quality": """
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ), ws AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+                     CAST(sum(length(w)) AS BIGINT) AS sum_len
+              FROM (SELECT doc_id, unnest(a) AS w FROM arrs)
+              GROUP BY doc_id
+            ), bc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                      unnest(CASE WHEN len(a) >= 2
+                        THEN list_transform(range(1, len(a)),
+                                            i -> a[i] || ' ' || a[i+1])
+                        ELSE [] END) AS g FROM arrs)
+              GROUP BY doc_id, g
+            ), bs AS (
+              SELECT doc_id,
+                     CAST(SUM(c * length(g)) AS BIGINT) AS total,
+                     CAST(SUM(CASE WHEN c >= 2 THEN c * length(g)
+                              ELSE 0 END) AS BIGINT) AS dup,
+                     CAST(MAX(c * length(g)) AS BIGINT) AS top
+              FROM bc GROUP BY doc_id
+            )
+            SELECT doc_id, n_words, mean_word_len, dup_bigram_char_frac,
+                   top_bigram_char_frac,
+                   COALESCE(n_words >= 20
+                            AND mean_word_len >= 3.0
+                            AND mean_word_len <= 10.0
+                            AND dup_bigram_char_frac <= 0.15
+                            AND top_bigram_char_frac <= 0.10,
+                            FALSE) AS gopher_ok
+            FROM (
+              SELECT d.doc_id,
+                     CAST(COALESCE(ws.nw, 0) AS BIGINT) AS n_words,
+                     floor(ws.sum_len::DOUBLE / ws.nw * 1000000)
+                       / 1000000.0 AS mean_word_len,
+                     floor(bs.dup::DOUBLE / bs.total * 1000000)
+                       / 1000000.0 AS dup_bigram_char_frac,
+                     floor(bs.top::DOUBLE / bs.total * 1000000)
+                       / 1000000.0 AS top_bigram_char_frac
+              FROM documents d
+              LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id))
+            ORDER BY doc_id""",
+        "decontaminate": """
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(a) >= 4
+                       THEN list_transform(range(1, len(a) - 2),
+                              i -> list_aggr(a[i:i+3], 'string_agg', ' '))
+                       ELSE [] END) AS g
+              FROM arrs
+            ), ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS nh
+              FROM grams JOIN ev USING (g)
+              WHERE doc_id % 50 <> 0 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hit_grams,
+                   COALESCE(h.nh, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY doc_id""",
     }

@@ -136,6 +136,121 @@ def _train_topics_fixture() -> NBModel:
     return train_nb(texts, labels)
 
 
+# ------------------------------------------- quantized distributed scorer
+
+SCORE_QUANT = 1_000_000
+"""Log-weights are quantized to round(w * 1e6) integers for the distributed
+scorer: integer sums are order-independent, so Spark's partial-agg shuffle
+and any ANSI engine summing in a different order agree bit-for-bit (float
+log-prob sums are not associative). 1e-6 log-space resolution flips an
+argmax only on near-exact ties."""
+
+
+def quantized_params(name: str):
+    """(labels, vocab_rows, priors_q, unks_q) with every log-weight as a
+    ``round(w * SCORE_QUANT)`` int. The same integers feed the Spark plan and
+    the generated SQL oracle twin, so cross-engine parity is exact."""
+    m = get_model(name)
+    L = len(m.labels)
+    rows = [(tok, *[int(round(m.log_lik[i, j] * SCORE_QUANT))
+                    for i in range(L)])
+            for tok, j in sorted(m.vocab.items())]
+    priors = [int(round(m.log_prior[i] * SCORE_QUANT)) for i in range(L)]
+    unks = [int(round(m.log_unk[i] * SCORE_QUANT)) for i in range(L)]
+    return list(m.labels), rows, priors, unks
+
+
+def nb_classify(df, key_col: str, text_col: str, name: str):
+    """Distributed NB argmax over integer-quantized log scores → columns
+    ``(key_col, label, score_q)``.
+
+    Plan shape (scales to any corpus): tokens explode → broadcast left-join
+    to the (token → per-label weight) table, unknown tokens coalescing to the
+    unk weight → ONE partial-aggregated groupBy(key) shuffle summing per-label
+    scores → argmax with first-label tie-break (numpy ``argmax`` keeps the
+    lowest index; ``labels`` is sorted, and the nested ``>=`` chain below
+    reproduces that exactly). The model broadcast is O(vocab × labels); no
+    Python runs on the executors at all — unlike ``make_ml_udf`` this path is
+    whole-stage-codegen JVM.
+
+    Zero-token docs mirror ``predict_one``'s ``(None, 0.0)`` as
+    ``(NULL, 0)``.
+    """
+    labels, rows, priors, unks = quantized_params(name)
+    L = len(labels)
+    wcols = [f"_w{i}" for i in range(L)]
+    vocab_df = df.sparkSession.createDataFrame(rows, ["_tok"] + wcols)
+    toks = df.select(
+        F.col(key_col),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("_tok"))
+    sums = (toks.join(F.broadcast(vocab_df), "_tok", "left")
+            .groupBy(key_col)
+            .agg(*[F.sum(F.coalesce(F.col(w), F.lit(unks[i]))).alias(w)
+                   for i, w in enumerate(wcols)]))
+    scores = [(F.col(w) + F.lit(priors[i])).cast("long")
+              for i, w in enumerate(wcols)]
+    label = None
+    for i in range(L - 1):
+        cond = None
+        for j in range(i + 1, L):
+            c = scores[i] >= scores[j]
+            cond = c if cond is None else cond & c
+        label = (F.when(cond, F.lit(labels[i])) if label is None
+                 else label.when(cond, F.lit(labels[i])))
+    label = label.otherwise(F.lit(labels[L - 1]))
+    return (df.select(key_col)
+            .join(sums, key_col, "left")
+            .select(F.col(key_col),
+                    F.when(F.col(wcols[0]).isNull(),
+                           F.lit(None).cast("string"))
+                     .otherwise(label).alias("label"),
+                    F.coalesce(F.greatest(*scores), F.lit(0))
+                     .cast("long").alias("score_q")))
+
+
+def nb_classify_sql(name: str, table: str = "documents",
+                    key_col: str = "doc_id", text_col: str = "text") -> str:
+    """ANSI-SQL twin of :func:`nb_classify`, generated from the SAME
+    quantized integers — the DuckDB oracle for the ``ml_classify`` entry."""
+    labels, rows, priors, unks = quantized_params(name)
+    L = len(labels)
+    vals = ",\n                ".join(
+        "('" + tok.replace("'", "''") + "', "
+        + ", ".join(str(w) for w in ws) + ")"
+        for tok, *ws in rows)
+    scols = ",\n                   ".join(
+        f"CAST(SUM(COALESCE(v.w{i}, {unks[i]})) + {priors[i]} AS BIGINT)"
+        f" AS s{i}" for i in range(L))
+    cases = []
+    for i in range(L - 1):
+        cond = " AND ".join(f"s{i} >= s{j}" for j in range(i + 1, L))
+        cases.append(f"WHEN {cond} THEN '{labels[i]}'")
+    case = ("CASE WHEN s0 IS NULL THEN NULL "
+            + " ".join(cases) + f" ELSE '{labels[L-1]}' END")
+    greatest = "greatest(" + ", ".join(f"s{i}" for i in range(L)) + ")"
+    return f"""
+            WITH toks AS (
+              SELECT {key_col},
+                     unnest(regexp_extract_all(lower({text_col}),
+                                               '[a-z0-9]+')) AS tok
+              FROM {table}
+            ), v(tok, {", ".join(f"w{i}" for i in range(L))}) AS (
+              VALUES {vals}
+            ), sums AS (
+              SELECT t.{key_col},
+                   {scols}
+              FROM toks t LEFT JOIN v ON t.tok = v.tok
+              GROUP BY t.{key_col}
+            )
+            SELECT d.{key_col},
+                   {case} AS label,
+                   CAST(COALESCE({greatest}, 0) AS BIGINT) AS score_q
+            FROM {table} d LEFT JOIN sums USING ({key_col})
+            ORDER BY {key_col}"""
+
+
 _PRED_SCHEMA = T.StructType([
     T.StructField("label", T.StringType()),
     T.StructField("score", T.DoubleType()),

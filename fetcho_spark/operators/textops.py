@@ -111,6 +111,114 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
+# ------------------------------------------------- repetition / contamination
+# Gopher/MassiveText repetition rules (Rae et al. 2021, arXiv:2112.11446,
+# appendix A1.1 — public) and n-gram train/eval decontamination (GPT-3 paper
+# appendix C practice). Everything below is JVM built-ins only; fractions are
+# floor-quantized to 6dp (floor of an identical double is identical in every
+# engine, unlike ROUND whose HALF_UP/HALF_EVEN boundary differs).
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_MAX_DUP_BIGRAM_FRAC = 0.15
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.10
+
+
+def words_arr(col: Column) -> Column:
+    """Lowercased ``[a-z0-9]+`` word array — the tokenizer shared by the
+    repetition metrics, the contamination scan, and the NB classifier."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"),
+                    lambda x: x != F.lit(""))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Space-joined word n-grams (empty array when the doc has < n words)."""
+    a = words_arr(col)
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.size(a) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(a, i, n), " "))
+    return F.when(F.size(a) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def _floor6(col: Column) -> Column:
+    return (F.floor(col * F.lit(1000000.0)).cast("double")
+            / F.lit(1000000.0))
+
+
+def gopher_repetition(df: DataFrame, key_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document repetition + word-shape quality metrics →
+    ``(key, n_words, mean_word_len, dup_bigram_char_frac,
+    top_bigram_char_frac, gopher_ok)``.
+
+    ``dup_bigram_char_frac`` = characters covered by word-2-grams occurring
+    ≥ 2× in the doc / characters covered by all 2-gram occurrences;
+    ``top_bigram_char_frac`` = the single most-covering 2-gram's share (our
+    deterministic reading of Gopher's "fraction of characters in the most
+    common 2-gram"). Two partial-aggregated shuffles keyed by the document
+    (word stats + per-(doc,gram) counts) — at 100 TB both combine map-side,
+    and nothing crosses the driver.
+    """
+    key = F.col(key_col)
+    ws = (df.select(key, F.explode(words_arr(F.col(text_col))).alias("_w"))
+          .groupBy(key_col)
+          .agg(F.count("*").alias("_nw"),
+               F.sum(F.length("_w")).alias("_sum_len")))
+    covered = (F.col("_c") * F.length("_g")).cast("long")
+    bs = (df.select(key, F.explode(word_ngrams(F.col(text_col), 2))
+                    .alias("_g"))
+          .groupBy(key_col, "_g").agg(F.count("*").alias("_c"))
+          .groupBy(key_col)
+          .agg(F.sum(covered).alias("_total"),
+               F.sum(F.when(F.col("_c") >= 2, covered).otherwise(F.lit(0)))
+                .alias("_dup"),
+               F.max(covered).alias("_top")))
+    mwl = _floor6(F.col("_sum_len").cast("double") / F.col("_nw"))
+    dupf = _floor6(F.col("_dup").cast("double") / F.col("_total"))
+    topf = _floor6(F.col("_top").cast("double") / F.col("_total"))
+    ok = ((F.col("_nw") >= F.lit(GOPHER_MIN_WORDS))
+          & (mwl >= F.lit(GOPHER_MWL_MIN)) & (mwl <= F.lit(GOPHER_MWL_MAX))
+          & (dupf <= F.lit(GOPHER_MAX_DUP_BIGRAM_FRAC))
+          & (topf <= F.lit(GOPHER_MAX_TOP_BIGRAM_FRAC)))
+    return (df.select(key)
+            .join(ws, key_col, "left").join(bs, key_col, "left")
+            .select(key,
+                    F.coalesce(F.col("_nw"), F.lit(0)).cast("long")
+                     .alias("n_words"),
+                    mwl.alias("mean_word_len"),
+                    dupf.alias("dup_bigram_char_frac"),
+                    topf.alias("top_bigram_char_frac"),
+                    F.coalesce(ok, F.lit(False)).alias("gopher_ok")))
+
+
+def ngram_contamination(corpus: DataFrame, eval_df: DataFrame,
+                        key_col: str = "doc_id", text_col: str = "text",
+                        n: int = 4) -> DataFrame:
+    """Train/eval decontamination: flag corpus docs sharing any word
+    ``n``-gram with the eval set → ``(key, n_hit_grams, contaminated)``.
+
+    The eval-side distinct gram set is broadcast (it is the benchmark suite —
+    tiny next to a 100 TB corpus), so the corpus side never shuffles its
+    grams for the join; only the per-doc hit count aggregates (map-side
+    combine on the doc key). Production decontamination uses n of 8–13; the
+    default 4 matches the synthetic fixtures' gram length.
+    """
+    grams = F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    eval_grams = eval_df.select(grams).distinct()
+    hits = (corpus.select(F.col(key_col), grams)
+            .join(F.broadcast(eval_grams), "_g")
+            .groupBy(key_col)
+            .agg(F.count_distinct("_g").alias("_nh")))
+    return (corpus.select(key_col)
+            .join(hits, key_col, "left")
+            .select(F.col(key_col),
+                    F.coalesce(F.col("_nh"), F.lit(0)).cast("long")
+                     .alias("n_hit_grams"),
+                    (F.coalesce(F.col("_nh"), F.lit(0)) > 0)
+                     .alias("contaminated")))
+
+
 def keyword_counts(df: DataFrame, text_col: str = "text",
                    min_len: int = 3) -> DataFrame:
     """A5: term frequencies across the corpus (ExtractKeywordsConsumer)."""

@@ -249,3 +249,76 @@ def test_lang_id_tiebreak(spark):
     got = {r["doc_id"]: r["lang"] for r in df.select(
         "doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
     assert got == {1: "en", 2: "fr", 3: "de", 4: "es"}
+
+
+@pytest.mark.spark
+def test_gopher_repetition_metrics(spark):
+    """Known repetition shapes: 'foo bar' ×3 gives dup frac 1.0 (every
+    bigram occurrence is a duplicate), top frac 21/35; empty docs get
+    n_words 0 / null fractions / ok false."""
+    df = spark.createDataFrame(
+        [(1, "foo bar foo bar foo bar"),
+         (2, "each word here occurs exactly once only"),
+         (3, "")],
+        "doc_id long, text string")
+    by = {r["doc_id"]: r.asDict() for r in TX.gopher_repetition(df).collect()}
+    # doc 1: bigrams [foo bar ×3, bar foo ×2] → all 5 occurrences duplicated
+    assert by[1]["n_words"] == 6
+    assert by[1]["dup_bigram_char_frac"] == 1.0
+    assert abs(by[1]["top_bigram_char_frac"] - 21 / 35) < 1e-9
+    assert not by[1]["gopher_ok"]          # repetition over threshold
+    # doc 2: no repeated bigram
+    assert by[2]["dup_bigram_char_frac"] == 0.0
+    assert not by[2]["gopher_ok"]          # too short (< 20 words)
+    # doc 3: degenerate
+    assert by[3]["n_words"] == 0
+    assert by[3]["mean_word_len"] is None
+    assert by[3]["gopher_ok"] is False
+
+
+@pytest.mark.spark
+def test_ngram_contamination(spark):
+    """Corpus docs sharing any word 4-gram with the eval set are flagged;
+    3-gram-only overlap is not (n=4)."""
+    eval_df = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "prefix text the secret benchmark answer embedded here"),
+         (2, "the secret benchmark only shares a trigram"),
+         (3, "completely unrelated words in this document")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in TX.ngram_contamination(corpus, eval_df, n=4).collect()}
+    assert got[1]["contaminated"] and got[1]["n_hit_grams"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_hit_grams"] == 0
+    assert not got[3]["contaminated"]
+    assert set(got) == {1, 2, 3}           # every corpus doc reported
+
+
+@pytest.mark.spark
+def test_nb_classify_quantized_matches_udf(spark):
+    """The quantized JVM classifier (ml_classify oracle path) agrees with
+    the pandas-UDF float path (F14 filter path) on argmax labels — the two
+    can only diverge on sub-1e-6 log-score ties."""
+    from fetcho_spark.functions.mlmodel import get_model, nb_classify
+    model = get_model("topics")
+    rows = [(i, t) for i, t in enumerate([
+        "quantum experiment data research in the laboratory today",
+        "the doctor gave the patient medicine at the clinic",
+        "the team won the match and the league this season",
+        "stock market price moved and the investor took profit",
+        "report about new things today",     # filler-only → weak signal
+        "",                                   # zero tokens → (NULL, 0)
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["label"], r["score_q"])
+           for r in nb_classify(df, "doc_id", "text", "topics").collect()}
+    for i, t in rows:
+        exp_label, _ = model.predict_one(t)
+        assert got[i][0] == exp_label, (i, t, got[i], exp_label)
+    assert got[5] == (None, 0)
+    # integer scores are exact: a re-run returns identical values
+    again = {r["doc_id"]: (r["label"], r["score_q"])
+             for r in nb_classify(df, "doc_id", "text", "topics").collect()}
+    assert again == got
