@@ -154,35 +154,50 @@ ENTITY_RISK_RE = (
 _SLOW_PATH_RE = ENTITY_RISK_RE + "|[\\t\\n\\r]"
 
 
+# Structural fast-path shape, tested on the RAW href in ONE regex:
+#   - absolute `https?://host[:port][/?rest]` or scheme-relative `//host...`
+#     with a plain `[A-Za-z0-9.-]` host (no userinfo, no IPv6 brackets, no
+#     spaces/controls in the rest),
+#   - or root-relative `/path` (not `//`, no whitespace),
+#   - with optional leading/trailing SPACES (F.trim strips only 0x20 —
+#     \t\n\r at the ends behave differently from Python str.strip, so any
+#     control char routes to the slow path) and an optional `#fragment`.
+# The predicate only needs to IMPLY fast==python — over-routing to the UDF
+# slow path is always correct — so it can be strictly narrower than the old
+# derived-tree form (e.g. it also rejects spaces inside paths). Keeping it
+# to one regex + one gated regex matters: the old formulation re-derived
+# _pre_clean/authority trees that Catalyst inlined into the Filter and the
+# whole-stage code grew past janino's hard 64 KB method limit — the entire
+# link stage silently fell back to interpreted mode (measured: 1.77 MB of
+# generated Java for the fast branch).
+# Spaces (0x20 only) are allowed inside path/query — F.trim and Python
+# str.strip treat edge spaces identically and inner spaces pass through both
+# canonicalizers untouched; \t\n\r anywhere outside a fragment routes slow
+# (F.trim does NOT strip them, str.strip does). Everything after the first
+# '#' is discarded identically by both paths, so fragment content is free-
+# form ([\s\S]: Java '.' excludes \n) — a '#' materializing from an entity
+# decode is impossible here because ENTITY_RISK_RE already routed it slow.
+FAST_STRUCT_RE = (
+    r"^ *(?:(?i:https?:)?//[A-Za-z0-9.\-]+(?::[0-9]*)?(?:[/?][^#\t\n\r]*)?"
+    r"|/(?:[^/#\t\n\r][^#\t\n\r]*)?|/)(?:#[\s\S]*| *)$"
+)
+
+
 def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:
     """True where the JVM expression fast-path produces the same result as
     :func:`canonicalize`: absolute http(s) links, scheme-relative ``//``
     links, and root-relative ``/path`` links (base is already canonical in
     the crawl — pages come from our own frontier). Doc-relative links
     (``sibling``, ``../up``), userinfo URLs, entity-decode-divergent hrefs
-    (see ``ENTITY_RISK_RE``) and exotic escapes go to the pandas-UDF slow
-    path. In practice ≥95% of extracted links are absolute or root-relative
-    with at most plain ``&amp;``, so the hot path stays in codegen."""
-    h = _pre_clean(href)
-    # the entity-risk alternation (100+ legacy entity names) is by far the
-    # most expensive regex here — gate it behind a substring probe on the
-    # bare input column ('&' appears in every ENTITY_RISK_RE branch), so the
-    # common ampersand-free href skips it entirely. Leaf-level gating only:
-    # when()-wrapping derived when-trees duplicates subtrees at every
-    # reference and blows up codegen (measured: analysis/codegen hang).
+    (see ``ENTITY_RISK_RE``), whitespace-bearing and exotic hrefs go to the
+    pandas-UDF slow path. In practice ≥95% of extracted links are absolute
+    or root-relative with at most plain ``&amp;``, so the hot path stays in
+    codegen. The entity-risk alternation (100+ legacy entity names) is gated
+    behind a substring probe on the bare column ('&' appears in every
+    ENTITY_RISK_RE branch), so the common ampersand-free href skips it."""
     entity_risk = F.when(href.contains("&"),
                          href.rlike(ENTITY_RISK_RE)).otherwise(F.lit(False))
-    ctl_ws = (href.contains("\t") | href.contains("\n") | href.contains("\r"))
-    decode_safe = ~entity_risk & ~ctl_ws
-    # absolute-or-scheme-relative with a plain host[:port] authority (no
-    # userinfo, no IPv6 brackets — those keep python's urlsplit semantics)
-    h_abs = F.when(h.startswith("//"), F.concat(F.lit("http:"), h)).otherwise(h)
-    auth = F.regexp_extract(h_abs, r"^(?i)https?://([^/?#]+)", 1)
-    is_abs = h_abs.rlike("^(?i)https?://") & \
-        auth.rlike(r"^[A-Za-z0-9.\-]+(:[0-9]*)?$")
-    is_root_rel = h.startswith("/") & ~h.startswith("//")
-    no_scheme = ~h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
-    return decode_safe & (is_abs | (is_root_rel & no_scheme))
+    return ~entity_risk & href.rlike(FAST_STRUCT_RE)
 
 
 def _pre_clean(href: F.Column) -> F.Column:
@@ -251,24 +266,8 @@ def with_fast_canonical(df, href_col: str = "href", base_col: str = "base"):
     H, B = F.col(href_col), F.col(base_col)
     df = df.withColumn("_pc", _pre_clean(H))
     pc = F.col("_pc")
-    # ---- applicability --------------------------------------------------
-    entity_risk = F.when(H.contains("&"),
-                         H.rlike(ENTITY_RISK_RE)).otherwise(F.lit(False))
-    ctl_ws = H.contains("\t") | H.contains("\n") | H.contains("\r")
-    df = df.withColumn("_safe", ~entity_risk & ~ctl_ws)
-    df = df.withColumn(
-        "_habs",
-        F.when(pc.startswith("//"), F.concat(F.lit("http:"), pc))
-         .otherwise(pc))
-    habs = F.col("_habs")
-    df = df.withColumn(
-        "_auth0", F.regexp_extract(habs, r"^(?i)https?://([^/?#]+)", 1))
-    is_abs = habs.rlike("^(?i)https?://") & \
-        F.col("_auth0").rlike(r"^[A-Za-z0-9.\-]+(:[0-9]*)?$")
-    is_root_rel = pc.startswith("/") & ~pc.startswith("//")
-    no_scheme = ~pc.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
-    df = df.withColumn(
-        "_appl", F.col("_safe") & (is_abs | (is_root_rel & no_scheme)))
+    # ---- applicability: two regexes on the raw href (FAST_STRUCT_RE) ----
+    df = df.withColumn("_appl", canonicalize_fast_applicable(H, B))
     # ---- fast-path value (canonicalize_col, staged) ----------------------
     df = df.withColumn(
         "_bsch0", F.lower(F.regexp_extract(B, r"^(?i)(https?)://", 1)))
@@ -312,8 +311,18 @@ def with_fast_canonical(df, href_col: str = "href", base_col: str = "base"):
     out = F.concat(s, F.lit("://"), F.col("_netloc"), F.col("_rest"))
     port_ok = (p == "") | (p.cast("int") <= 65535)
     ok = (s != "") & (hh != "") & port_ok & (F.length(out) <= MAX_URL_LEN)
-    df = df.withColumn("_fast_url", F.when(ok, out))
-    return df.drop("_pc", "_safe", "_habs", "_auth0", "_bsch0", "_bsch",
+    # Pushdown barrier: shuffle() is nondeterministic, so Catalyst will not
+    # substitute a downstream filter (e.g. url IS NOT NULL) through this
+    # projection. Without it the substitution re-derives the whole
+    # canonicalizer tree inside the Filter condition — measured 1.77 MB of
+    # generated Java, past janino's hard 64 KB method limit, knocking the
+    # entire link stage out of whole-stage codegen into interpreted mode.
+    # On a 1-element array shuffle∘element_at is the identity, so values
+    # (and the golden crawl logs) are untouched.
+    df = df.withColumn(
+        "_fast_url",
+        F.element_at(F.shuffle(F.array(F.when(ok, out))), F.lit(1)))
+    return df.drop("_pc", "_bsch0", "_bsch",
                    "_bhost", "_res", "_scheme", "_auth", "_host", "_port",
                    "_netloc", "_rest0", "_rest")
 
