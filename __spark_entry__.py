@@ -375,6 +375,11 @@ def q_gopher_quality(spark, sf):  # Gopher repetition + word-shape rules
     return gopher_repetition(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+def q_token_budget(spark, sf):  # per-source token-budget sampling (mixing)
+    from fetcho_spark.operators.textops import token_budget_sample
+    return token_budget_sample(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
 def q_decontaminate(spark, sf):  # n-gram train/eval decontamination
     from fetcho_spark.operators.textops import ngram_contamination
     docs = _t(spark, sf, "documents")
@@ -475,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
+        "token_budget": q_token_budget,
     }
 
 
@@ -915,5 +921,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.nh, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
             LEFT JOIN hits h USING (doc_id)
+            ORDER BY doc_id""",
+        # token_budget: the rank key md5(doc_id || ':42') is the same
+        # cross-engine seeded-ordering trick as minhash_sig; cumulative
+        # integer sums over an identical total order are exact in any engine
+        "token_budget": f"""
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+                   CAST(SUM(n_tokens) OVER w AS BIGINT) <= 800 AS selected
+            FROM (SELECT doc_id, source, {n_tokens} AS n_tokens,
+                         md5(doc_id || ':42') AS rk
+                  FROM documents)
+            WINDOW w AS (PARTITION BY source ORDER BY rk, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             ORDER BY doc_id""",
     }

@@ -11,7 +11,7 @@ ANSI-SQL twin in ``__spark_entry__.py`` so DuckDB oracle-checks the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # language-ID heuristic: stopword-hit scoring (n-gram-ish; deterministic and
@@ -217,6 +217,35 @@ def ngram_contamination(corpus: DataFrame, eval_df: DataFrame,
                      .alias("n_hit_grams"),
                     (F.coalesce(F.col("_nh"), F.lit(0)) > 0)
                      .alias("contaminated")))
+
+
+def token_budget_sample(df: DataFrame, key_col: str = "doc_id",
+                        group_col: str = "source", text_col: str = "text",
+                        budget: int = 800, seed: int = 42) -> DataFrame:
+    """Deterministic per-group token-budget sampling (training-data mixing):
+    rank docs within each group by a seeded hash, keep docs while the
+    group's cumulative token count stays within ``budget`` →
+    ``(key, group, n_tokens, cum_tokens, selected)``.
+
+    The rank key is ``md5(key ':' seed)`` — portable string ordering any
+    engine reproduces exactly (the same cross-engine trick as the minhash
+    signatures), unlike a seeded RNG. One window per group partition
+    (shuffle on the group key, partial nothing — windows don't combine, but
+    the per-group state is a single running sum); group count is the domain
+    count, so partitions stay balanced at corpus scale unless one domain
+    dominates — salt the group key upstream in that case.
+    """
+    rk = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                           F.lit(str(seed))))
+    w = (Window.partitionBy(group_col).orderBy("_rk", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.select(F.col(key_col), F.col(group_col),
+                      token_count(F.col(text_col)).alias("n_tokens"),
+                      rk.alias("_rk"))
+            .withColumn("cum_tokens",
+                        F.sum("n_tokens").over(w).cast("long"))
+            .withColumn("selected", F.col("cum_tokens") <= F.lit(budget))
+            .drop("_rk"))
 
 
 def keyword_counts(df: DataFrame, text_col: str = "text",

@@ -322,3 +322,26 @@ def test_nb_classify_quantized_matches_udf(spark):
     again = {r["doc_id"]: (r["label"], r["score_q"])
              for r in nb_classify(df, "doc_id", "text", "topics").collect()}
     assert again == got
+
+
+@pytest.mark.spark
+def test_token_budget_sample(spark):
+    """Per-group budget: cumulative tokens in seeded-hash order; selection
+    stops once the running sum crosses the budget; groups independent."""
+    rows = [(i, "g1", "one two three four five") for i in range(4)]   # 5 tok
+    rows += [(10, "g2", "a b"), (11, "g2", "c d e f g h i j k l")]   # 2, 10
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in TX.token_budget_sample(df, budget=12).collect()}
+    # g1: 4 docs × 5 tokens in hash order → cum 5,10,15,20 → first two kept
+    g1 = sorted(got[i]["cum_tokens"] for i in range(4))
+    assert g1 == [5, 10, 15, 20]
+    assert sum(got[i]["selected"] for i in range(4)) == 2
+    # g2 cum depends on hash order of (10, 11) but both fit or stop exactly
+    assert {got[10]["n_tokens"], got[11]["n_tokens"]} == {2, 10}
+    assert max(got[10]["cum_tokens"], got[11]["cum_tokens"]) == 12
+    assert got[10]["selected"] and got[11]["selected"]
+    # deterministic across runs
+    again = {r["doc_id"]: r.asDict()
+             for r in TX.token_budget_sample(df, budget=12).collect()}
+    assert again == got
