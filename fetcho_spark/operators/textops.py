@@ -156,15 +156,18 @@ def gopher_repetition(df: DataFrame, key_col: str = "doc_id",
     ≥ 2× in the doc / characters covered by all 2-gram occurrences;
     ``top_bigram_char_frac`` = the single most-covering 2-gram's share (our
     deterministic reading of Gopher's "fraction of characters in the most
-    common 2-gram"). Two partial-aggregated shuffles keyed by the document
-    (word stats + per-(doc,gram) counts) — at 100 TB both combine map-side,
-    and nothing crosses the driver.
+    common 2-gram"). Word count / mean word length are computed array-side
+    per row (zero shuffle); only the per-(doc,gram) counting aggregates —
+    one partial-combined shuffle keyed by the document, plus the join back.
+    (The gram stats could go fully shuffle-free with a sort+fold over the
+    bigram array; kept as groupBy for clarity since it map-side combines.)
     """
     key = F.col(key_col)
-    ws = (df.select(key, F.explode(words_arr(F.col(text_col))).alias("_w"))
-          .groupBy(key_col)
-          .agg(F.count("*").alias("_nw"),
-               F.sum(F.length("_w")).alias("_sum_len")))
+    a = words_arr(F.col(text_col))
+    base = df.select(
+        key, F.size(a).alias("_nw"),
+        F.aggregate(a, F.lit(0), lambda acc, x: acc + F.length(x))
+         .alias("_sum_len"))
     covered = (F.col("_c") * F.length("_g")).cast("long")
     bs = (df.select(key, F.explode(word_ngrams(F.col(text_col), 2))
                     .alias("_g"))
@@ -174,18 +177,21 @@ def gopher_repetition(df: DataFrame, key_col: str = "doc_id",
                F.sum(F.when(F.col("_c") >= 2, covered).otherwise(F.lit(0)))
                 .alias("_dup"),
                F.max(covered).alias("_top")))
-    mwl = _floor6(F.col("_sum_len").cast("double") / F.col("_nw"))
-    dupf = _floor6(F.col("_dup").cast("double") / F.col("_total"))
-    topf = _floor6(F.col("_top").cast("double") / F.col("_total"))
+    # try_divide: n_words can be 0 (empty doc) and ANSI mode makes /0 throw;
+    # null here mirrors the SQL twin's missing-LEFT-JOIN row
+    mwl = _floor6(F.try_divide(F.col("_sum_len").cast("double"),
+                               F.col("_nw")))
+    dupf = _floor6(F.try_divide(F.col("_dup").cast("double"),
+                                F.col("_total")))
+    topf = _floor6(F.try_divide(F.col("_top").cast("double"),
+                                F.col("_total")))
     ok = ((F.col("_nw") >= F.lit(GOPHER_MIN_WORDS))
           & (mwl >= F.lit(GOPHER_MWL_MIN)) & (mwl <= F.lit(GOPHER_MWL_MAX))
           & (dupf <= F.lit(GOPHER_MAX_DUP_BIGRAM_FRAC))
           & (topf <= F.lit(GOPHER_MAX_TOP_BIGRAM_FRAC)))
-    return (df.select(key)
-            .join(ws, key_col, "left").join(bs, key_col, "left")
+    return (base.join(bs, key_col, "left")
             .select(key,
-                    F.coalesce(F.col("_nw"), F.lit(0)).cast("long")
-                     .alias("n_words"),
+                    F.col("_nw").cast("long").alias("n_words"),
                     mwl.alias("mean_word_len"),
                     dupf.alias("dup_bigram_char_frac"),
                     topf.alias("top_bigram_char_frac"),
