@@ -375,6 +375,12 @@ def q_gopher_quality(spark, sf):  # Gopher repetition + word-shape rules
     return gopher_repetition(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+def q_simhash_pairs(spark, sf):  # banded simhash near-dup pair mining
+    from fetcho_spark.operators.dedup import simhash_near_pairs
+    return (simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
 def q_token_budget(spark, sf):  # per-source token-budget sampling (mixing)
     from fetcho_spark.operators.textops import token_budget_sample
     return token_budget_sample(_t(spark, sf, "documents")).orderBy("doc_id")
@@ -481,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
         "token_budget": q_token_budget,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -935,4 +942,27 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY source ORDER BY rk, doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             ORDER BY doc_id""",
+        # simhash_pairs: 4×15-bit banding (pigeonhole: hamming ≤ 3 ⇒ one
+        # exact band) → band equi-join → bit_count(xor) verify; the same
+        # signatures as the `simhash` entry
+        "simhash_pairs": f"""
+            WITH w AS ({words_cte}),
+            t AS (SELECT doc_id, unnest(w) AS tok FROM w),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                  FROM t WHERE tok <> ''),
+            s AS (SELECT doc_id, {simhash_bits} AS sh
+                  FROM h GROUP BY doc_id),
+            b AS (SELECT doc_id, sh, u.i AS bi,
+                         (sh >> (u.i * 15)) & 32767 AS bv
+                  FROM s, unnest([0, 1, 2, 3]) AS u(i)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                            a.sh AS sha, c.sh AS shb
+                     FROM b a JOIN b c
+                       ON a.bi = c.bi AND a.bv = c.bv
+                      AND a.doc_id < c.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+            ORDER BY id_a, id_b""",
     }

@@ -36,6 +36,7 @@ HEADLINE = [
     "embedding_norms", "sessionize", "token_count", "quality_score",
     "lang_id", "fingerprint", "politeness_budget", "distinct_window",
     "seeded_sample", "order_page", "priority_semantics", "query_language",
+    "ml_classify", "gopher_quality", "decontaminate", "token_budget",
 ]
 
 # crawl bench universe: 400k-page web, 20k hosts (zipf-skewed), 16M-mention

@@ -39,10 +39,13 @@ def canonicalize(href: str | None, base: str | None = None) -> str | None:
     s = html.unescape(href).strip()
     if not s:
         return None
-    # strip fragment first (reference strips '#anchor' before anything else)
+    # strip fragment first (reference strips '#anchor' before anything else);
+    # re-strip after — '0 #' exposes a trailing space that would otherwise
+    # survive into the path and break idempotence (fuzz-found:
+    # canonicalize(canonicalize(x)) must equal canonicalize(x))
     hash_at = s.find("#")
     if hash_at >= 0:
-        s = s[:hash_at]
+        s = s[:hash_at].strip()
         if not s:
             return None
     base_scheme = "http"
@@ -207,7 +210,10 @@ def _pre_clean(href: F.Column) -> F.Column:
     for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
                     ("&quot;", '"'), ("&#39;", "'")):
         h = F.replace(h, F.lit(ent), F.lit(ch))
-    h = F.substring_index(h, "#", 1)
+    # re-trim after the fragment strip (mirrors canonicalize: '…/x #frag'
+    # exposes trailing spaces; only 0x20 can survive here on the fast subset
+    # since FAST_STRUCT_RE rejects \t\n\r outside fragments)
+    h = F.trim(F.substring_index(h, "#", 1))
     h = F.regexp_replace(h, r"^(?i)(https?):///", r"$1://")
     return h
 

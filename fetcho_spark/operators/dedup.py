@@ -195,3 +195,48 @@ def simhash(df: DataFrame, text_col: str = "text",
                       F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         val = term if val is None else val + term
     return agg.select(id_col, val.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, mined with banding —
+    never an all-pairs product → ``(id_a, id_b, hamming)``.
+
+    The 60-bit signature splits into ``max_hamming + 1`` bands; by
+    pigeonhole, two signatures within ``max_hamming`` bits differ in at most
+    ``max_hamming`` bands, so they agree EXACTLY on at least one — every
+    qualifying pair surfaces from an equi-join on (band_index, band_value)
+    (100% recall), then ``bit_count(xor)`` verifies the exact distance. At
+    corpus scale the join cost is Σ bucket², bounded by the band-value
+    distribution, vs n² for brute force; hot buckets (near-identical
+    boilerplate clusters) can be frequency-capped upstream like
+    ``jaccard_pairs``.
+    """
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands  # the last band absorbs the remainder
+    sigs = simhash(df, text_col, id_col)
+    bands = []
+    for i in range(n_bands):
+        lo = i * width
+        w = SIMHASH_BITS - lo if i == n_bands - 1 else width
+        bands.append(F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftright(F.col("simhash"), lo)
+             .bitwiseAND(F.lit((1 << w) - 1)).alias("bv")))
+    b = (sigs.select(F.col(id_col), F.col("simhash"),
+                     F.explode(F.array(*bands)).alias("_b"))
+         .select(id_col, "simhash",
+                 F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv")))
+    left = b.select(F.col(id_col).alias("id_a"),
+                    F.col("simhash").alias("_sha"), "bi", "bv")
+    right = b.select(F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("_shb"), "bi", "bv")
+    cand = (left.join(right, ["bi", "bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_sha", "_shb")
+            .distinct())
+    ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).cast("int")
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -23,6 +23,13 @@ CHECKS = {
     # offset+limit paging compiles to GlobalLimit (offset needs the global
     # order), bounded by the ≤50-row page size
     "social_format": ["GlobalLimit"],
+    # vocab / eval-gram set must broadcast (corpus side never shuffles
+    # for the join)
+    "ml_classify": ["BroadcastHashJoin", "HashAggregate"],
+    "decontaminate": ["BroadcastHashJoin"],
+    "gopher_quality": ["HashAggregate"],
+    "token_budget": ["Window"],
+    "simhash_pairs": ["HashAggregate"],
 }
 
 

@@ -345,3 +345,26 @@ def test_token_budget_sample(spark):
     again = {r["doc_id"]: r.asDict()
              for r in TX.token_budget_sample(df, budget=12).collect()}
     assert again == got
+
+
+@pytest.mark.spark
+def test_simhash_near_pairs_banding_complete(spark):
+    """Banding recall is exact: pairs within max_hamming match brute-force
+    bit_count(xor) over all signature pairs; unrelated docs don't pair."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog near the bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the bank"),
+            (3, "the quick brown fox jumps over the lazy cat near the bank"),
+            (4, "a completely different document about spark query engines"),
+            (5, "unrelated text with mumble zzz qqq words entirely other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.simhash_near_pairs(df, max_hamming=6).collect()}
+    # brute force over the same signatures
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    ids = sorted(sigs)
+    expect = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+              for i, a in enumerate(ids) for b in ids[i + 1:]
+              if bin(sigs[a] ^ sigs[b]).count("1") <= 6}
+    assert got == expect
+    assert got[(1, 2)] == 0          # exact dup → hamming 0
+    assert (1, 4) not in got         # unrelated stays apart
