@@ -118,7 +118,10 @@ def run_payload(spark, data_dir: str) -> dict:
     verify_payload(df.limit(4000)).filter("decode_ok").count()  # warmup
     n = df.count()
     best = None
-    for _rep in range(3):  # best-of-3, warm workers (±25% box noise)
+    for _rep in range(5):  # best-of-5, warm workers (the box shows co-tenant
+                           # noise: hw_calibrate bandwidth efficiency swung
+                           # 0.79 → 0.096 across two identical runs; more
+                           # trials give the clean-bus sample a chance)
         t0 = time.time()
         n_ok = verify_payload(df).filter(
             "decode_ok AND dims_ok AND phash_ok AND psnr_ok").count()

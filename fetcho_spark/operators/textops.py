@@ -131,14 +131,27 @@ def words_arr(col: Column) -> Column:
                     lambda x: x != F.lit(""))
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Space-joined word n-grams (empty array when the doc has < n words)."""
-    a = words_arr(col)
+def word_ngrams_arr(a: Column, n: int) -> Column:
+    """Space-joined word n-grams of an ALREADY-MATERIALIZED word-array
+    column (empty array when the doc has < n words).
+
+    Callers must pass a bound column (``df.withColumn("_wa", words_arr(...))``
+    first), not the ``words_arr(...)`` expression itself: expressions
+    referenced inside a higher-order-function lambda are evaluated PER
+    ELEMENT, so an inlined regex split would re-run once per gram —
+    measured ~5× slower on the gopher/decontamination queries."""
     idx = F.sequence(F.lit(1),
                      F.greatest(F.size(a) - F.lit(n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(a, i, n), " "))
     return F.when(F.size(a) >= n, grams).otherwise(
         F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Space-joined word n-grams of a text column — convenience form; for
+    hot paths stage :func:`words_arr` as a column and use
+    :func:`word_ngrams_arr` (see its warning)."""
+    return word_ngrams_arr(words_arr(col), n)
 
 
 def _floor6(col: Column) -> Column:
@@ -163,14 +176,14 @@ def gopher_repetition(df: DataFrame, key_col: str = "doc_id",
     bigram array; kept as groupBy for clarity since it map-side combines.)
     """
     key = F.col(key_col)
-    a = words_arr(F.col(text_col))
-    base = df.select(
-        key, F.size(a).alias("_nw"),
-        F.aggregate(a, F.lit(0), lambda acc, x: acc + F.length(x))
+    staged = df.select(key, words_arr(F.col(text_col)).alias("_wa"))
+    wa = F.col("_wa")
+    base = staged.select(
+        key, F.size(wa).alias("_nw"),
+        F.aggregate(wa, F.lit(0), lambda acc, x: acc + F.length(x))
          .alias("_sum_len"))
     covered = (F.col("_c") * F.length("_g")).cast("long")
-    bs = (df.select(key, F.explode(word_ngrams(F.col(text_col), 2))
-                    .alias("_g"))
+    bs = (staged.select(key, F.explode(word_ngrams_arr(wa, 2)).alias("_g"))
           .groupBy(key_col, "_g").agg(F.count("*").alias("_c"))
           .groupBy(key_col)
           .agg(F.sum(covered).alias("_total"),
@@ -210,9 +223,14 @@ def ngram_contamination(corpus: DataFrame, eval_df: DataFrame,
     combine on the doc key). Production decontamination uses n of 8–13; the
     default 4 matches the synthetic fixtures' gram length.
     """
-    grams = F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
-    eval_grams = eval_df.select(grams).distinct()
-    hits = (corpus.select(F.col(key_col), grams)
+    def _grams(src: DataFrame, *cols: str) -> DataFrame:
+        staged = src.select(*[F.col(c) for c in cols],
+                            words_arr(F.col(text_col)).alias("_wa"))
+        return staged.select(*cols, F.explode(
+            word_ngrams_arr(F.col("_wa"), n)).alias("_g"))
+
+    eval_grams = _grams(eval_df).distinct()
+    hits = (_grams(corpus, key_col)
             .join(F.broadcast(eval_grams), "_g")
             .groupBy(key_col)
             .agg(F.count_distinct("_g").alias("_nh")))

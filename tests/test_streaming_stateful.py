@@ -69,3 +69,46 @@ def test_seen_ttl_readmits(spark):
     rows = _run_stream(spark, [b0, b1, b2], ttl_ms=ttl)
     ts = sorted(r["ts_ms"] for r in rows)
     assert ts == [1000, 1600]
+
+
+TS_MENTION_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_streaming_url_dedup_builtin(spark):
+    """dropDuplicatesWithinWatermark variant of P1: in-batch and
+    cross-batch dups collapse to the first arrival within the horizon."""
+    import datetime as dt
+    from fetcho_spark.streaming.loop import streaming_url_dedup
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    b0 = [("http://a.example/1", t(1)), ("http://a.example/2", t(2)),
+          ("http://a.example/1", t(3))]
+    b1 = [("http://a.example/1", t(10)), ("http://a.example/3", t(11))]
+    src = tempfile.mkdtemp(prefix="dedupstream-src-")
+    ckpt = tempfile.mkdtemp(prefix="dedupstream-ckpt-")
+    try:
+        for i, rows in enumerate([b0, b1]):
+            (spark.createDataFrame(rows, TS_MENTION_SCHEMA)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(src, f"b{i}")))
+        stream = (spark.readStream.schema(TS_MENTION_SCHEMA)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/b*"))
+        out = streaming_url_dedup(stream, watermark="10 minutes")
+        q = (out.writeStream.format("memory").queryName("urldedup_out")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM urldedup_out").collect()
+        urls = sorted(r["url"] for r in rows)
+        assert urls == ["http://a.example/1", "http://a.example/2",
+                        "http://a.example/3"]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
