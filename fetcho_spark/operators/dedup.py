@@ -197,41 +197,42 @@ def simhash(df: DataFrame, text_col: str = "text",
     return agg.select(id_col, val.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, mined with banding —
-    never an all-pairs product → ``(id_a, id_b, hamming)``.
+def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
+                       n_bits: int, max_hamming: int) -> DataFrame:
+    """Pairs of ids whose ``n_bits``-bit signatures are within
+    ``max_hamming``, mined with banding — never an all-pairs product →
+    ``(id_a, id_b, hamming)``.
 
-    The 60-bit signature splits into ``max_hamming + 1`` bands; by
-    pigeonhole, two signatures within ``max_hamming`` bits differ in at most
-    ``max_hamming`` bands, so they agree EXACTLY on at least one — every
-    qualifying pair surfaces from an equi-join on (band_index, band_value)
-    (100% recall), then ``bit_count(xor)`` verifies the exact distance. At
-    corpus scale the join cost is Σ bucket², bounded by the band-value
-    distribution, vs n² for brute force; hot buckets (near-identical
-    boilerplate clusters) can be frequency-capped upstream like
-    ``jaccard_pairs``.
+    The signature splits into ``max_hamming + 1`` bands (last band absorbs
+    the remainder); by pigeonhole, two signatures within ``max_hamming``
+    bits differ in at most ``max_hamming`` bands, so they agree EXACTLY on
+    at least one — every qualifying pair surfaces from an equi-join on
+    (band_index, band_value) (100% recall), then ``bit_count(xor)``
+    verifies the exact distance. At corpus scale the join cost is
+    Σ bucket², bounded by the band-value distribution, vs n² brute force;
+    hot buckets (near-identical boilerplate clusters) can be
+    frequency-capped upstream like ``jaccard_pairs``. Arithmetic
+    ``shiftright`` + mask is sign-safe, so full signed-64-bit signatures
+    (image phash) work as well as simhash-60.
     """
     n_bands = max_hamming + 1
-    width = SIMHASH_BITS // n_bands  # the last band absorbs the remainder
-    sigs = simhash(df, text_col, id_col)
+    width = n_bits // n_bands
     bands = []
     for i in range(n_bands):
         lo = i * width
-        w = SIMHASH_BITS - lo if i == n_bands - 1 else width
+        w = n_bits - lo if i == n_bands - 1 else width
         bands.append(F.struct(
             F.lit(i).alias("bi"),
-            F.shiftright(F.col("simhash"), lo)
+            F.shiftright(F.col(sig_col), lo)
              .bitwiseAND(F.lit((1 << w) - 1)).alias("bv")))
-    b = (sigs.select(F.col(id_col), F.col("simhash"),
+    b = (sigs.select(F.col(id_col), F.col(sig_col),
                      F.explode(F.array(*bands)).alias("_b"))
-         .select(id_col, "simhash",
+         .select(id_col, sig_col,
                  F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv")))
     left = b.select(F.col(id_col).alias("id_a"),
-                    F.col("simhash").alias("_sha"), "bi", "bv")
+                    F.col(sig_col).alias("_sha"), "bi", "bv")
     right = b.select(F.col(id_col).alias("id_b"),
-                     F.col("simhash").alias("_shb"), "bi", "bv")
+                     F.col(sig_col).alias("_shb"), "bi", "bv")
     cand = (left.join(right, ["bi", "bv"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "_sha", "_shb")
@@ -240,3 +241,25 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Text near-dup pairs by simhash-60 hamming distance (banded — see
+    :func:`hamming_band_pairs`) → ``(id_a, id_b, hamming)``."""
+    return hamming_band_pairs(simhash(df, text_col, id_col), "simhash",
+                              id_col, SIMHASH_BITS, max_hamming)
+
+
+def phash_near_pairs(images: DataFrame, phash_col: str = "phash",
+                     id_col: str = "image_id",
+                     max_hamming: int = 4) -> DataFrame:
+    """IMAGE near-dup pairs by 64-bit perceptual-hash hamming distance
+    (banded — see :func:`hamming_band_pairs`): re-encoded / lightly edited
+    copies of an image land within a few phash bits, exact copies at 0.
+    Input: any frame with an id and an int64 phash column (the corpus
+    `images` table stores one per payload; `functions.codec.phash64`
+    computes it from decoded pixels)."""
+    return hamming_band_pairs(
+        images.select(id_col, phash_col), phash_col, id_col, 64, max_hamming)

@@ -446,6 +446,20 @@ def query_cost_stats(q: ParsedQuery) -> dict:
     }
 
 
+def supported_filters() -> list[dict]:
+    """/supportedFilters introspection — one row per registered filter
+    token with its cost and short help (the API's FilterHelpInfo over
+    FilterAttribute reflection, FetchoAPI/Controllers/
+    WorkspacesController.cs:789-813 + common/Query/FilterAttribute.cs).
+    The '' entry is the plain-word filter (F1)."""
+    out = []
+    for name, (cost, fn) in sorted(_REGISTRY.items()):
+        doc = (getattr(fn, "__doc__", None) or "").strip().splitlines()
+        out.append({"token": name or "(word)", "cost": cost,
+                    "short_help": doc[0].strip() if doc else ""})
+    return out
+
+
 DEFAULT_QUERY_BUDGET = 1_000_000  # QueryBudgetForAverageQueryCost
 
 

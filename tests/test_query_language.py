@@ -260,3 +260,22 @@ def test_paging_and_random(spark):
     r1 = [r["url"] for r in Q.random_results(df, 2).collect()]
     r2 = [r["url"] for r in Q.random_results(df, 2).collect()]
     assert r1 == r2 and len(r1) == 2  # seeded → stable
+
+
+def test_supported_filters_introspection():
+    """/supportedFilters analog: every documented filter family is listed
+    with a positive cost (FilterHelpInfo over the registry)."""
+    from fetcho_spark.plans.query import supported_filters
+    fl = supported_filters()
+    toks = {f["token"] for f in fl}
+    # distinct-window (F16) is deliberately absent: it is a set-reducing
+    # window over the result stream (plans.query.distinct_window), not a
+    # per-row Column predicate, so it lives at the plan level
+    for required in ("(word)", "text", "regex", "site", "uri", "title",
+                     "has", "property", "hash", "filetype", "lang",
+                     "random", "tag", "xpath", "query",
+                     "ml-model", "geo-ip-country", "geo-ip-city",
+                     "geo-ip-subdivision", "geo-ip-ll",
+                     "request-header", "response-header"):
+        assert required in toks, required
+    assert all(f["cost"] > 0 for f in fl)

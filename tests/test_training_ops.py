@@ -368,3 +368,36 @@ def test_simhash_near_pairs_banding_complete(spark):
     assert got == expect
     assert got[(1, 2)] == 0          # exact dup → hamming 0
     assert (1, 4) not in got         # unrelated stays apart
+
+
+@pytest.mark.spark
+def test_phash_near_pairs_images(spark):
+    """Image near-dup mining over 64-bit phash: an exact byte copy pairs at
+    hamming 0, a lightly-noised re-render pairs within the threshold, and
+    negative (sign-bit-set) phashes band correctly."""
+    import numpy as np
+    from fetcho_spark.functions.codec import decode, encode, phash64
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    noisy = px.copy()
+    noisy[::16, ::16] ^= 1                      # tiny perturbation
+    other = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    rows = []
+    for iid, pixels in (("a", px), ("a_copy", px), ("a_noisy", noisy),
+                        ("other", other)):
+        dec, _ = decode(encode(pixels, "png"))
+        rows.append((iid, phash64(dec)))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.phash_near_pairs(df, max_hamming=8).collect()}
+    sigs = dict(rows)
+    expect = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 8:
+                expect[(a, b)] = h
+    assert got == expect                        # banding ≡ brute force
+    assert got[("a", "a_copy")] == 0            # exact copy
+    assert ("a", "other") not in got            # unrelated image
