@@ -386,6 +386,34 @@ def q_token_budget(spark, sf):  # per-source token-budget sampling (mixing)
     return token_budget_sample(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+def q_doc_chunks(spark, sf):  # context-window chunking with overlap
+    from fetcho_spark.operators.textops import chunk_documents
+    return (chunk_documents(_t(spark, sf, "documents"))
+            .orderBy("doc_id", "chunk_id"))
+
+
+def _pii_synth(docs):
+    # deterministic synthetic PII appended so the scrub oracle is
+    # non-vacuous on the word-soup corpus
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-4"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        ).alias("synth"))
+
+
+def q_pii_scrub(spark, sf):  # C4-style PII masking with counts
+    from fetcho_spark.operators.textops import scrub_pii
+    return (scrub_pii(_pii_synth(_t(spark, sf, "documents")),
+                      text_col="synth")
+            .orderBy("doc_id"))
+
+
 def q_decontaminate(spark, sf):  # n-gram train/eval decontamination
     from fetcho_spark.operators.textops import ngram_contamination
     docs = _t(spark, sf, "documents")
@@ -488,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "token_budget": q_token_budget,
         "simhash_pairs": q_simhash_pairs,
+        "doc_chunks": q_doc_chunks,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -513,6 +543,13 @@ def _sql_lang_score(lang: str) -> str:
 def _ml_sql() -> str:
     from fetcho_spark.functions.mlmodel import nb_classify_sql
     return nb_classify_sql("topics")
+
+
+from fetcho_spark.operators.textops import PII_PATTERNS as _PII
+
+_PII_EMAIL = _PII[0][1]
+_PII_IP = _PII[1][1]
+_PII_PHONE = _PII[2][1]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -965,4 +1002,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(sha, shb)) <= 3
             ORDER BY id_a, id_b""",
+        # doc_chunks: chunk i covers words [i*56, i*56+64); chunk count =
+        # ceil(max(n-8,1)/56) so the final partial chunk appears once and
+        # never as a fully-contained duplicate
+        "doc_chunks": """
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ), ch AS (
+              SELECT doc_id, len(a) AS nw,
+                     unnest(CASE WHEN len(a) > 0 THEN
+                       list_transform(
+                         range(0, CAST(floor((greatest(len(a) - 8, 1) + 55)
+                                             / 56.0) AS INT)),
+                         i -> struct_pack(ci := i,
+                                txt := array_to_string(
+                                  a[i*56+1 : i*56+64], ' ')))
+                       ELSE CAST([] AS STRUCT(ci BIGINT, txt VARCHAR)[])
+                     END) AS u
+              FROM arrs)
+            SELECT doc_id, CAST(u.ci AS INT) AS chunk_id,
+                   CAST(least(64, nw - u.ci * 56) AS INT) AS n_tokens,
+                   u.txt AS chunk_text
+            FROM ch ORDER BY doc_id, chunk_id""",
+        # pii_scrub: same conservative Java/RE2-shared regexes as
+        # textops.PII_PATTERNS, same synthetic injection, 'g' flag (DuckDB
+        # regexp_replace is first-match-only without it)
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(synth,
+                     '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{_PII_IP}', '<IP>', 'g'),
+                     '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(synth, '{_PII_EMAIL}'))
+                        AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(synth, '{_PII_IP}'))
+                        AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(synth, '{_PII_PHONE}'))
+                        AS BIGINT) AS n_phone
+            FROM (SELECT doc_id,
+                    text || ' contact user' || doc_id
+                         || '@mail.example or 10.0.' || (doc_id % 256)
+                         || '.7 call 555-123-4'
+                         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      AS synth
+                  FROM documents)
+            ORDER BY doc_id""",
     }

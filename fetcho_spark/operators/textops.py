@@ -243,6 +243,71 @@ def ngram_contamination(corpus: DataFrame, eval_df: DataFrame,
                      .alias("contaminated")))
 
 
+def chunk_documents(df: DataFrame, key_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    overlap: int = 8) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap →
+    ``(key, chunk_id, n_tokens, chunk_text)`` — the context-window
+    preparation step of every LLM data pipeline.
+
+    Chunk ``i`` covers words ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the number of chunks is
+    ``ceil(max(n_words − overlap, 1) / stride)`` so the final partial chunk
+    is emitted once and never as a fully-contained duplicate. Entirely
+    per-row array work (zero shuffle): the word array is staged as a column
+    (see :func:`word_ngrams_arr`'s lambda warning), the chunk structs are
+    built with ``transform`` and exploded.
+    """
+    stride = chunk_tokens - overlap
+    staged = df.select(F.col(key_col),
+                       words_arr(F.col(text_col)).alias("_wa"))
+    wa, nw = F.col("_wa"), F.size(F.col("_wa"))
+    n_chunks = F.floor((F.greatest(nw - F.lit(overlap), F.lit(1))
+                        + F.lit(stride - 1)) / F.lit(float(stride))) \
+                .cast("int")
+    chunks = F.when(nw > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("ci"),
+            F.array_join(F.slice(wa, i * stride + 1, chunk_tokens), " ")
+             .alias("txt")))).otherwise(
+        F.expr("array()").cast("array<struct<ci:int,txt:string>>"))
+    return (staged.select(F.col(key_col), nw.alias("_nw"),
+                          F.explode(chunks).alias("_c"))
+            .select(F.col(key_col),
+                    F.col("_c.ci").alias("chunk_id"),
+                    F.least(F.lit(chunk_tokens),
+                            F.col("_nw") - F.col("_c.ci") * F.lit(stride))
+                     .cast("int").alias("n_tokens"),
+                    F.col("_c.txt").alias("chunk_text")))
+
+
+# PII scrubbing (C4/RefinedWeb-style masking) — conservative regexes using
+# only constructs Java regex and RE2 share (char classes + bounded repeats;
+# no lookaround), so any SQL engine reproduces the scrub exactly.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, key_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Mask emails / IPv4s / phone numbers →
+    ``(key, scrubbed, n_email, n_ip, n_phone)``. Counts come from
+    ``regexp_count`` BEFORE masking; masking applies the patterns in the
+    declared order (email first, so its trailing-digit hosts don't get
+    half-eaten by the IP rule). JVM-side built-ins only — one projection,
+    zero shuffle."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+              .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    scrubbed = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(F.col(key_col), scrubbed.alias("scrubbed"), *counts)
+
+
 def token_budget_sample(df: DataFrame, key_col: str = "doc_id",
                         group_col: str = "source", text_col: str = "text",
                         budget: int = 800, seed: int = 42) -> DataFrame:

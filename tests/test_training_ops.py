@@ -401,3 +401,47 @@ def test_phash_near_pairs_images(spark):
     assert got == expect                        # banding ≡ brute force
     assert got[("a", "a_copy")] == 0            # exact copy
     assert ("a", "other") not in got            # unrelated image
+
+
+@pytest.mark.spark
+def test_chunk_documents(spark):
+    """Fixed-token chunking with overlap: boundaries, final partial chunk,
+    no fully-contained duplicate chunk, empty doc yields nothing."""
+    words130 = " ".join(f"w{i}" for i in range(130))
+    words30 = " ".join(f"v{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, words130), (2, words30), (3, "")],
+        "doc_id long, text string")
+    got = {}
+    for r in TX.chunk_documents(df, chunk_tokens=64, overlap=8).collect():
+        got.setdefault(r["doc_id"], []).append(r.asDict())
+    # doc 1: 130 words -> ceil(122/56) = 3 chunks at starts 0, 56, 112
+    c1 = sorted(got[1], key=lambda d: d["chunk_id"])
+    assert [c["chunk_id"] for c in c1] == [0, 1, 2]
+    assert [c["n_tokens"] for c in c1] == [64, 64, 18]
+    assert c1[0]["chunk_text"].startswith("w0 w1 ")
+    assert c1[1]["chunk_text"].split()[0] == "w56"     # overlap of 8
+    assert c1[2]["chunk_text"].split() == [f"w{i}" for i in range(112, 130)]
+    # doc 2: single chunk, all 30 words
+    assert len(got[2]) == 1 and got[2][0]["n_tokens"] == 30
+    # doc 3: no chunks
+    assert 3 not in got
+
+
+@pytest.mark.spark
+def test_scrub_pii(spark):
+    """Email / IPv4 / phone masking with pre-mask counts; clean text is
+    untouched."""
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@sub.example.org or call 555-123-4567 "
+             "from 192.168.1.17 thanks"),
+         (2, "no personal data in this row at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in TX.scrub_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ip"] == 1 \
+        and got[1]["n_phone"] == 1
+    s = got[1]["scrubbed"]
+    assert "<EMAIL>" in s and "<IP>" in s and "<PHONE>" in s
+    assert "jo.doe" not in s and "192.168" not in s and "555-123" not in s
+    assert got[2]["scrubbed"].startswith("no personal data")
+    assert got[2]["n_email"] == got[2]["n_ip"] == got[2]["n_phone"] == 0
