@@ -545,16 +545,17 @@ def _ml_sql() -> str:
     return nb_classify_sql("topics")
 
 
-from fetcho_spark.operators.textops import PII_PATTERNS as _PII
-
-_PII_EMAIL = _PII[0][1]
-_PII_IP = _PII[1][1]
-_PII_PHONE = _PII[2][1]
+def _pii_patterns() -> tuple[str, str, str]:
+    # deferred import like every other fetcho_spark reference in this file
+    # (the driver may import this module before the repo root is on path)
+    from fetcho_spark.operators.textops import PII_PATTERNS
+    return PII_PATTERNS[0][1], PII_PATTERNS[1][1], PII_PATTERNS[2][1]
 
 
 def oracle_sql() -> dict[str, str]:
     toks = "string_split_regex(trim(text), '\\s+')"
     n_tokens = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
+    _PII_EMAIL, _PII_IP, _PII_PHONE = _pii_patterns()
     stop_hits = " + ".join(_sql_hits("pt", f" {w} ") for w in _STOP)
     punct4 = " + ".join(_sql_hits("text", c) for c in [".", ",", "!", "?"])
     fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
