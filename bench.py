@@ -37,6 +37,7 @@ HEADLINE = [
     "lang_id", "fingerprint", "politeness_budget", "distinct_window",
     "seeded_sample", "order_page", "priority_semantics", "query_language",
     "ml_classify", "gopher_quality", "decontaminate", "token_budget",
+    "simhash_pairs", "doc_chunks", "pii_scrub",
 ]
 
 # crawl bench universe: 400k-page web, 20k hosts (zipf-skewed), 16M-mention
