@@ -198,7 +198,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
-                       n_bits: int, max_hamming: int) -> DataFrame:
+                       n_bits: int, max_hamming: int,
+                       max_band_df: int | None = None) -> DataFrame:
     """Pairs of ids whose ``n_bits``-bit signatures are within
     ``max_hamming``, mined with banding — never an all-pairs product →
     ``(id_a, id_b, hamming)``.
@@ -209,11 +210,15 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
     at least one — every qualifying pair surfaces from an equi-join on
     (band_index, band_value) (100% recall), then ``bit_count(xor)``
     verifies the exact distance. At corpus scale the join cost is
-    Σ bucket², bounded by the band-value distribution, vs n² brute force;
-    hot buckets (near-identical boilerplate clusters) can be
-    frequency-capped upstream like ``jaccard_pairs``. Arithmetic
-    ``shiftright`` + mask is sign-safe, so full signed-64-bit signatures
-    (image phash) work as well as simhash-60.
+    Σ bucket², bounded by the band-value distribution, vs n² brute force.
+    ``max_band_df`` makes the boilerplate-cluster bound REAL (the
+    jaccard_pairs document-frequency cap pattern): band buckets with more
+    than that many members are dropped before the self-join, so one
+    million-identical-pages cluster can't produce a 10¹² -pair bucket.
+    Pairs inside a dropped bucket are found only if they still share a
+    colder band — a documented recall trade, exactly like the jaccard cap.
+    Arithmetic ``shiftright`` + mask is sign-safe, so full signed-64-bit
+    signatures (image phash) work as well as simhash-60.
     """
     n_bands = max_hamming + 1
     width = n_bits // n_bands
@@ -229,6 +234,10 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
                      F.explode(F.array(*bands)).alias("_b"))
          .select(id_col, sig_col,
                  F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv")))
+    if max_band_df is not None:
+        cold = (b.groupBy("bi", "bv").agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") <= max_band_df).drop("_n"))
+        b = b.join(cold, ["bi", "bv"])
     left = b.select(F.col(id_col).alias("id_a"),
                     F.col(sig_col).alias("_sha"), "bi", "bv")
     right = b.select(F.col(id_col).alias("id_b"),
@@ -244,17 +253,19 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       max_band_df: int | None = None) -> DataFrame:
     """Text near-dup pairs by simhash-60 hamming distance (banded — see
     :func:`hamming_band_pairs`) → ``(id_a, id_b, hamming)``."""
     return hamming_band_pairs(simhash(df, text_col, id_col), "simhash",
-                              id_col, SIMHASH_BITS, max_hamming)
+                              id_col, SIMHASH_BITS, max_hamming,
+                              max_band_df)
 
 
 def phash_near_pairs(images: DataFrame, phash_col: str = "phash",
                      id_col: str = "image_id",
-                     max_hamming: int = 4) -> DataFrame:
+                     max_hamming: int = 4,
+                     max_band_df: int | None = None) -> DataFrame:
     """IMAGE near-dup pairs by 64-bit perceptual-hash hamming distance
     (banded — see :func:`hamming_band_pairs`): re-encoded / lightly edited
     copies of an image land within a few phash bits, exact copies at 0.
@@ -262,4 +273,5 @@ def phash_near_pairs(images: DataFrame, phash_col: str = "phash",
     `images` table stores one per payload; `functions.codec.phash64`
     computes it from decoded pixels)."""
     return hamming_band_pairs(
-        images.select(id_col, phash_col), phash_col, id_col, 64, max_hamming)
+        images.select(id_col, phash_col), phash_col, id_col, 64,
+        max_hamming, max_band_df)

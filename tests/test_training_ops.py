@@ -445,3 +445,19 @@ def test_scrub_pii(spark):
     assert "jo.doe" not in s and "192.168" not in s and "555-123" not in s
     assert got[2]["scrubbed"].startswith("no personal data")
     assert got[2]["n_email"] == got[2]["n_ip"] == got[2]["n_phone"] == 0
+
+
+@pytest.mark.spark
+def test_hamming_band_hot_bucket_cap(spark):
+    """max_band_df bounds the band self-join: a cluster of identical
+    signatures above the cap produces NO pairs (every band bucket is hot),
+    while pairs outside the cluster survive untouched."""
+    rows = [(i, 0x0F0F0F0F) for i in range(20)]       # hot identical cluster
+    rows += [(100, 0b1010101), (101, 0b1010100)]      # cold near pair (h=1)
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    capped = {(r["id_a"], r["id_b"])
+              for r in D.hamming_band_pairs(df, "sig", "doc_id", 60, 3,
+                                            max_band_df=10).collect()}
+    assert capped == {(100, 101)}                     # cluster suppressed
+    uncapped = D.hamming_band_pairs(df, "sig", "doc_id", 60, 3)
+    assert uncapped.count() == 20 * 19 // 2 + 1       # quadratic without cap
