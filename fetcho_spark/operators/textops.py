@@ -318,23 +318,44 @@ def token_budget_sample(df: DataFrame, key_col: str = "doc_id",
 
     The rank key is ``md5(key ':' seed)`` — portable string ordering any
     engine reproduces exactly (the same cross-engine trick as the minhash
-    signatures), unlike a seeded RNG. One window per group partition
-    (shuffle on the group key, partial nothing — windows don't combine, but
-    the per-group state is a single running sum); group count is the domain
-    count, so partitions stay balanced at corpus scale unless one domain
-    dominates — salt the group key upstream in that case.
+    signatures), unlike a seeded RNG.
+
+    Scale shape: a plain per-group window funnels each group through ONE
+    task — fatal when one domain is half the corpus. This is the same
+    two-phase pattern as ``priority.with_global_seq`` instead:
+    range-partition on the total sort key (group, rank), run the running
+    sum within each range partition, then add per-(group, partition)
+    offsets (a frame bounded by ``shuffle.partitions × groups-per-
+    partition`` count rows, broadcast back). The cumulative sums over a
+    total order are independent of where the range boundaries land, so the
+    result is identical at any parallelism level (partition-invariance
+    unit test).
     """
     rk = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
                            F.lit(str(seed))))
-    w = (Window.partitionBy(group_col).orderBy("_rk", key_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (df.select(F.col(key_col), F.col(group_col),
-                      token_count(F.col(text_col)).alias("n_tokens"),
-                      rk.alias("_rk"))
+    base = df.select(F.col(key_col), F.col(group_col),
+                     token_count(F.col(text_col)).alias("n_tokens"),
+                     rk.alias("_rk"))
+    ranged = (base.repartitionByRange(F.col(group_col), F.col("_rk"),
+                                      F.col(key_col))
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = (Window.partitionBy(group_col, "_pid")
+               .orderBy("_rk", key_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranged = ranged.withColumn("_loc", F.sum("n_tokens").over(w_local))
+    totals = (ranged.groupBy(group_col, "_pid")
+              .agg(F.sum("n_tokens").alias("_t")))
+    w_off = (Window.partitionBy(group_col).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        group_col, "_pid",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"))
+    return (ranged.join(F.broadcast(offsets), [group_col, "_pid"])
             .withColumn("cum_tokens",
-                        F.sum("n_tokens").over(w).cast("long"))
+                        (F.col("_off") + F.col("_loc")).cast("long"))
             .withColumn("selected", F.col("cum_tokens") <= F.lit(budget))
-            .drop("_rk"))
+            .select(key_col, group_col, "n_tokens", "cum_tokens",
+                    "selected"))
 
 
 def keyword_counts(df: DataFrame, text_col: str = "text",

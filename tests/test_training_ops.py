@@ -461,3 +461,23 @@ def test_hamming_band_hot_bucket_cap(spark):
     assert capped == {(100, 101)}                     # cluster suppressed
     uncapped = D.hamming_band_pairs(df, "sig", "doc_id", 60, 3)
     assert uncapped.count() == 20 * 19 // 2 + 1       # quadratic without cap
+
+
+@pytest.mark.spark
+def test_token_budget_partition_invariance(spark):
+    """The two-phase cumulative sum must be identical at any parallelism
+    (range boundaries don't affect sums over a total order)."""
+    rows = [(i, f"g{i % 3}", " ".join(["w"] * (1 + i % 7)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    ref = {r["doc_id"]: (r["cum_tokens"], r["selected"])
+           for r in TX.token_budget_sample(df, budget=50).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = {r["doc_id"]: (r["cum_tokens"], r["selected"])
+               for r in TX.token_budget_sample(df.repartition(7),
+                                               budget=50).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert alt == ref and len(ref) == 200
