@@ -185,6 +185,30 @@ class Catalog:
             return self._read_bucketed(snap)
         return self.spark.read.parquet(*snap.dirs)
 
+    def table_bytes(self, name: str, snapshot_id: int | None = None) -> int:
+        """Total on-disk bytes of a snapshot's data files — driver-side
+        metadata only (the Iceberg analog is a manifest-file stat, no scan).
+        Used to size-guard broadcast decisions: force-broadcast a dimension
+        only while its files fit comfortably in executor memory, else let
+        the join shuffle."""
+        snaps = self._load(name)
+        if not snaps:
+            return 0
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            match = [s for s in snaps if s.id == snapshot_id]
+            if not match:
+                raise KeyError(f"{name}: no snapshot {snapshot_id}")
+            snap = match[0]
+        total = 0
+        for d in snap.dirs:
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if not f.startswith("_") and not f.startswith("."):
+                        total += os.path.getsize(os.path.join(root, f))
+        return total
+
     def read_incremental(self, name: str, after_snapshot_id: int) -> DataFrame | None:
         """Files added strictly after a snapshot — Iceberg incremental read."""
         snaps = self._load(name)

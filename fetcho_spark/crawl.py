@@ -49,6 +49,12 @@ from .functions.urls import with_url_keys
 
 EPOCH0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 
+# Dimension tables (hosts, robots) are force-broadcast into the frontier
+# joins only while their on-disk snapshot size stays under this bound;
+# above it the join falls back to a shuffle on host. Mirrors
+# SeenSet.BROADCAST_MAX_BYTES — one executor-memory-safe policy everywhere.
+DIM_BROADCAST_MAX_BYTES = 64 << 20
+
 FRONTIER_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("host", T.StringType()),
@@ -222,9 +228,16 @@ class CrawlEngine:
         # P8/J1 — seen set (bloom-routed exact anti-join)
         frontier = self.seen.filter_unseen(frontier, now)
 
-        # J2 — hosts join (broadcast: bounded by live-host count) + P10
+        # J2 — hosts join + P10. Broadcast only while the hosts table's
+        # on-disk size fits the dimension threshold (manifest stat, no
+        # scan) — at millions of hosts with robots blobs the broadcast
+        # would OOM the driver/executors, so past the threshold the join
+        # shuffles on host instead (same guard pattern as the seen
+        # filter's BROADCAST_MAX_BYTES route).
         hosts = c.read("hosts")
-        frontier = (frontier.join(F.broadcast(hosts), "host", "left")
+        if c.table_bytes("hosts") <= DIM_BROADCAST_MAX_BYTES:
+            hosts = F.broadcast(hosts)
+        frontier = (frontier.join(hosts, "host", "left")
                     .filter(fr.network_ok(cfg.max_network_issues)))
 
         # P9 — IP-seen-recently: discardable items (those with a referrer;
@@ -266,9 +279,12 @@ class CrawlEngine:
             "path", F.regexp_replace("url", r"^https?://[^/]*", ""))
         frontier = frontier.withColumn(
             "path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
-        frontier = apply_robots_gate(self.spark, frontier, c.read("robots"),
-                                     cfg.user_agent,
-                                     compiled_rules=self._compiled_robots())
+        frontier = apply_robots_gate(
+            self.spark, frontier, c.read("robots"), cfg.user_agent,
+            compiled_rules=self._compiled_robots(),
+            # compiled LIKE arrays are smaller than the raw robots rows, so
+            # the raw table's manifest size is a safe over-estimate
+            broadcast=c.table_bytes("robots") <= DIM_BROADCAST_MAX_BYTES)
 
         # O5 — politeness budget split (chunk_seq already ranks per host).
         # Persist: selected and carryover both consume the full pipeline; a

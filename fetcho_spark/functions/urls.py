@@ -160,30 +160,48 @@ _SLOW_PATH_RE = ENTITY_RISK_RE + "|[\\t\\n\\r]"
 # Structural fast-path shape, tested on the RAW href in ONE regex:
 #   - absolute `https?://host[:port][/?rest]` or scheme-relative `//host...`
 #     with a plain `[A-Za-z0-9.-]` host (no userinfo, no IPv6 brackets, no
-#     spaces/controls in the rest),
-#   - or root-relative `/path` (not `//`, no whitespace),
-#   - with optional leading/trailing SPACES (F.trim strips only 0x20 —
-#     \t\n\r at the ends behave differently from Python str.strip, so any
-#     control char routes to the slow path) and an optional `#fragment`.
+#     controls / non-ASCII in the rest),
+#   - or root-relative `/path` (not `//`),
+#   - with optional leading/trailing SPACES (F.trim strips only 0x20;
+#     Python str.strip removes the full Unicode whitespace set — \t\n\r,
+#     \x0b\x0c, \x1c-\x1f, \x85, NBSP \xa0,  -… — so path/query chars
+#     are restricted to PRINTABLE ASCII minus '#': [ !"$-~]. Any control,
+#     DEL, or non-ASCII char anywhere outside a fragment fails the shape
+#     and routes to the always-correct UDF slow path) and an optional
+#     `#fragment`.
+# The port group rejects leading zeros: Python's urlsplit parses the port
+# numerically ('080' == 80 → default-port drop) while the JVM value path
+# compares strings ('080' != '80' → kept) — leading-zero ports route slow.
 # The predicate only needs to IMPLY fast==python — over-routing to the UDF
 # slow path is always correct — so it can be strictly narrower than the old
-# derived-tree form (e.g. it also rejects spaces inside paths). Keeping it
-# to one regex + one gated regex matters: the old formulation re-derived
-# _pre_clean/authority trees that Catalyst inlined into the Filter and the
-# whole-stage code grew past janino's hard 64 KB method limit — the entire
-# link stage silently fell back to interpreted mode (measured: 1.77 MB of
-# generated Java for the fast branch).
+# derived-tree form. Keeping it to one regex + two gated regexes matters:
+# the old formulation re-derived _pre_clean/authority trees that Catalyst
+# inlined into the Filter and the whole-stage code grew past janino's hard
+# 64 KB method limit — the entire link stage silently fell back to
+# interpreted mode (measured: 1.77 MB of generated Java).
 # Spaces (0x20 only) are allowed inside path/query — F.trim and Python
 # str.strip treat edge spaces identically and inner spaces pass through both
-# canonicalizers untouched; \t\n\r anywhere outside a fragment routes slow
-# (F.trim does NOT strip them, str.strip does). Everything after the first
-# '#' is discarded identically by both paths, so fragment content is free-
-# form ([\s\S]: Java '.' excludes \n) — a '#' materializing from an entity
-# decode is impossible here because ENTITY_RISK_RE already routed it slow.
+# canonicalizers untouched. Everything after the first '#' is discarded
+# identically by both paths, so fragment content is free-form ([\s\S]: Java
+# '.' excludes \n) — a '#' materializing from an entity decode is impossible
+# here because ENTITY_RISK_RE already routed it slow.
 FAST_STRUCT_RE = (
-    r"^ *(?:(?i:https?:)?//[A-Za-z0-9.\-]+(?::[0-9]*)?(?:[/?][^#\t\n\r]*)?"
-    r"|/(?:[^/#\t\n\r][^#\t\n\r]*)?|/)(?:#[\s\S]*| *)$"
+    r'^ *(?:(?i:https?:)?//[A-Za-z0-9.\-]+(?::(?:0|[1-9][0-9]*)?)?'
+    r'(?:[/?][ !"$-~]*)?'
+    r'|/(?:[ !"$-.0-~][ !"$-~]*)?|/)(?:#[\s\S]*| *)$'
 )
+
+# Root-relative hrefs are resolved via urljoin() in the Python reference,
+# which performs RFC 3986 dot-segment removal ('/a/../b' → '/b', '/.' → '/');
+# the JVM fast path just concatenates scheme://host + path. Any root-relative
+# href containing a '.' or '..' PATH SEGMENT (terminated by '/', '?', '#',
+# whitespace-that-trims, or end) therefore routes to the UDF slow path.
+# Scheme-relative and absolute hrefs never pass through urljoin (both paths
+# keep their dot segments verbatim), so only the `/(?!/)` shape is gated.
+# Over-matching (e.g. a segment '. x') is safe — slow path is always correct.
+# Reference: Utility.cs:202-322 resolves relatives via `new Uri(base, rel)`
+# which removes dot segments — Python's urljoin path is the faithful one.
+DOTSEG_RISK_RE = r'^ */(?!/)(?:[ !"$-~]*/)?\.{1,2}(?:[/?#\s]|$)'
 
 
 def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:
@@ -197,10 +215,15 @@ def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:
     or root-relative with at most plain ``&amp;``, so the hot path stays in
     codegen. The entity-risk alternation (100+ legacy entity names) is gated
     behind a substring probe on the bare column ('&' appears in every
-    ENTITY_RISK_RE branch), so the common ampersand-free href skips it."""
+    ENTITY_RISK_RE branch), so the common ampersand-free href skips it;
+    likewise the dot-segment probe is gated behind a ``'/.'`` substring test
+    ('/.' appears in every dot segment), so the common dotless path skips
+    the DOTSEG_RISK_RE regex entirely."""
     entity_risk = F.when(href.contains("&"),
                          href.rlike(ENTITY_RISK_RE)).otherwise(F.lit(False))
-    return ~entity_risk & href.rlike(FAST_STRUCT_RE)
+    dotseg_risk = F.when(href.contains("/."),
+                         href.rlike(DOTSEG_RISK_RE)).otherwise(F.lit(False))
+    return ~entity_risk & ~dotseg_risk & href.rlike(FAST_STRUCT_RE)
 
 
 def _pre_clean(href: F.Column) -> F.Column:

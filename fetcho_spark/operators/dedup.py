@@ -199,7 +199,7 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
                        n_bits: int, max_hamming: int,
-                       max_band_df: int | None = None) -> DataFrame:
+                       max_band_df: int | None = 1000) -> DataFrame:
     """Pairs of ids whose ``n_bits``-bit signatures are within
     ``max_hamming``, mined with banding — never an all-pairs product →
     ``(id_a, id_b, hamming)``.
@@ -217,6 +217,11 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
     million-identical-pages cluster can't produce a 10¹² -pair bucket.
     Pairs inside a dropped bucket are found only if they still share a
     colder band — a documented recall trade, exactly like the jaccard cap.
+    The cap is ON by default (1000, mirroring jaccard_pairs): the default
+    call is bounded at 100 TB; pass ``None`` to opt OUT for exhaustive
+    small-corpus mining. Exact-duplicate mega-clusters that the cap hides
+    from THIS miner are exactly the ones :func:`exact_dedup_groups` already
+    collapses with one groupBy — run that first, then band the survivors.
     Arithmetic ``shiftright`` + mask is sign-safe, so full signed-64-bit
     signatures (image phash) work as well as simhash-60.
     """
@@ -254,7 +259,7 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       max_band_df: int | None = None) -> DataFrame:
+                       max_band_df: int | None = 1000) -> DataFrame:
     """Text near-dup pairs by simhash-60 hamming distance (banded — see
     :func:`hamming_band_pairs`) → ``(id_a, id_b, hamming)``."""
     return hamming_band_pairs(simhash(df, text_col, id_col), "simhash",
@@ -265,7 +270,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 def phash_near_pairs(images: DataFrame, phash_col: str = "phash",
                      id_col: str = "image_id",
                      max_hamming: int = 4,
-                     max_band_df: int | None = None) -> DataFrame:
+                     max_band_df: int | None = 1000) -> DataFrame:
     """IMAGE near-dup pairs by 64-bit perceptual-hash hamming distance
     (banded — see :func:`hamming_band_pairs`): re-encoded / lightly edited
     copies of an image land within a few phash bits, exact copies at 0.

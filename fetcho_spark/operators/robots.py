@@ -114,7 +114,8 @@ def make_disallowed_udf(spark: SparkSession, robots_df: DataFrame,
 def apply_robots_gate(spark: SparkSession, frontier: DataFrame,
                       robots_df: DataFrame, user_agent: str = DEFAULT_UA,
                       path_col: str = "path",
-                      compiled_rules: DataFrame | None = None) -> DataFrame:
+                      compiled_rules: DataFrame | None = None,
+                      broadcast: bool = True) -> DataFrame:
     """P11: drop frontier rows the host's robots rules disallow. Runs LAST in
     the cascade — most expensive predicate (Queueo.cs:426 ordering, R3).
 
@@ -127,10 +128,16 @@ def apply_robots_gate(spark: SparkSession, frontier: DataFrame,
 
     Pass ``compiled_rules`` (from :func:`rules_like_df`, cached per robots
     snapshot) to avoid recompiling unchanged robots state every round.
+    ``broadcast=False`` routes the rules join through a shuffle on host
+    instead of forcing a broadcast — callers with a size estimate (the
+    crawl engine checks the robots table's manifest bytes) must flip it
+    once the compiled-rules dimension outgrows executor memory.
     """
     rules = (compiled_rules if compiled_rules is not None
              else rules_like_df(spark, robots_df, user_agent))
-    joined = frontier.join(F.broadcast(rules), "host", "left")
+    if broadcast:
+        rules = F.broadcast(rules)
+    joined = frontier.join(rules, "host", "left")
     matched = F.filter(
         F.col("_rules"),
         lambda r: F.like(F.col(path_col), r["pat"], F.lit("\\")))

@@ -339,6 +339,14 @@ def token_budget_sample(df: DataFrame, key_col: str = "doc_id",
     ranged = (base.repartitionByRange(F.col(group_col), F.col("_rk"),
                                       F.col(key_col))
               .withColumn("_pid", F.spark_partition_id()))
+    # Pin ONE physical partitioning for all three downstream references
+    # (_loc window, totals agg, final join's left side). Without this the
+    # branches only agree because ReuseExchange + deterministic range
+    # sampling happen to line up — AQE shuffle coalescing or any plan
+    # change defeating exchange reuse would silently desync _pid between
+    # branches and corrupt cum_tokens (round-2 ADVICE). localCheckpoint
+    # truncates lineage so every branch reads the same materialized blocks.
+    ranged = ranged.localCheckpoint(eager=False)
     w_local = (Window.partitionBy(group_col, "_pid")
                .orderBy("_rk", key_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))

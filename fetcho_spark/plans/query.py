@@ -14,10 +14,14 @@ objects; here a parsed query compiles **once** to a pair of Column
 expressions (include-predicate, tags-array) applied to the whole DataFrame —
 the "plan" the reference builds per page is a Catalyst plan built per query.
 
-Filter inventory F1-F23 mapped per SURVEY.md §2.3. GeoIP (F13) joins a
-synthetic ip→geo dim table (MaxMind is external data — out of scope);
-ml-model (F14) is a deterministic hash-based stand-in classifier behind the
-same interface; xpath (F18) is stubbed pending lxml (not in this container).
+Filter inventory F1-F23 mapped per SURVEY.md §2.3, all real and
+oracle-checked: GeoIP (F13) broadcast-joins a synthetic ip→geo dim table
+(operators/geo.py; MaxMind is external data — out of scope, the binder and
+bbox logic are the real thing); ml-model (F14) scores a trained multinomial
+naive-Bayes model (functions/mlmodel.py) with an integer-quantized JVM
+scorer for cross-engine hash parity; xpath (F18) runs a from-scratch
+XPath-subset evaluator over html.parser (functions/xpath.py) with
+compile-time validation.
 """
 
 from __future__ import annotations

@@ -27,6 +27,22 @@ EDGE_HREFS = [
     "http://a.example:99999/x", "  http://a.example/sp  ", "?q=3",
     "//c.example", "http://B.Example/UPPER?Q=1", "data:text/plain,x",
     "http://h9.example/p1#a#b", "/a/b?c=d#e", "HTTPS://x.example/y",
+    # dot-segment resolution: root-relative hrefs go through urljoin in the
+    # Python reference (RFC 3986 dot-segment removal) — the JVM fast path
+    # must NOT claim them (fuzz-found round 2, VERDICT #1)
+    "/.", "/..", "/a/../b", "/./x", "/a/b/../../c", "/a/.", "/a/..",
+    "/.. ", "/..#frag", "/..?q=1", "/.hidden", "/a/.well-known/x",
+    "/page.html", "//b.example/../x", "http://a.example/a/../b",
+    # non-ASCII / exotic whitespace at the edges: Python str.strip removes
+    # these, F.trim does not — must route slow (ADVICE round 2)
+    "http://h.example/p\xa0", "\xa0http://h.example/p",
+    "http://h.example/p\x0b", "http://h.example/p\x0c",
+    "http://h.example/p\x85", "http://h.example/p ",
+    "http://h.example/p\x1f", "/r\xa0", "http://h.example/caf\xe9",
+    # leading-zero ports: urlsplit parses numerically, fast path compared
+    # strings — must route slow (ADVICE round 2)
+    "http://h.example:080/x", "http://h.example:0080/",
+    "http://h.example:0/x", "http://h.example:8080/x#f",
     # entity-decode divergence candidates (must route to the slow path:
     # full html.unescape semantics — numeric refs, case variants, legacy
     # semicolon-less entities, &amp; cascades)

@@ -282,6 +282,29 @@ def test_bucketed_webgraph_crawl_is_byte_identical(spark, crawl_run):
 
 @pytest.mark.spark
 @pytest.mark.slow
+def test_shuffle_route_dimension_joins_byte_identical(spark, crawl_run,
+                                                      monkeypatch):
+    """Size guard on the hosts/robots dimension joins: past
+    DIM_BROADCAST_MAX_BYTES the joins take the shuffle route instead of a
+    forced broadcast (a 100-TB crawl can have millions of hosts with robots
+    blobs). Forcing the guard to 0 here makes EVERY round take the shuffle
+    route — crawl order must stay byte-identical to the broadcast run."""
+    import fetcho_spark.crawl as crawl_mod
+    cat_bc, _ = crawl_run
+    monkeypatch.setattr(crawl_mod, "DIM_BROADCAST_MAX_BYTES", 0)
+    d = tempfile.mkdtemp(prefix="golden-shuffle-dims-")
+    try:
+        cat, _eng = _engine(spark, d)
+        # the guard really reads nonzero manifest sizes for both dims
+        assert cat.table_bytes("hosts") > 0
+        assert cat.table_bytes("robots") > 0
+        assert _log_rows(cat) == _log_rows(cat_bc)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
 def test_quota_state_survives_resume(spark):
     """P14 resume: K rounds in one engine == K rounds split across two
     engines (the cumulative accepted count rides the checkpoint)."""

@@ -459,8 +459,24 @@ def test_hamming_band_hot_bucket_cap(spark):
               for r in D.hamming_band_pairs(df, "sig", "doc_id", 60, 3,
                                             max_band_df=10).collect()}
     assert capped == {(100, 101)}                     # cluster suppressed
-    uncapped = D.hamming_band_pairs(df, "sig", "doc_id", 60, 3)
+    uncapped = D.hamming_band_pairs(df, "sig", "doc_id", 60, 3,
+                                    max_band_df=None)
     assert uncapped.count() == 20 * 19 // 2 + 1       # quadratic without cap
+
+
+@pytest.mark.spark
+def test_hamming_band_default_cap_bounds_skew(spark):
+    """The DEFAULT hamming_band_pairs call must be bounded on a skewed
+    corpus: a 1200-identical-signatures cluster (above the 1000 default
+    cap) contributes ZERO candidate pairs — not 1200²/2 — while a cold
+    near pair outside the cluster still surfaces."""
+    rows = [(i, 0x5A5A5A5A) for i in range(1200)]      # hot cluster > cap
+    rows += [(9000, 0b1100), (9001, 0b1101)]           # cold pair (h=1)
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.hamming_band_pairs(df, "sig", "doc_id", 60, 3)
+           .collect()}
+    assert got == {(9000, 9001): 1}
 
 
 @pytest.mark.spark
