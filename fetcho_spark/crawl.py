@@ -90,6 +90,13 @@ class CrawlConfig:
                                          # this many were queued (Queueo.cs:
                                          # 383,477 QuotaEnabled/MaxLinkQuota;
                                          # None = disabled, as in reference)
+    quota_rank_threshold: int = 1_000_000  # P14 cut strategy switch: below,
+                                         # orderBy().limit() is a bounded
+                                         # TakeOrderedAndProject; above, the
+                                         # remaining-quota top-K would funnel
+                                         # through the driver, so the cut
+                                         # runs as the two-phase range-
+                                         # partitioned rank instead
     webgraph_buckets: int | None = None  # bucket the (static, 100 TB-side)
                                          # corpus by url at init: the fetch
                                          # join then reads it with NO
@@ -361,8 +368,12 @@ class CrawlEngine:
         if cfg.max_link_quota is not None:
             # P14 — global link quota. Acceptance order is a pure function
             # of data (seeded hash, then url/src_url) so the cut is identical
-            # at any parallelism; the sorted limit is TakeOrderedAndProject,
-            # bounded by the remaining quota — never a full global sort.
+            # at any parallelism. Small remaining → orderBy().limit(), a
+            # TakeOrderedAndProject bounded by the remaining quota. Large
+            # remaining (a near-10^10 quota early in the crawl) would make
+            # that a driver-side top-K, so past quota_rank_threshold the cut
+            # is the same two-phase range-partitioned rank with_global_seq
+            # uses — distributed, identical result (the key is total).
             if self._links_accepted is None:
                 self._links_accepted = self._restore_links_accepted()
             remaining = cfg.max_link_quota - self._links_accepted
@@ -371,10 +382,19 @@ class CrawlEngine:
             else:
                 qkey = F.xxhash64("url",
                                   F.lit(f"quota:{cfg.seed}:{round_no}"))
-                new_frontier = (new_frontier
-                                .orderBy(qkey.asc(), F.col("url").asc(),
-                                         F.col("src_url").asc())
-                                .limit(remaining))
+                if remaining <= cfg.quota_rank_threshold:
+                    new_frontier = (new_frontier
+                                    .orderBy(qkey.asc(), F.col("url").asc(),
+                                             F.col("src_url").asc())
+                                    .limit(remaining))
+                else:
+                    ranked = pr.with_global_seq(
+                        new_frontier.withColumn("_qkey", qkey),
+                        sort_cols=("_qkey", "url", "src_url"),
+                        out_col="_qrank", out_type="long")
+                    new_frontier = (ranked
+                                    .filter(F.col("_qrank") < remaining)
+                                    .drop("_qkey", "_qrank"))
             quota_df = new_frontier.persist()
             self._links_accepted += quota_df.count()
             counters["links_accepted_total"] = self._links_accepted

@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .functions.codec import encode, phash64, ref_sample_bytes
+from .functions.codec import get_codec, ref_sample_bytes
 
 SEED = 42
 
@@ -60,8 +60,12 @@ _SHAPES = ["circle", "square", "triangle", "hexagon", "star", "spiral"]
 _BGS = ["white", "black", "paper", "noise", "gradient"]
 
 
-def gen_images(n: int, seed: int = SEED) -> list[tuple]:
-    """Image+caption corpus rows (input_hint schema). PNG for i%3==0 else JPEG."""
+def gen_images(n: int, seed: int = SEED, codec=None) -> list[tuple]:
+    """Image+caption corpus rows (input_hint schema). PNG for i%3==0 else
+    JPEG. Encoded through the active codec seam (``FETCHO_SPARK_CODEC`` /
+    explicit ``codec``) so fixture payloads and the fetch-side verify are
+    always generated and checked by the SAME implementation."""
+    codec = codec or get_codec()
     rows = []
     sizes = [32, 64, 128]
     for i in range(n):
@@ -69,14 +73,13 @@ def gen_images(n: int, seed: int = SEED) -> list[tuple]:
         s = sizes[i % len(sizes)]
         px = rng.integers(0, 256, size=(s, s, 3), dtype=np.uint8)
         fmt = "png" if i % 3 == 0 else "jpeg"
-        data = encode(px, fmt)
+        data = codec.encode(px, fmt)
         # the stored phash is of the *decoded* pixels a fetcher will see
-        from .functions.codec import decode
-        dec, _ = decode(data)
+        dec, _ = codec.decode(data)
         cap = (f"a {_COLORS[i % len(_COLORS)]} {_SHAPES[i % len(_SHAPES)]} "
                f"on {_BGS[i % len(_BGS)]}, sample {i}")
         rows.append((f"img{i:08d}", bytearray(data), s, s, fmt, cap,
-                     phash64(dec), bytearray(ref_sample_bytes(px))))
+                     codec.phash64(dec), bytearray(ref_sample_bytes(px))))
     return rows
 
 

@@ -1,9 +1,20 @@
 """Deterministic image codec + perceptual hash + PSNR (numpy, vectorizable).
 
 The container has no PIL/libjpeg, so real JPEG/PNG decode is STUBBED behind a
-deterministic stand-in codec (clearly marked; swap :func:`decode` /
-:func:`encode` for PIL when available — the Spark-side plumbing, schemas,
-batch shapes and invariants are real and tested either way):
+deterministic stand-in codec (clearly marked — the Spark-side plumbing,
+schemas, batch shapes and invariants are real and tested either way).
+
+**Codec seam**: every encode/decode/phash call resolves through
+:func:`get_codec` — pick the implementation with the ``FETCHO_SPARK_CODEC``
+env var (read on the DRIVER; the chosen codec object ships to executors
+inside the Arrow-UDF closure, so no executor env plumbing is needed) or by
+passing a codec object explicitly (any object with ``encode(pixels, fmt) ->
+bytes``, ``decode(bytes) -> (pixels, fmt)``, ``phash64(pixels) -> int``).
+A :class:`PILCodec` is pre-registered and activates automatically if PIL
+ever lands in the container (``FETCHO_SPARK_CODEC=pil``); the payload
+contract test (tests/test_codec.py) runs the full invariant suite against
+every available codec, so the swap is a config flip with an existing green
+gate. The stand-in:
 
 - ``png``  — lossless: zlib-compressed raw RGB8 + 16-byte header.
 - ``jpeg`` — lossy: channel quantization to multiples of Q=4 then zlib.
@@ -20,6 +31,8 @@ build inverts that predicate — the corpus IS images (SURVEY.md §2.2 P4).
 
 from __future__ import annotations
 
+import importlib.util
+import os
 import struct
 import zlib
 
@@ -123,3 +136,72 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# --------------------------------------------------------------- codec seam
+
+class StandinCodec:
+    """The deterministic zlib+quantization stand-in (module functions)."""
+    name = "standin"
+    encode = staticmethod(encode)
+    decode = staticmethod(decode)
+    phash64 = staticmethod(phash64)
+
+
+class PILCodec:
+    """Real JPEG/PNG codec via Pillow — registered but only *available*
+    when PIL is importable (it is not in this container; the contract test
+    auto-includes it the day it appears). Same pixel-space phash."""
+    name = "pil"
+
+    @staticmethod
+    def encode(pixels: np.ndarray, fmt: str) -> bytes:
+        import io
+
+        from PIL import Image
+        if pixels.dtype != np.uint8 or pixels.ndim != 3 \
+                or pixels.shape[2] != 3:
+            raise ValueError("expected (h, w, 3) uint8")
+        buf = io.BytesIO()
+        pil_fmt = {"png": "PNG", "jpeg": "JPEG"}.get(fmt)
+        if pil_fmt is None:
+            raise NotImplementedError(f"format {fmt!r}")
+        kw = {"quality": 95} if pil_fmt == "JPEG" else {}
+        Image.fromarray(pixels, "RGB").save(buf, format=pil_fmt, **kw)
+        return buf.getvalue()
+
+    @staticmethod
+    def decode(data: bytes) -> tuple[np.ndarray, str]:
+        import io
+
+        from PIL import Image
+        im = Image.open(io.BytesIO(data))
+        fmt = {"PNG": "png", "JPEG": "jpeg"}.get(im.format or "",
+                                                 (im.format or "?").lower())
+        return np.asarray(im.convert("RGB"), dtype=np.uint8), fmt
+
+    phash64 = staticmethod(phash64)
+
+
+_CODECS = {"standin": StandinCodec, "pil": PILCodec}
+
+
+def available_codecs() -> list[str]:
+    out = ["standin"]
+    if importlib.util.find_spec("PIL") is not None:
+        out.append("pil")
+    return out
+
+
+def get_codec(name: str | None = None):
+    """Resolve the active codec: explicit name > ``FETCHO_SPARK_CODEC`` env
+    (driver-side) > the stand-in. Called on the DRIVER; the resolved object
+    is shipped to executors in the UDF closure, so mid-session env changes
+    and custom codec objects both behave predictably."""
+    name = name or os.environ.get("FETCHO_SPARK_CODEC", "standin")
+    if name not in _CODECS:
+        raise KeyError(
+            f"unknown codec {name!r}; registered: {sorted(_CODECS)}")
+    if name == "pil" and importlib.util.find_spec("PIL") is None:
+        raise RuntimeError("FETCHO_SPARK_CODEC=pil but PIL is not installed")
+    return _CODECS[name]

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window
 
-from ..functions.codec import (decode, phash64, psnr, ref_sample_decode,
+from ..functions.codec import (get_codec, psnr, ref_sample_decode,
                                sample_grid)
 from ..functions.urls import canonicalize_udf, with_fast_canonical
 
@@ -137,42 +137,52 @@ _VERIFY_STRUCT = T.StructType([
 ])
 
 
-@F.pandas_udf(_VERIFY_STRUCT)
-def _verify_udf(data: pd.Series, w: pd.Series, h: pd.Series,
-                fmt: pd.Series, ref: pd.Series) -> pd.DataFrame:
-    n = len(data)
-    dec_ok = [False] * n
-    dims_ok = [False] * n
-    ph = [None] * n
-    ps = [None] * n
-    for i, (d, wi, hi, fi, rs) in enumerate(zip(data, w, h, fmt, ref)):
-        if d is None:
-            continue
-        try:
-            px, got_fmt = decode(bytes(d))
-        except Exception:
-            continue
-        dec_ok[i] = True
-        dims_ok[i] = (px.shape[1] == wi and px.shape[0] == hi
-                      and got_fmt == fi)
-        ph[i] = phash64(px)
-        if rs is not None:
-            # real fidelity check: our decode, sampled on the reference
-            # grid, vs the stored pre-encode pixels (≥40 dB lossy; inf
-            # lossless). Shape mismatch (corrupt dims) → 0 dB.
+def _make_verify_udf(codec):
+    """Build the Arrow-batched verify UDF over a specific codec object —
+    the codec (anything with ``decode(bytes) -> (pixels, fmt)`` and
+    ``phash64(pixels) -> int``) is captured in the closure and shipped to
+    executors by cloudpickle, so codec selection is a pure driver-side
+    decision (env var / explicit argument), no executor env plumbing."""
+    c_decode, c_phash = codec.decode, codec.phash64
+
+    @F.pandas_udf(_VERIFY_STRUCT)
+    def _verify_udf(data: pd.Series, w: pd.Series, h: pd.Series,
+                    fmt: pd.Series, ref: pd.Series) -> pd.DataFrame:
+        n = len(data)
+        dec_ok = [False] * n
+        dims_ok = [False] * n
+        ph = [None] * n
+        ps = [None] * n
+        for i, (d, wi, hi, fi, rs) in enumerate(zip(data, w, h, fmt, ref)):
+            if d is None:
+                continue
             try:
-                want = ref_sample_decode(bytes(rs))
-                got = sample_grid(px)
-                ps[i] = (psnr(got, want)
-                         if got.shape == want.shape else 0.0)
+                px, got_fmt = c_decode(bytes(d))
             except Exception:
-                ps[i] = 0.0
-    return pd.DataFrame({"decode_ok": dec_ok, "dims_ok": dims_ok,
-                         "phash_calc": pd.array(ph, dtype="Int64"),
-                         "psnr_db": pd.array(ps, dtype="float64")})
+                continue
+            dec_ok[i] = True
+            dims_ok[i] = (px.shape[1] == wi and px.shape[0] == hi
+                          and got_fmt == fi)
+            ph[i] = c_phash(px)
+            if rs is not None:
+                # real fidelity check: our decode, sampled on the reference
+                # grid, vs the stored pre-encode pixels (≥40 dB lossy; inf
+                # lossless). Shape mismatch (corrupt dims) → 0 dB.
+                try:
+                    want = ref_sample_decode(bytes(rs))
+                    got = sample_grid(px)
+                    ps[i] = (psnr(got, want)
+                             if got.shape == want.shape else 0.0)
+                except Exception:
+                    ps[i] = 0.0
+        return pd.DataFrame({"decode_ok": dec_ok, "dims_ok": dims_ok,
+                             "phash_calc": pd.array(ph, dtype="Int64"),
+                             "psnr_db": pd.array(ps, dtype="float64")})
+
+    return _verify_udf
 
 
-def verify_payload(df: DataFrame) -> DataFrame:
+def verify_payload(df: DataFrame, codec=None) -> DataFrame:
     """C12: Arrow-batched decode + invariant check.
 
     A *scalar* pandas UDF over only (bytes, w, h, fmt, ref_sample) —
@@ -184,10 +194,16 @@ def verify_payload(df: DataFrame) -> DataFrame:
     ``psnr_db`` is our decode vs the fixture's stored pre-encode pixel
     sample; ``psnr_ok`` encodes the input_hint invariant: lossless formats
     must reproduce exactly (inf), lossy formats must reach ≥ 40 dB.
+
+    ``codec`` defaults to :func:`fetcho_spark.functions.codec.get_codec`
+    (env-selectable); pass any encode/decode/phash64 object to inject —
+    the contract test runs these invariants against every registered codec.
     """
+    codec = codec or get_codec()
     ref = (F.col("ref_sample") if "ref_sample" in df.columns
            else F.lit(None).cast("binary"))
-    v = _verify_udf(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"), ref)
+    v = _make_verify_udf(codec)(
+        F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"), ref)
     return (df.withColumn("_v", v)
             .withColumn("decode_ok", F.col("_v.decode_ok"))
             .withColumn("dims_ok", F.col("_v.dims_ok"))

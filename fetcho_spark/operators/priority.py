@@ -67,7 +67,9 @@ def priority_col(seed: int, round_no: int,
 def with_global_seq(df: DataFrame,
                     sort_cols: tuple[str, ...] = ("priority", "url_hash64",
                                                   "url"),
-                    out_col: str = "fetch_seq") -> DataFrame:
+                    out_col: str = "fetch_seq",
+                    out_type: str = "int",
+                    pin_partitioning: bool = True) -> DataFrame:
     """Deterministic 0-based global rank over a total sort key, scale-safe.
 
     Equivalent to ``row_number()`` over an unpartitioned Window, but never
@@ -82,6 +84,15 @@ def with_global_seq(df: DataFrame,
     cols = [F.col(c) for c in sort_cols]
     ranged = (df.repartitionByRange(*cols)
                 .withColumn("_pid", F.spark_partition_id()))
+    # Pin ONE physical partitioning for both downstream references (the
+    # counts branch and the rank join's left side) — same hazard as
+    # token_budget_sample: without this they only agree via ReuseExchange,
+    # which AQE coalescing or a plan change could silently defeat,
+    # desyncing _pid between branches. The checkpoint replaces the plan
+    # with a LogicalRDD scan, so tests that assert the rangepartitioning
+    # shape pass pin_partitioning=False to see the un-truncated plan.
+    if pin_partitioning:
+        ranged = ranged.localCheckpoint(eager=False)
     w_local = Window.partitionBy("_pid").orderBy(*cols)
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
     w_off = Window.orderBy("_pid") \
@@ -92,7 +103,7 @@ def with_global_seq(df: DataFrame,
     return (ranged.join(F.broadcast(offsets), "_pid")
             .withColumn(out_col,
                         (F.col("_off") + F.row_number().over(w_local)
-                         - F.lit(1)).cast("int"))
+                         - F.lit(1)).cast(out_type))
             .drop("_pid", "_off"))
 
 

@@ -282,6 +282,70 @@ def test_bucketed_webgraph_crawl_is_byte_identical(spark, crawl_run):
 
 @pytest.mark.spark
 @pytest.mark.slow
+def test_quota_ranked_cut_matches_takeordered(spark):
+    """P14 at scale: past quota_rank_threshold the quota cut runs as the
+    two-phase range-partitioned rank instead of orderBy().limit() (a
+    driver-side top-K at a near-10^10 remaining quota). Forcing the
+    threshold to 0 must leave the crawl byte-identical to the oracle."""
+    cfg = CrawlConfig(max_chunk=50, n_seen_buckets=8, bits_per_bucket=1 << 14,
+                      max_link_quota=120, quota_rank_threshold=0)
+    d = tempfile.mkdtemp(prefix="golden-quota-ranked-")
+    try:
+        wg = fx.gen_webgraph(N_PAGES, N_HOSTS, N_IMAGES)
+        seeds = fx.gen_seeds(wg, N_SEEDS)
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, cfg)
+        eng.init(seeds, fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        counters = eng.run(N_ROUNDS)
+        # the simulator models quota semantics, not the cut implementation —
+        # both cut strategies must land on the same accepted set
+        sim = simulate(seeds, wg, fx.gen_robots(N_HOSTS),
+                       fx.gen_hosts(N_HOSTS), N_ROUNDS, cfg)
+        assert _log_rows(cat) == [tuple(r[c] for c in LOG_COLS)
+                                  for r in sim.log]
+        eng_new = [c["new_links"] for c in counters]
+        assert eng_new == [c["new_links"] for c in sim.counters]
+        assert counters[-1]["links_accepted_total"] == cfg.max_link_quota
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_quota_ranked_cut_plan_has_no_takeordered(spark):
+    """Above the threshold the executed quota cut must contain a range
+    partitioning and NO TakeOrderedAndProject (the driver-funnel shape)."""
+    from fetcho_spark.operators import priority as pr
+    rows = [(f"http://h{i % 7}.example/p{i}", f"h{i % 7}.example",
+             None, None, 0) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "url string, host string, src_url string, src_host string, "
+              "round_added int")
+    qkey = F.xxhash64("url", F.lit("quota:42:0"))
+    ranked = pr.with_global_seq(df.withColumn("_qkey", qkey),
+                                sort_cols=("_qkey", "url", "src_url"),
+                                out_col="_qrank", out_type="long")
+    cut = ranked.filter(F.col("_qrank") < 100).drop("_qkey", "_qrank")
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    # the ranged frame is pinned (LogicalRDD) — the rangepartitioning
+    # lives in its materialization; assert the shape on the un-pinned form
+    unpinned = pr.with_global_seq(df.withColumn("_qkey", qkey),
+                                  sort_cols=("_qkey", "url", "src_url"),
+                                  out_col="_qrank", out_type="long",
+                                  pin_partitioning=False)
+    uplan = unpinned._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in uplan.lower()
+    assert "TakeOrderedAndProject" not in uplan
+    # the ranked cut picks exactly the global top-100 by the total key
+    expect = [r["url"] for r in df.orderBy(qkey.asc(), F.col("url").asc())
+              .limit(100).collect()]
+    assert sorted(r["url"] for r in cut.collect()) == sorted(expect)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
 def test_shuffle_route_dimension_joins_byte_identical(spark, crawl_run,
                                                       monkeypatch):
     """Size guard on the hosts/robots dimension joins: past

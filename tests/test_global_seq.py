@@ -50,10 +50,17 @@ def test_invariant_to_shuffle_partitions(spark):
 
 @pytest.mark.spark
 def test_plan_range_partitions_the_data(spark):
-    plan = with_global_seq(_df(spark))._jdf.queryExecution() \
-        .executedPlan().toString()
+    # un-pinned plan exposes the shuffle shape for assertion
+    plan = with_global_seq(_df(spark), pin_partitioning=False) \
+        ._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(priority" in plan
     # the data-bearing window partitions by _pid, not SinglePartition; the
     # only single-partition exchange feeds the ≤#partitions-row offsets agg
     assert "Window [row_number()" in plan
     assert "[_pid" in plan
+    # the production default PINS the ranged frame (LogicalRDD scan): both
+    # _pid consumers are guaranteed one physical partitioning under AQE
+    pinned = with_global_seq(_df(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ExistingRDD" in pinned
+    assert "Window [row_number()" in pinned
