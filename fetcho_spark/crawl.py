@@ -103,6 +103,12 @@ class CrawlConfig:
                                          # Exchange — only the per-round
                                          # frontier shuffles. None = plain
                                          # parquet snapshots.
+    revalidation: bool = False           # S7 If-Modified-Since: refetches of
+                                         # a previously-seen URL (expired
+                                         # TTL) carry IMS and the static
+                                         # corpus answers 304 Not Modified —
+                                         # no payload/body/links
+                                         # (HttpResourceFetcher.cs:250)
     assign_global_seq: bool = True       # off for throughput benches
     collect_counters: bool = True        # off for throughput benches: skips
                                          # the per-stage count() jobs and the
@@ -235,6 +241,23 @@ class CrawlEngine:
         # P8/J1 — seen set (bloom-routed exact anti-join)
         frontier = self.seen.filter_unseen(frontier, now)
 
+        # S7 If-Modified-Since: mark survivors whose hash IS in the seen
+        # table (TTL expired → refetch → conditional request). One extra
+        # equi-join on the seen table, only when revalidation is on.
+        if cfg.revalidation:
+            if c.exists("seen"):
+                # distinct: the seen table is APPEND-only (one row per
+                # attempt) — joining raw rows would fan out refetched URLs
+                seen_keys = (c.read("seen").select("url_hash64").distinct()
+                             .withColumn("_ws", F.lit(True)))
+                frontier = (frontier.join(seen_keys, "url_hash64", "left")
+                            .withColumn("_was_seen",
+                                        F.coalesce(F.col("_ws"),
+                                                   F.lit(False)))
+                            .drop("_ws"))
+            else:
+                frontier = frontier.withColumn("_was_seen", F.lit(False))
+
         # J2 — hosts join + P10. Broadcast only while the hosts table's
         # on-disk size fits the dimension threshold (manifest stat, no
         # scan) — at millions of hosts with robots blobs the broadcast
@@ -326,6 +349,8 @@ class CrawlEngine:
             "blocked_reason"]
         if "body" in fetched.columns:
             fetched_cols.append("body")
+        if "redirected_to" in fetched.columns:  # S7 hop lineage
+            fetched_cols.append("redirected_to")
         c.append("fetched", fetched.select(*fetched_cols),
                  meta={"round": round_no})
         fetched = c.read_incremental("fetched",

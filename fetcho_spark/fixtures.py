@@ -49,6 +49,11 @@ WEBGRAPH_SCHEMA = T.StructType([
     # P15: sites self-label adult content via a 'Rating' response header
     # (DefaultBlockProvider.cs:9-11); null = unrated
     T.StructField("rating", T.StringType()),
+    # S7 redirect depth: non-null on 3xx pages — the engine follows ONE hop
+    # for non-discardable items (seeds), mirroring AllowAutoRedirect =
+    # !CanBeDiscarded (HttpResourceFetcher.cs:229); discardable items record
+    # the 3xx and are dropped
+    T.StructField("redirect_to", T.StringType()),
 ])
 
 # the RTA label string sites send in their Rating header (P15 owner:
@@ -99,7 +104,8 @@ def _host_ids(n_pages: int, n_hosts: int, rng: np.random.Generator) -> np.ndarra
 def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
                  seed: int = SEED, html_bodies: bool = False,
                  media_links: bool = False,
-                 adult_ratings: bool = False) -> list[tuple]:
+                 adult_ratings: bool = False,
+                 redirects: bool = False) -> list[tuple]:
     """Synthetic web: one row per servable page; out_links include dirty
     variants (fragments, //scheme-relative, relative, http:///, blocked
     schemes, &amp;-encoded) to exercise canonicalization (Utility.cs parity).
@@ -111,11 +117,14 @@ def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
 
     ``media_links=True`` sprinkles links to .jpg/.mp4/… URLs (P4 extension
     block targets); ``adult_ratings=True`` marks ~10% of pages with the RTA
-    Rating header value (P15). Both draw from an independent rng stream so
-    the base universe stays byte-identical when they're off.
+    Rating header value (P15); ``redirects=True`` turns ~12% of pages into
+    301/302 redirects pointing at another page (S7 redirect depth). All
+    draw from independent rng streams so the base universe stays
+    byte-identical when they're off.
     """
     rng = np.random.default_rng(seed)
     rng2 = np.random.default_rng(seed + 101)  # feature stream (P4/P15)
+    rng3 = np.random.default_rng(seed + 202)  # redirect stream (S7)
     hids = _host_ids(n_pages, n_hosts, rng)
     per_host_seq: dict[int, int] = {}
     urls, hosts = [], []
@@ -193,8 +202,16 @@ def gen_webgraph(n_pages: int, n_hosts: int, n_images: int,
                         + "".join(tail) + "</body></html>")
         rating = (ADULT_RATING
                   if adult_ratings and rng2.random() < 0.1 else None)
+        redirect_to = None
+        st = int(status[i])
+        if redirects and rng3.random() < 0.12:
+            # a redirect response: 3xx status, Location header, no payload,
+            # no body, no links (HttpWebResponse of a bare 301/302)
+            st = 301 if rng3.random() < 0.7 else 302
+            redirect_to = urls[int(rng3.integers(0, n_pages))]
+            links, body, rating = [], None, None
         rows.append((urls[i], hosts[i], f"img{int(img_idx[i]):08d}",
-                     links, int(status[i]), ctype, body, rating))
+                     links, st, ctype, body, rating, redirect_to))
     return rows
 
 
@@ -274,10 +291,11 @@ def images_df(spark: SparkSession, n: int, seed: int = SEED) -> DataFrame:
 def webgraph_df(spark: SparkSession, n_pages: int, n_hosts: int, n_images: int,
                 seed: int = SEED, html_bodies: bool = False,
                 media_links: bool = False,
-                adult_ratings: bool = False) -> DataFrame:
+                adult_ratings: bool = False,
+                redirects: bool = False) -> DataFrame:
     return spark.createDataFrame(
         gen_webgraph(n_pages, n_hosts, n_images, seed, html_bodies,
-                     media_links, adult_ratings),
+                     media_links, adult_ratings, redirects),
         WEBGRAPH_SCHEMA)
 
 

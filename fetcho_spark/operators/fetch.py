@@ -52,10 +52,16 @@ def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
     page_cols = [F.col("url"), F.col("status").alias("status"),
                  F.col("image_id"), F.col("out_links"),
                  F.col("content_type")]
+    payload_names = ["status", "image_id", "out_links", "content_type"]
     if "body" in webgraph.columns:  # raw-body corpus (C3 path)
         page_cols.append(F.col("body"))
+        payload_names.append("body")
     if "rating" in webgraph.columns:  # P15 self-labelled Rating header
         page_cols.append(F.col("rating"))
+        payload_names.append("rating")
+    has_redirects = "redirect_to" in webgraph.columns
+    if has_redirects:
+        page_cols.append(F.col("redirect_to"))
     page = webgraph.select(*page_cols)
     joined = (selected.join(page, "url", "left")
               .withColumn("status",
@@ -63,6 +69,56 @@ def simulate_fetch(selected: DataFrame, webgraph: DataFrame,
               .withColumn("out_links",
                           F.coalesce(F.col("out_links"),
                                      F.array().cast("array<string>"))))
+    if has_redirects:
+        # S7 redirect depth (HttpResourceFetcher.cs:229): AllowAutoRedirect
+        # = !CanBeDiscarded. Seeds (no referrer) are NOT discardable, so a
+        # 3xx response is followed ONE hop — the fetched row keeps its queue
+        # identity (url/host/seen key) but carries the TARGET's payload, and
+        # `redirected_to` records the hop for lineage. Discardable items
+        # just log the 3xx (non-200 suppresses payload and links below).
+        # The hop join touches only the (rare) followed subset — the
+        # webgraph never re-shuffles for the common case.
+        follow = (F.col("status").isin(301, 302)
+                  & F.col("redirect_to").isNotNull()
+                  & F.col("src_url").isNull())
+        tgt = webgraph.select(
+            F.col("url").alias("redirect_to"),
+            *[F.col(c).alias(f"_t_{c}") for c in payload_names])
+        followed = (joined.filter(follow).join(tgt, "redirect_to", "left")
+                    .withColumn("_t_status",
+                                F.coalesce(F.col("_t_status"), F.lit(404)))
+                    .withColumn("_t_out_links",
+                                F.coalesce(F.col("_t_out_links"),
+                                           F.array().cast("array<string>"))))
+        for c in payload_names:
+            followed = followed.withColumn(c, F.col(f"_t_{c}")) \
+                               .drop(f"_t_{c}")
+        followed = followed.withColumn("redirected_to",
+                                       F.col("redirect_to"))
+        rest = joined.filter(~F.coalesce(follow, F.lit(False))) \
+                     .withColumn("redirected_to",
+                                 F.lit(None).cast("string"))
+        joined = rest.unionByName(followed).drop("redirect_to")
+    # S7 revalidation (HttpResourceFetcher.cs:250): when the engine knows a
+    # URL was fetched before (`_was_seen`, attached by the crawl loop under
+    # cfg.revalidation), the request carries If-Modified-Since and the
+    # static corpus answers 304 Not Modified — no payload, no body, no
+    # links (non-200 gates all of those below).
+    if "_was_seen" in joined.columns:
+        not_modified = F.col("_was_seen") & (F.col("status") == 200)
+        joined = joined.withColumn(
+            "status", F.when(not_modified, F.lit(304))
+                       .otherwise(F.col("status")))
+        if "body" in joined.columns:
+            joined = joined.withColumn(
+                "body", F.when(F.col("status") == 304,
+                               F.lit(None).cast("string"))
+                         .otherwise(F.col("body")))
+        if "rating" in joined.columns:
+            joined = joined.withColumn(
+                "rating", F.when(F.col("status") == 304,
+                                 F.lit(None).cast("string"))
+                           .otherwise(F.col("rating")))
     # P15 — block-before-download (DefaultBlockProvider.cs:32-60): an
     # RTA-rated response or an over-length body is never downloaded — the
     # attempt is logged and the URL marked seen, but payload, body and
@@ -233,6 +289,12 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
     """
     ok = fetched.filter(F.col("status") == 200)
     src = [F.col("url").alias("src_url"), F.col("host").alias("src_host")]
+    # followed redirects (S7): relative links resolve against the FINAL
+    # response URI, while the frontier referrer stays the queue item's url
+    if "redirected_to" in fetched.columns:
+        ok = ok.withColumn("_base_url", F.coalesce("redirected_to", "url"))
+    else:
+        ok = ok.withColumn("_base_url", F.col("url"))
     # every exploded row carries its page's RAW link count (_nraw): the
     # per-page cap can then shuffle ONLY links of pages that might exceed it
     # (raw count > max_links ⇒ canonical count might; ≤ ⇒ never, since
@@ -241,7 +303,7 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
     # mega-page — measured 40-70% of the round's wall at bench scale.
     if "body" in fetched.columns:
         from .htmllinks import extract_links_udf
-        pairs = extract_links_udf(F.col("body"), F.col("url"),
+        pairs = extract_links_udf(F.col("body"), F.col("_base_url"),
                                   F.col("content_type"))
         raw_body = (ok.filter(F.col("body").isNotNull())
                     .select(*src, pairs.alias("_arr"))
@@ -251,14 +313,18 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
                             F.col("_hb.href").alias("href"),
                             F.col("_hb.base").alias("base")))
         raw_arr = (ok.filter(F.col("body").isNull())
-                   .select(*src, F.size("out_links").alias("_nraw"),
+                   .select(*src, F.col("_base_url"),
+                           F.size("out_links").alias("_nraw"),
                            F.explode_outer("out_links").alias("href"))
-                   .withColumn("base", F.col("src_url")))
+                   .withColumn("base", F.col("_base_url"))
+                   .drop("_base_url"))
         raw = raw_body.unionByName(raw_arr)
     else:
-        raw = (ok.select(*src, F.size("out_links").alias("_nraw"),
+        raw = (ok.select(*src, F.col("_base_url"),
+                         F.size("out_links").alias("_nraw"),
                          F.explode_outer("out_links").alias("href"))
-               .withColumn("base", F.col("src_url")))
+               .withColumn("base", F.col("_base_url"))
+               .drop("_base_url"))
     # hybrid canonicalization: JVM expression for absolute/root-relative
     # links (the overwhelming majority — stays in codegen), Arrow-batched
     # python UDF only for genuinely doc-relative/exotic hrefs. Both routes

@@ -158,11 +158,90 @@ def _fake_demux(data: bytes):
         off += ln
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+])
+
+# magic prefixes of compressed audio containers the stdlib cannot decode —
+# these raise (honest stub for the compressed path) instead of nulling
+_COMPRESSED_AUDIO_MAGIC = (b"ID3", b"\xff\xfb", b"\xff\xf3", b"\xff\xf2",
+                           b"OggS", b"fLaC")
+
+
+def _wav_features(data: bytes) -> tuple[float, float, float, int, int]:
+    """Uncompressed WAV/PCM → (duration_s, rms, zcr, rate, channels).
+
+    stdlib ``wave`` + numpy only — no ffmpeg/libsndfile. Samples normalize
+    to [-1, 1] (u8 centered at 128; i16/i32 two's-complement), channels
+    average to a mono mix; ``rms`` is the root-mean-square of the mix and
+    ``zcr`` the fraction of adjacent mix samples whose sign flips.
+    """
+    import io
+    import wave
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch, width, rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                     w.getframerate(), w.getnframes())
+        raw = w.readframes(nframes)
+    if width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    dur = nframes / float(rate) if rate else 0.0
+    if len(x) == 0:
+        return dur, 0.0, 0.0, rate, nch
+    rms = float(np.sqrt(np.mean(x * x)))
+    if len(x) < 2:
+        zcr = 0.0
+    else:
+        neg = x < 0
+        zcr = float(np.mean(neg[1:] != neg[:-1]))
+    return dur, rms, zcr, rate, nch
+
+
 def audio_features(audio: DataFrame, id_col: str = "audio_id",
                    bytes_col: str = "bytes") -> DataFrame:
-    """STUB: audio decode needs libsndfile/ffmpeg — absent here. The op
-    exists so the schema contract is pinned; it raises on use."""
-    raise NotImplementedError(
-        "audio decode requires libsndfile/ffmpeg (not in this container); "
-        "plumbing contract: (audio_id string, bytes binary) → "
-        "(audio_id, duration_s double, rms double, zcr double)")
+    """Audio feature extraction over an opaque binary column.
+
+    Uncompressed WAV/PCM decodes for real (stdlib ``wave`` + numpy — see
+    :func:`_wav_features`); compressed formats (mp3/ogg/flac, detected by
+    magic) raise ``NotImplementedError`` — that decode path genuinely needs
+    ffmpeg/libsndfile, absent in this container. Unparseable bytes yield a
+    null feature row (same discipline as image_features). mapInPandas,
+    Arrow batches, narrow output frame.
+    """
+    src = audio.select(F.col(id_col).alias("audio_id"),
+                       F.col(bytes_col).alias("bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                b = bytes(data)
+                if any(b.startswith(m) for m in _COMPRESSED_AUDIO_MAGIC):
+                    raise NotImplementedError(
+                        "compressed audio decode requires ffmpeg/libsndfile "
+                        "(not in this container); WAV/PCM decodes natively")
+                try:
+                    dur, rms, zcr, rate, nch = _wav_features(b)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append((aid, None, None, None, None, None))
+                    continue
+                rows.append((aid, dur, rms, zcr, rate, nch))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_FEATURES_SCHEMA.fields])
+
+    return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

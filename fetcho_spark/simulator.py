@@ -69,7 +69,8 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
                   "status": r[4],
                   "content_type": r[5] if len(r) > 5 else "text/html",
                   "body": r[6] if len(r) > 6 else None,
-                  "rating": r[7] if len(r) > 7 else None}
+                  "rating": r[7] if len(r) > 7 else None,
+                  "redirect_to": r[8] if len(r) > 8 else None}
            for r in webgraph_rows}
     links_accepted = 0  # P14 cumulative quota state
     hosts = {r[0]: {"crawl_delay_ms": r[1], "network_issues": r[2]}
@@ -185,10 +186,26 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
         for seq, it in enumerate(selected):
             page = web.get(it.url)
             status = page["status"] if page else 404
+            # S7 redirect (AllowAutoRedirect = !CanBeDiscarded): seeds (no
+            # referrer) follow ONE hop to the target page; discardable items
+            # record the 3xx and get no payload/links (fetch.py mirror)
+            base_url = it.url
+            if (page and status in (301, 302)
+                    and page.get("redirect_to") is not None
+                    and it.src_url is None):
+                base_url = page["redirect_to"]
+                page = web.get(base_url)
+                status = page["status"] if page else 404
+            # S7 If-Modified-Since: refetch of an expired-TTL seen URL →
+            # 304 Not Modified, no payload/body/links (fetch.py mirror)
+            if (cfg.revalidation and status == 200
+                    and it.url_hash64 in res.seen):
+                status = 304
             # P15 block-before-download: RTA rating or over-length body —
-            # attempt logged + seen, payload/links suppressed (fetch.py)
+            # attempt logged + seen, payload/links suppressed (fetch.py);
+            # a 304 carries no body/Rating header, so it never blocks
             blocked = False
-            if page:
+            if page and status != 304:
                 if page.get("rating") == ADULT_RATING:
                     blocked = True
                 elif (page.get("body") is not None
@@ -208,15 +225,18 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
                 if blocked:
                     continue  # nothing downloaded → no links
                 # raw-body pages share the engine's exact extractor (C3)
+                # links resolve against the FINAL response URI (base_url ==
+                # it.url unless a redirect was followed); the frontier
+                # referrer stays the queue item's url/host
                 if page.get("body") is not None:
                     from .operators.htmllinks import (extract_html_links,
                                                       extract_text_links)
                     ct = page.get("content_type") or ""
                     fn = (extract_html_links if "html" in ct
                           else extract_text_links)
-                    pairs = fn(page["body"], it.url)
+                    pairs = fn(page["body"], base_url)
                 else:
-                    pairs = [(href, it.url) for href in page["out_links"]]
+                    pairs = [(href, base_url) for href in page["out_links"]]
                 links = []
                 for href, base in pairs:
                     cu = canonicalize(href, base)

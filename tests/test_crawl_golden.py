@@ -282,6 +282,86 @@ def test_bucketed_webgraph_crawl_is_byte_identical(spark, crawl_run):
 
 @pytest.mark.spark
 @pytest.mark.slow
+def test_crawl_order_matches_oracle_redirects(spark):
+    """S7 redirect golden: with 301/302 pages in the universe, seeds follow
+    one hop (AllowAutoRedirect = !CanBeDiscarded) while discardable items
+    log the 3xx — engine must match the oracle byte-for-byte, and both
+    redirect behaviors must actually occur."""
+    d = tempfile.mkdtemp(prefix="golden-redirects-")
+    try:
+        wg = fx.gen_webgraph(N_PAGES, N_HOSTS, N_IMAGES, redirects=True)
+        seeds = fx.gen_seeds(wg, N_SEEDS)
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, CFG)
+        eng.init(seeds,
+                 fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES,
+                                redirects=True),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        eng.run(N_ROUNDS)
+        sim = simulate(seeds, wg, fx.gen_robots(N_HOSTS),
+                       fx.gen_hosts(N_HOSTS), N_ROUNDS, CFG)
+        eng_log = _log_rows(cat)
+        assert len(eng_log) > 0
+        assert eng_log == [tuple(r[c] for c in LOG_COLS) for r in sim.log]
+        assert {r["url_hash64"] for r in
+                cat.read("seen").select("url_hash64").collect()} \
+            == set(sim.seen.keys())
+        fetched = cat.read("fetched")
+        # the universe contains redirect pages and the crawl touched both
+        # policies: some row followed a hop (redirected_to set), and some
+        # discardable mention of a 3xx page was logged unfollowed
+        redirect_urls = {r[0] for r in wg if r[8] is not None}
+        assert redirect_urls
+        followed = fetched.filter(F.col("redirected_to").isNotNull())
+        assert followed.count() > 0
+        # followed rows carry the TARGET's payload semantics
+        assert followed.filter((F.col("status") == 200)
+                               & F.col("image_id").isNull()).count() == 0
+        unfollowed = fetched.filter(F.col("status").isin(301, 302))
+        assert unfollowed.count() > 0
+        assert unfollowed.filter(F.col("image_id").isNotNull()).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_crawl_order_matches_oracle_revalidation(spark):
+    """S7 If-Modified-Since golden: with a TTL shorter than a round, every
+    refetch of a known URL answers 304 Not Modified (no payload, no links)
+    — engine ≡ oracle, and 304s actually occur."""
+    cfg = CrawlConfig(max_chunk=50, n_seen_buckets=8, bits_per_bucket=1 << 14,
+                      ttl_ms=1, revalidation=True)
+    d = tempfile.mkdtemp(prefix="golden-reval-")
+    try:
+        wg = fx.gen_webgraph(N_PAGES, N_HOSTS, N_IMAGES)
+        seeds = fx.gen_seeds(wg, N_SEEDS)
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, cfg)
+        eng.init(seeds, fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        eng.run(N_ROUNDS)
+        sim = simulate(seeds, wg, fx.gen_robots(N_HOSTS),
+                       fx.gen_hosts(N_HOSTS), N_ROUNDS, cfg)
+        eng_log = _log_rows(cat)
+        assert len(eng_log) > 0
+        assert eng_log == [tuple(r[c] for c in LOG_COLS) for r in sim.log]
+        fetched = cat.read("fetched")
+        nm = fetched.filter(F.col("status") == 304)
+        assert nm.count() > 0                       # revalidation fired
+        assert nm.filter(F.col("image_id").isNotNull()).count() == 0
+        # a 304 still refreshes the seen-set TTL (attempt recorded)
+        assert {r["url_hash64"] for r in
+                cat.read("seen").select("url_hash64").collect()} \
+            == set(sim.seen.keys())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
 def test_quota_ranked_cut_matches_takeordered(spark):
     """P14 at scale: past quota_rank_threshold the quota cut runs as the
     two-phase range-partitioned rank instead of orderBy().limit() (a

@@ -51,10 +51,61 @@ def test_video_frame_sampling(spark):
     assert (got == frames[0]).all()
 
 
+def _wav_bytes(samples: np.ndarray, rate: int = 8000,
+               nch: int = 1, width: int = 2) -> bytes:
+    """Serialize float samples [-1, 1] to PCM WAV via stdlib wave."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            w.writeframes((samples * 32767).astype("<i2").tobytes())
+        elif width == 1:
+            w.writeframes(((samples * 127) + 128).astype(np.uint8).tobytes())
+        else:
+            w.writeframes((samples * (2**31 - 1)).astype("<i4").tobytes())
+    return buf.getvalue()
+
+
 @pytest.mark.spark
-def test_audio_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        MM.audio_features(None)
+def test_audio_features_pcm(spark):
+    """Real WAV/PCM decode via stdlib wave: a 440 Hz sine at 8 kHz has a
+    known duration, RMS ≈ 1/√2 of the amplitude, and ZCR ≈ 2f/rate."""
+    rate, secs, freq, amp = 8000, 2.0, 440.0, 0.5
+    t = np.arange(int(rate * secs)) / rate
+    sine = amp * np.sin(2 * np.pi * freq * t)
+    silence = np.zeros(rate)                      # 1 s of silence
+    rows = [("sine", bytearray(_wav_bytes(sine, rate))),
+            ("quiet", bytearray(_wav_bytes(silence, rate))),
+            ("stereo", bytearray(_wav_bytes(
+                np.stack([sine, sine], 1).reshape(-1), rate, nch=2))),
+            ("u8", bytearray(_wav_bytes(sine, rate, width=1))),
+            ("garbage", bytearray(b"\x00\x01nonsense-not-audio"))]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    got = {r["audio_id"]: r for r in MM.audio_features(df).collect()}
+    s = got["sine"]
+    assert abs(s["duration_s"] - secs) < 1e-9
+    assert abs(s["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(s["zcr"] - 2 * freq / rate) < 0.005
+    assert (s["sample_rate"], s["n_channels"]) == (rate, 1)
+    assert got["quiet"]["rms"] == 0.0 and got["quiet"]["zcr"] == 0.0
+    assert abs(got["stereo"]["rms"] - s["rms"]) < 0.01
+    assert got["stereo"]["n_channels"] == 2
+    assert abs(got["u8"]["zcr"] - s["zcr"]) < 0.01
+    assert got["garbage"]["duration_s"] is None   # unparseable → null row
+
+
+@pytest.mark.spark
+def test_audio_compressed_still_stubbed(spark):
+    """mp3/ogg/flac magic → honest NotImplementedError (needs ffmpeg)."""
+    df = spark.createDataFrame(
+        [("m", bytearray(b"ID3\x04rest-of-an-mp3"))],
+        "audio_id string, bytes binary")
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        MM.audio_features(df).collect()
 
 
 @pytest.mark.spark
