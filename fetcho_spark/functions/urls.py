@@ -154,7 +154,6 @@ ENTITY_RISK_RE = (
     "|&amp;(?:amp;|lt;|gt;|quot;|#39;)"
     "|&(?:" + "|".join(_LEGACY_ENTITY_NAMES) + ")(?!;)"
 )
-_SLOW_PATH_RE = ENTITY_RISK_RE + "|[\\t\\n\\r]"
 
 
 # Structural fast-path shape, tested on the RAW href in ONE regex:
@@ -162,13 +161,16 @@ _SLOW_PATH_RE = ENTITY_RISK_RE + "|[\\t\\n\\r]"
 #     with a plain `[A-Za-z0-9.-]` host (no userinfo, no IPv6 brackets, no
 #     controls / non-ASCII in the rest),
 #   - or root-relative `/path` (not `//`),
-#   - with optional leading/trailing SPACES (F.trim strips only 0x20;
-#     Python str.strip removes the full Unicode whitespace set — \t\n\r,
-#     \x0b\x0c, \x1c-\x1f, \x85, NBSP \xa0,  -… — so path/query chars
-#     are restricted to PRINTABLE ASCII minus '#': [ !"$-~]. Any control,
-#     DEL, or non-ASCII char anywhere outside a fragment fails the shape
-#     and routes to the always-correct UDF slow path) and an optional
-#     `#fragment`.
+#   - with optional leading/trailing SPACES and an optional `#fragment`.
+# STRIP-RISK characters route slow: F.trim strips only 0x20, while Python
+# str.strip removes the full Unicode whitespace set (tab/newlines, 0b/0c,
+# 1c-1f, 85, NBSP a0, 1680, 2000-200a, 2028, 2029, 202f, 205f, 3000) and
+# urlsplit removes tab/CR/LF ANYWHERE plus edge C0 controls. The
+# path/query class (_PQ below) therefore excludes '#', all C0 controls,
+# DEL, and every Unicode whitespace codepoint - but ACCEPTS other
+# non-ASCII chars (accented letters, CJK, emoji): both canonicalizers
+# pass those through byte-identically, and at web scale international
+# URLs are far too common to pay the Arrow crossing for.
 # The port group rejects leading zeros: Python's urlsplit parses the port
 # numerically ('080' == 80 → default-port drop) while the JVM value path
 # compares strings ('080' != '80' → kept) — leading-zero ports route slow.
@@ -185,10 +187,21 @@ _SLOW_PATH_RE = ENTITY_RISK_RE + "|[\\t\\n\\r]"
 # identically by both paths, so fragment content is free-form ([\s\S]: Java
 # '.' excludes \n) — a '#' materializing from an entity decode is impossible
 # here because ENTITY_RISK_RE already routed it slow.
+# the pattern string carries LITERAL codepoints, so the Java regex
+# engine sees the same characters Python does - no engine-specific
+# escape syntax in play
+_STRIP_RISK = ("\x00-\x1f\x7f\x85\xa0  - "
+               "    　")
+_PQ = f"[^#{_STRIP_RISK}]"          # path/query char
+_PQ0 = f"[^/#{_STRIP_RISK}]"        # first root-relative path char (not /)
 FAST_STRUCT_RE = (
-    r'^ *(?:(?i:https?:)?//[A-Za-z0-9.\-]+(?::(?:0|[1-9][0-9]*)?)?'
-    r'(?:[/?][ !"$-~]*)?'
-    r'|/(?:[ !"$-.0-~][ !"$-~]*)?|/)(?:#[\s\S]*| *)$'
+    f"^ *(?:(?i:https?:)?//[A-Za-z0-9.\\-]+(?::(?:0|[1-9][0-9]*)?)?"
+    f"(?:[/?]{_PQ}*)?"
+    f"|/(?:{_PQ0}{_PQ}*)?|/)(?:#[\\s\\S]*| *)\\z"  # \z = end-of-INPUT:
+    # Java's $ also matches before a FINAL line terminator (\n, \x85,
+    # \u2028, \u2029), which would fast-claim hrefs with a trailing
+    # line terminator that Python str.strip removes
+
 )
 
 # Root-relative hrefs are resolved via urljoin() in the Python reference,
@@ -201,7 +214,7 @@ FAST_STRUCT_RE = (
 # Over-matching (e.g. a segment '. x') is safe — slow path is always correct.
 # Reference: Utility.cs:202-322 resolves relatives via `new Uri(base, rel)`
 # which removes dot segments — Python's urljoin path is the faithful one.
-DOTSEG_RISK_RE = r'^ */(?!/)(?:[ !"$-~]*/)?\.{1,2}(?:[/?#\s]|$)'
+DOTSEG_RISK_RE = r"^ */(?!/)(?:[^#]*/)?\.{1,2}(?:[/?#\s]|$)"
 
 
 def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:

@@ -39,6 +39,16 @@ EDGE_HREFS = [
     "http://h.example/p\x0b", "http://h.example/p\x0c",
     "http://h.example/p\x85", "http://h.example/p ",
     "http://h.example/p\x1f", "/r\xa0", "http://h.example/caf\xe9",
+    # line terminators at the end: Java's $ matches BEFORE a final line
+    # terminator, so the anchor must be \\z — pinned here
+    "http://h.example/p\n", "http://h.example/p" + chr(0x2028),
+    "http://h.example/p" + chr(0x2029), "http://h.example/p\x85",
+    # international (non-whitespace non-ASCII) hrefs — fast-eligible
+    "http://h.example/caf\xe9/page", "http://h.example/" + chr(0x6f22)
+    + chr(0x5b57) + "?q=" + chr(0xfc),
+    # more Unicode whitespace at edges (must route slow)
+    "http://h.example/p" + chr(0x2009), "http://h.example/"
+    + chr(0x3000) + "x",
     # leading-zero ports: urlsplit parses numerically, fast path compared
     # strings — must route slow (ADVICE round 2)
     "http://h.example:080/x", "http://h.example:0080/",
@@ -92,8 +102,22 @@ def test_hybrid_canonicalize_matches_python(spark):
     # separators and the ubiquitous '&amp;' must NOT be routed to Python
     fast_by_href = {(r["href"], r["base"]): r["fast"] for r in got}
     for href in ("http://a.example/x?a=1&b=2&c=3",
-                 "http://a.example/x?a=1&amp;b=2"):
+                 "http://a.example/x?a=1&amp;b=2",
+                 # international URLs must stay on the JVM fast path — both
+                 # canonicalizers pass non-ASCII non-whitespace through
+                 # untouched, and they're too common at web scale to pay
+                 # the Arrow crossing
+                 "http://h.example/caf\xe9",
+                 "http://h.example/" + chr(0x6f22) + chr(0x5b57)
+                 + "?q=" + chr(0xfc)):
         assert fast_by_href[(href, BASES[0])], href
+    # strip-risk chars (Unicode whitespace / controls / line terminators)
+    # still route slow
+    for href in ("http://h.example/p\xa0",
+                 "http://h.example/p" + chr(0x2009),
+                 "http://h.example/p" + chr(0x2028),
+                 "http://h.example/p\n", "http://h.example/p\x0b"):
+        assert not fast_by_href[(href, BASES[0])], href
 
 
 @pytest.mark.spark
