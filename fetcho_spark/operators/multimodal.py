@@ -6,10 +6,13 @@ Arrow-batched ``mapInPandas`` / pandas UDFs — the Spark-side plumbing
 
 - **image**: the deterministic stand-in codec (functions/codec.py) — swap for
   PIL when available; the UDF signatures don't change.
-- **audio / video**: STUBBED (no libsndfile/ffmpeg in this container). The
-  frame-sampling / feature ops ship a deterministic fake decode behind the
-  same interface and raise ``NotImplementedError`` when asked for real
-  codec work, per the build contract.
+- **audio**: REAL for uncompressed WAV/PCM (stdlib ``wave`` + numpy);
+  compressed formats (mp3/ogg/flac) raise — they genuinely need
+  ffmpeg/libsndfile.
+- **video**: REAL RIFF/AVI container demux (stdlib chunk walk; an MJPEG
+  AVI yields standalone JPEG payloads per frame) plus the FSVD test
+  container; inter-frame codec *decode* (H.264 …) raises — it genuinely
+  needs ffmpeg/pyav.
 
 Ops: decode+feature-extract, resize (numpy), video frame-sampling (stub
 decode, real sampling/batching), and content-addressed chunking for large
@@ -109,10 +112,13 @@ def video_frame_sample(videos: DataFrame, every_n: int = 10,
                        bytes_col: str = "bytes") -> DataFrame:
     """Frame sampling over an opaque video binary column.
 
-    Real decode is STUBBED (no ffmpeg here): a deterministic fake container
-    — concatenated FSIM frames with a count header — stands in so the
-    Spark-side plumbing (explode to frame rows, batch shapes, sampling
-    cadence) is real and tested. Swap ``_fake_demux`` for pyav/ffmpeg.
+    Two REAL demuxers run without ffmpeg: RIFF/AVI containers
+    (:func:`demux_avi` — pure-stdlib chunk walk; an MJPEG AVI yields raw
+    JPEG frame payloads) and the deterministic FSVD test container
+    (:func:`_fake_demux`). Inter-frame *decode* of compressed codecs
+    (H.264 etc.) genuinely needs ffmpeg/pyav and still raises — the
+    sampled frames come back as opaque bytes for a downstream decoder
+    (the codec seam's PIL path decodes MJPEG frames directly).
     """
     src = videos.select(F.col(id_col).alias("video_id"),
                         F.col(bytes_col).alias("bytes"))
@@ -121,13 +127,74 @@ def video_frame_sample(videos: DataFrame, every_n: int = 10,
         for pdf in batches:
             rows = []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
-                for idx, frame in _fake_demux(bytes(data)):
+                b = bytes(data)
+                demux = demux_avi if b[:4] == b"RIFF" else _fake_demux
+                for idx, frame in demux(b):
                     if idx % every_n == 0:
                         rows.append((vid, idx, bytearray(frame)))
             yield pd.DataFrame(rows, columns=["video_id", "frame_idx",
                                               "frame_bytes"])
 
     return src.mapInPandas(run, FRAME_SCHEMA)
+
+
+def demux_avi(data: bytes):
+    """RIFF/AVI demux, stdlib-only: walk the chunk tree to the ``movi``
+    LIST and yield (frame_index, payload) for each video-stream chunk
+    (``NNdc``/``NNdb`` compressed/uncompressed frame data). Chunks are
+    word-aligned (odd sizes pad one byte). This is a container parse, not
+    a codec: MJPEG AVIs yield standalone JPEG bytes per frame; inter-frame
+    codecs yield packets a real decoder must consume."""
+    import struct
+    if data[:4] != b"RIFF" or data[8:12] not in (b"AVI ", b"AVIX"):
+        raise NotImplementedError(
+            "unsupported video container (RIFF/AVI and the FSVD test "
+            "container demux natively; other formats need ffmpeg/pyav)")
+    idx = 0
+
+    def walk(off: int, end: int):
+        nonlocal idx
+        while off + 8 <= end:
+            fourcc = data[off:off + 4]
+            (size,) = struct.unpack("<I", data[off + 4:off + 8])
+            body0, body1 = off + 8, off + 8 + size
+            if fourcc == b"LIST":
+                list_type = data[body0:body0 + 4]
+                if list_type in (b"movi", b"rec "):
+                    yield from walk(body0 + 4, body1)
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                yield idx, data[body0:body1]
+                idx += 1
+            off = body1 + (size & 1)  # word alignment
+
+    yield from walk(12, len(data))
+
+
+def mjpeg_avi(frames: list[bytes], w: int = 16, h: int = 16,
+              fps: int = 25) -> bytes:
+    """Minimal valid RIFF/AVI wrapper around per-frame payloads (test/
+    fixture builder — the inverse of :func:`demux_avi`): hdrl with one
+    video stream, movi with one ``00dc`` chunk per frame."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<I", 0)
+            + struct.pack("<HHIIIIIIII", 0, 0, 0, 1, fps, 0, len(frames),
+                          0, 0, 0) + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 _VMAGIC = b"FSVD"

@@ -51,6 +51,30 @@ def test_video_frame_sampling(spark):
     assert (got == frames[0]).all()
 
 
+@pytest.mark.spark
+def test_video_avi_demux(spark):
+    """Real RIFF/AVI demux (stdlib chunk walk): a hand-built MJPEG-style
+    AVI yields its frame payloads in order at the sampling cadence; a
+    non-AVI, non-FSVD container still raises honestly."""
+    frames = [f"frame-{i}-payload".encode() + (b"x" if i % 2 else b"")
+              for i in range(23)]                 # odd sizes test padding
+    avi = MM.mjpeg_avi(frames)
+    got = list(MM.demux_avi(avi))
+    assert [i for i, _ in got] == list(range(23))
+    assert [f for _, f in got] == frames
+    df = spark.createDataFrame(
+        [("v1", bytearray(avi))], "video_id string, bytes binary")
+    out = {r["frame_idx"]: bytes(r["frame_bytes"])
+           for r in MM.video_frame_sample(df, every_n=10).collect()}
+    assert sorted(out) == [0, 10, 20]
+    assert out[10] == frames[10]
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        df2 = spark.createDataFrame(
+            [("v2", bytearray(b"\x00\x00\x00\x18ftypisom-not-supported"))],
+            "video_id string, bytes binary")
+        MM.video_frame_sample(df2).collect()
+
+
 def _wav_bytes(samples: np.ndarray, rate: int = 8000,
                nch: int = 1, width: int = 2) -> bytes:
     """Serialize float samples [-1, 1] to PCM WAV via stdlib wave."""
