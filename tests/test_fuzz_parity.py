@@ -16,8 +16,15 @@ from fetcho_spark.operators.robots import HostRules, compile_rules
 
 # printable-ish URL characters incl. the ones our fast/slow routing cares
 # about: entities, control whitespace, fragments, ports, userinfo
+# alphabet covers the routing-sensitive territory: entities, control
+# whitespace, fragments, ports, userinfo, dot segments, AND the
+# strip-risk / line-terminator Unicode the round-3 fast path must refuse
+# (NBSP, thin space, LINE/PARA SEPARATOR, NEL, ideographic space) plus a
+# fast-eligible non-ASCII letter
 _URLISH = st.text(
-    alphabet="abcdefghijXYZ0123456789:/?#&;.%=_-~@ \t\n*$'\"<>\\",
+    alphabet="abcdefghijXYZ0123456789:/?#&;.%=_-~@ \t\n*$'\"<>\\"
+             + chr(0x00a0) + chr(0x2009) + chr(0x2028) + chr(0x2029)
+             + chr(0x0085) + chr(0x3000) + chr(0x00e9),
     max_size=60)
 _HREF = st.one_of(
     _URLISH,
