@@ -216,6 +216,15 @@ FAST_STRUCT_RE = (
 # which removes dot segments — Python's urljoin path is the faithful one.
 DOTSEG_RISK_RE = r"^ */(?!/)(?:[^#]*/)?\.{1,2}(?:[/?#\s]|$)"
 
+# urljoin resolves root-relative hrefs through urlparse, which splits
+# PARAMS off the last path segment at its first ';' — a segment whose ';'
+# has nothing after it loses the ';' entirely ('/;' → '/', '/x;' → '/x',
+# '/a/;' → '/a/') while the JVM fast path keeps it. ';' in URLs is rare,
+# so ANY root-relative href containing one routes to the slow path
+# (over-routing is safe; scheme-relative/absolute hrefs skip urljoin and
+# keep ';' in both engines). Deep-sweep-found (round 3).
+ROOTREL_RE = r"^ */(?!/)"
+
 
 def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:
     """True where the JVM expression fast-path produces the same result as
@@ -236,7 +245,10 @@ def canonicalize_fast_applicable(href: F.Column, base: F.Column) -> F.Column:
                          href.rlike(ENTITY_RISK_RE)).otherwise(F.lit(False))
     dotseg_risk = F.when(href.contains("/."),
                          href.rlike(DOTSEG_RISK_RE)).otherwise(F.lit(False))
-    return ~entity_risk & ~dotseg_risk & href.rlike(FAST_STRUCT_RE)
+    semi_risk = F.when(href.contains(";"),
+                       href.rlike(ROOTREL_RE)).otherwise(F.lit(False))
+    return ~entity_risk & ~dotseg_risk & ~semi_risk \
+        & href.rlike(FAST_STRUCT_RE)
 
 
 def _pre_clean(href: F.Column) -> F.Column:
@@ -280,7 +292,10 @@ def canonicalize_col(href: F.Column, base: F.Column) -> F.Column:
     netloc = F.when((port == "") | (port == default_port), host) \
               .otherwise(F.concat(host, F.lit(":"), port))
     rest = F.regexp_extract(h, r"^(?i)https?://[^/?#]+([/?].*)?$", 1)
-    rest = F.regexp_replace(rest, r"\?$", "")  # bare trailing '?' drops
+    # ONLY a bare empty query drops ('/x?' → '/x'): a trailing '?' inside a
+    # non-empty query is literal query content urlsplit keeps ('/a?b?' →
+    # '/a?b?') — so strip the final '?' only when it is the FIRST one too
+    rest = F.regexp_replace(rest, r"^([^?]*)\?$", "$1")
     # '?query' with empty path → '/?query' (urlunsplit semantics)
     rest = F.when(rest == "", F.lit("/")) \
             .when(rest.startswith("?"), F.concat(F.lit("/"), rest)) \
@@ -311,13 +326,19 @@ def with_fast_canonical(df, href_col: str = "href", base_col: str = "base"):
     # ---- applicability: two regexes on the raw href (FAST_STRUCT_RE) ----
     df = df.withColumn("_appl", canonicalize_fast_applicable(H, B))
     # ---- fast-path value (canonicalize_col, staged) ----------------------
+    # coalesce: a NULL base (no source page) must behave like the Python
+    # reference's base=None — default scheme 'http', no host. Without it
+    # the extracts return NULL and every downstream concat nulls out
+    # (deep-sweep-found: '//host' with NULL base; the Column form already
+    # coalesced, the staged form didn't)
+    B0 = F.coalesce(B, F.lit(""))
     df = df.withColumn(
-        "_bsch0", F.lower(F.regexp_extract(B, r"^(?i)(https?)://", 1)))
+        "_bsch0", F.lower(F.regexp_extract(B0, r"^(?i)(https?)://", 1)))
     df = df.withColumn(
         "_bsch", F.when(F.col("_bsch0") == "", F.lit("http"))
                   .otherwise(F.col("_bsch0")))
     df = df.withColumn(
-        "_bhost", F.lower(F.regexp_extract(B, r"^(?i)https?://([^/?#]+)", 1)))
+        "_bhost", F.lower(F.regexp_extract(B0, r"^(?i)https?://([^/?#]+)", 1)))
     df = df.withColumn(
         "_res",
         F.when(pc.startswith("//"),
@@ -344,7 +365,7 @@ def with_fast_canonical(df, href_col: str = "href", base_col: str = "base"):
     df = df.withColumn(
         "_rest0", F.regexp_replace(
             F.regexp_extract(r, r"^(?i)https?://[^/?#]+([/?].*)?$", 1),
-            r"\?$", ""))
+            r"^([^?]*)\?$", "$1"))  # only a bare EMPTY query drops
     df = df.withColumn(
         "_rest", F.when(F.col("_rest0") == "", F.lit("/"))
                   .when(F.col("_rest0").startswith("?"),

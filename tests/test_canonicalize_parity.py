@@ -13,7 +13,7 @@ from fetcho_spark.functions.urls import (canonicalize, canonicalize_col,
                                          canonicalize_udf)
 
 BASES = ["http://h1.example/dir/page", "https://s.example/",
-         "http://a.example/x?q=1"]
+         "http://a.example/x?q=1", None]
 
 EDGE_HREFS = [
     "http://a.example/x", "http://a.example/x#frag", "//b.example/y",
@@ -53,6 +53,13 @@ EDGE_HREFS = [
     # strings — must route slow (ADVICE round 2)
     "http://h.example:080/x", "http://h.example:0080/",
     "http://h.example:0/x", "http://h.example:8080/x#f",
+    # deep-sweep-found (round 3): urljoin drops a bare trailing ';' of the
+    # last path segment (urlparse params) for root-relative hrefs; a
+    # trailing '?' only drops when the query is EMPTY; NULL base must
+    # default scheme http for scheme-relative hrefs
+    "/;", "/x;", "/a/;", "/;x", "/a;b", "/a;b;", "/x?",
+    "/??", "/x??", "http://a.example/x?a?", "http://a.example/??",
+    "http://a.example/x;y", "https://h.example/a?b?c?",
     # entity-decode divergence candidates (must route to the slow path:
     # full html.unescape semantics — numeric refs, case variants, legacy
     # semicolon-less entities, &amp; cascades)
