@@ -129,6 +129,48 @@ def test_hybrid_canonicalize_matches_python(spark):
 
 @pytest.mark.spark
 @pytest.mark.slow
+def test_deep_sweep_hybrid_matches_python(spark):
+    """Seeded adversarial sweep (the bounded form of the 80k round-3 sweep
+    that found the NULL-base, trailing-';' and non-empty-query-'?' fast
+    path bugs): random hrefs over a routing-hostile alphabet — entities,
+    control whitespace, strip-risk Unicode, CJK, ports, userinfo — must
+    canonicalize identically through the staged hybrid and pure Python."""
+    alpha = ("abcdefghijXYZ0123456789:/?#&;.%=_-~@ \t\n*$'\"<>\\"
+             + chr(0x00A0) + chr(0x2009) + chr(0x2028) + chr(0x2029)
+             + chr(0x0085) + chr(0x3000) + chr(0x00E9) + chr(0x6F22))
+    rng = random.Random(20260817)
+
+    def href():
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 50)))
+        p = rng.random()
+        if p < 0.2:
+            return "http://" + s
+        if p < 0.35:
+            return "https://h.example/" + s
+        if p < 0.5:
+            return "//" + s
+        if p < 0.7:
+            return "/" + s
+        if p < 0.8:
+            return s + "&amp;x=1"
+        return s
+
+    bases = BASES + ["http://b.example/x?q=1"]
+    pairs = [(href(), rng.choice(bases)) for _ in range(6000)]
+    from fetcho_spark.functions.urls import with_fast_canonical
+    df = spark.createDataFrame(pairs, "href string, base string")
+    c = with_fast_canonical(df)
+    got = (c.withColumn(
+        "url", F.when(F.col("_appl"), F.col("_fast_url"))
+                .otherwise(canonicalize_udf(F.col("href"), F.col("base"))))
+        .select("href", "base", "url").collect())
+    for r in got:
+        assert r["url"] == canonicalize(r["href"], r["base"]), \
+            (repr(r["href"]), repr(r["base"]))
+
+
+@pytest.mark.spark
+@pytest.mark.slow
 def test_staged_canonicalizer_matches_column_form(spark):
     """with_fast_canonical (the staged-projection production path) must
     agree with the Column-function forms AND the Python reference on every
