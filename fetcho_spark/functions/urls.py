@@ -86,7 +86,23 @@ def canonicalize(href: str | None, base: str | None = None) -> str | None:
         return None
     netloc = host if (port is None or port == _DEFAULT_PORTS.get(scheme)) else f"{host}:{port}"
     path = parts.path or "/"
-    out = urlunsplit((scheme, netloc, path, parts.query, ""))
+    # Idempotence re-strips (fuzz-found round 3/4): the canonical output must
+    # be a fixed point — re-canonicalizing it changes nothing. Two trailing-
+    # whitespace leaks can survive the pre-parse edge strip:
+    #   1. query ending in Unicode whitespace — reachable only through
+    #      urljoin inheriting the base's query (CPython: a bare '?' ref with
+    #      empty path+query inherits base query), since a '?…ws' suffix on
+    #      the href itself is edge-stripped before parsing;
+    #   2. whitespace hidden behind a bare trailing '?' ('https://h/\x85?'):
+    #      urlunsplit drops the EMPTY query, exposing it as new edge ws.
+    # rstrip()'s no-arg set is exactly what re-entry's str.strip() removes;
+    # trailing C0 controls stay (urlsplit strips only LEADING C0). The JVM
+    # fast path needs only the 0x20-before-'?' drop — every other whitespace
+    # codepoint routes slow, and query-only hrefs never fast-match.
+    query = parts.query.rstrip()
+    if not query:
+        path = path.rstrip() or "/"
+    out = urlunsplit((scheme, netloc, path, query, ""))
     if len(out) > MAX_URL_LEN:
         return None
     return out
@@ -294,8 +310,12 @@ def canonicalize_col(href: F.Column, base: F.Column) -> F.Column:
     rest = F.regexp_extract(h, r"^(?i)https?://[^/?#]+([/?].*)?$", 1)
     # ONLY a bare empty query drops ('/x?' → '/x'): a trailing '?' inside a
     # non-empty query is literal query content urlsplit keeps ('/a?b?' →
-    # '/a?b?') — so strip the final '?' only when it is the FIRST one too
-    rest = F.regexp_replace(rest, r"^([^?]*)\?$", "$1")
+    # '/a?b?') — so strip the final '?' only when it is the FIRST one too.
+    # The drop also swallows spaces right before the bare '?' ('/x ?' →
+    # '/x'): they become edge whitespace once the '?' goes, and the Python
+    # reference re-strips them (idempotence fix, round 4). Only 0x20 can
+    # occur here — every other whitespace codepoint routes slow (_PQ).
+    rest = F.regexp_replace(rest, r"^([^?]*?) *\?$", "$1")
     # '?query' with empty path → '/?query' (urlunsplit semantics)
     rest = F.when(rest == "", F.lit("/")) \
             .when(rest.startswith("?"), F.concat(F.lit("/"), rest)) \
@@ -365,7 +385,9 @@ def with_fast_canonical(df, href_col: str = "href", base_col: str = "base"):
     df = df.withColumn(
         "_rest0", F.regexp_replace(
             F.regexp_extract(r, r"^(?i)https?://[^/?#]+([/?].*)?$", 1),
-            r"^([^?]*)\?$", "$1"))  # only a bare EMPTY query drops
+            # only a bare EMPTY query drops; swallow spaces before it too
+            # ('/x ?' → '/x') — idempotence fix, mirrors canonicalize()
+            r"^([^?]*?) *\?$", "$1"))
     df = df.withColumn(
         "_rest", F.when(F.col("_rest0") == "", F.lit("/"))
                   .when(F.col("_rest0").startswith("?"),

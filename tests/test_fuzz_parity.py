@@ -4,7 +4,17 @@ golden tests pin on fixtures, pushed through randomized inputs.
 Each Spark-side property batches one generated list into ONE job (per-example
 jobs would be pathologically slow), with a small example budget — the pure
 Python properties run at full hypothesis depth.
+
+DETERMINISM (round-3 verdict #2): every ``@settings`` here sets
+``derandomize=True`` so the example stream is a pure function of the
+property's code — two runs of the same tree are bit-identically green/red;
+correctness verdicts never depend on RNG. Every counterexample a past
+randomized run found is ALSO pinned as an explicit parametrized case below
+(round-2 dot segments, round-3 ``\\x85?``, round-4 query-inheritance),
+so the found bugs stay found even if a property is later rewritten.
 """
+
+import html
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -43,9 +53,7 @@ _BASE = st.one_of(
 )
 
 
-@given(_HREF, _BASE)
-@settings(max_examples=500, deadline=None)
-def test_canonicalize_output_invariants(href, base):
+def _check_canonical_invariants(href, base):
     out = canonicalize(href, base)
     if out is None:
         return
@@ -56,13 +64,93 @@ def test_canonicalize_output_invariants(href, base):
     authority = rest.split("/", 1)[0].split("?", 1)[0]
     host = authority.split(":", 1)[0]
     assert host == host.lower() and host and not host.endswith(".")
-    # canonical output is a fixed point: re-canonicalizing changes nothing
-    assert canonicalize(out, base) == out
+    # Canonical output is a fixed point: re-canonicalizing changes nothing.
+    # Scope: HTML-entity decode is SINGLE-pass by design (Utility.cs applies
+    # HtmlDecode once), so a double-encoded legacy entity ('&#38;deg' →
+    # '&deg') yields an output that a second decode would alter — that is
+    # reference-faithful HTML semantics at the href→URL boundary, not a
+    # normalization bug, and is pinned as a documented divergence in
+    # test_entity_cascade_documented_divergence below. Every decode-stable
+    # output (everything else, incl. all whitespace/query/path handling)
+    # must be an exact fixed point.
+    if html.unescape(out) == out:
+        assert canonicalize(out, base) == out, (href, base, out)
+
+
+@given(_HREF, _BASE)
+@settings(max_examples=2000, deadline=None, derandomize=True)
+def test_canonicalize_output_invariants(href, base):
+    _check_canonical_invariants(href, base)
+
+
+# Historical fuzz counterexamples, pinned forever as explicit cases —
+# round 2: dot-segment resolution divergence between the JVM fast path and
+# urljoin; round 3: empty-query drop exposing edge Unicode whitespace;
+# round 4: urljoin inheriting a whitespace-tailed query from the base.
+_PINNED_COUNTEREXAMPLES = [
+    # round-3 class: bare trailing '?' hides strip-risk whitespace at the
+    # path edge — empty-query drop must re-strip (urls.py idempotence fix)
+    ("https://h.example/\x85?", None),
+    ("/x\u3000?", "http://base.example/dir/page"),
+    ("/a ?#f", "http://base.example/dir/page"),
+    ("/x ?", "http://base.example/dir/page"),
+    ("http://a.example/x\xa0?", None),
+    ("http://a.example/x ?", None),
+    ("http://a.example/x  ?#frag", None),
+    # round-4 class: a bare '?' (or '#frag'-stripped equivalent) ref makes
+    # urljoin inherit the BASE's query — which can end in Unicode
+    # whitespace the edge strip never saw; query must be re-stripped
+    ("?", "http://b.example/?\x85"),
+    ("? #frag", "http://b.example/? trail "),
+    ("?\xa0", "http://b.example/dir?q=1 "),
+    # round-2 class: dot segments must resolve via urljoin for relatives
+    ("/a/../b", "http://base.example/dir/page"),
+    ("/./x", "http://base.example/dir/page"),
+    ("/..", "http://base.example/dir/page"),
+    # controls that must NOT be stripped (urlsplit keeps trailing C0)
+    ("https://h.example/\x01?", None),
+    # non-empty query keeps inner whitespace — no over-stripping
+    ("http://a.example/x ?q", None),
+    ("http://a.example/x?a?", None),
+]
+
+
+@pytest.mark.parametrize("href,base", _PINNED_COUNTEREXAMPLES)
+def test_canonicalize_pinned_counterexamples(href, base):
+    _check_canonical_invariants(href, base)
+
+
+def test_canonicalize_pinned_values():
+    """Exact expected outputs for the idempotence-fix cases (not just the
+    property): the whitespace re-strips must produce THESE canonicals."""
+    assert canonicalize("https://h.example/\x85?", None) == "https://h.example/"
+    assert canonicalize("/x\u3000?", "http://b.example/d/p") == "http://b.example/x"
+    assert canonicalize("http://a.example/x ?", None) == "http://a.example/x"
+    assert canonicalize("?", "http://b.example/?\x85") == "http://b.example/"
+    assert canonicalize("? #f", "http://b.example/?q ") \
+        == "http://b.example/?q"
+    # non-empty query: inner whitespace is content, kept verbatim
+    assert canonicalize("http://a.example/x ?q", None) == "http://a.example/x ?q"
+    # trailing C0 is not whitespace: kept (urlsplit strips only leading C0)
+    assert canonicalize("https://h.example/\x01?", None) == "https://h.example/\x01"
+
+
+def test_entity_cascade_documented_divergence():
+    """Single-pass HTML decode (reference: Utility.cs HtmlDecode, applied
+    once) means a DOUBLE-encoded legacy entity survives one decode and
+    would decode again on re-entry — the one deliberate exception to the
+    fixed-point contract. Pin the exact behavior so any change is loud."""
+    out = canonicalize("http://h.example/?a=1&#38;deg", None)
+    assert out == "http://h.example/?a=1&deg"      # single decode
+    again = canonicalize(out, None)
+    assert again == "http://h.example/?a=1\xb0"    # '&deg' → '°' on re-entry
+    # and the re-decoded form IS a fixed point (decode-stable)
+    assert canonicalize(again, None) == again
 
 
 @given(st.lists(st.tuples(_HREF, st.just("http://base.example/dir/page")),
                 min_size=1, max_size=80))
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @pytest.mark.spark
 @pytest.mark.slow
@@ -90,7 +178,7 @@ _PATH = st.text(alphabet="/abcxyz019._-%?=", min_size=1, max_size=30) \
 @given(st.lists(st.tuples(st.sampled_from(["allow", "disallow"]), _PATTERN),
                 min_size=1, max_size=10),
        st.lists(_PATH, min_size=1, max_size=40))
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @pytest.mark.spark
 @pytest.mark.slow
@@ -117,7 +205,7 @@ def test_robots_like_compile_matches_hostrules_fuzz(spark, rules, paths):
 
 
 @given(st.lists(st.text(max_size=40), min_size=1, max_size=200))
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @pytest.mark.spark
 @pytest.mark.slow
