@@ -370,6 +370,26 @@ def q_ml_classify(spark, sf):  # F14 — NB classifier, quantized JVM path
     return nb_classify(docs, "doc_id", "text", "topics").orderBy("doc_id")
 
 
+def q_ml_train_classify(spark, sf):  # learno analog — DISTRIBUTED trainer
+    # Trains the NB model cluster-side (explode → groupBy(label, token)
+    # partial-agg shuffle; only the O(labels×vocab) aggregate reaches the
+    # driver — learno/MultiClassifierModelTrainer.cs semantics), then
+    # classifies with the quantized JVM scorer. The oracle twin is generated
+    # from the IN-MEMORY train_nb fit on the same fixture rows, so a hash
+    # match proves distributed fit ≡ in-memory fit end-to-end through the
+    # correctness gate.
+    from fetcho_spark.functions.mlmodel import (nb_classify, register_model,
+                                                topics_fixture_corpus,
+                                                train_nb_df)
+    texts, labels = topics_fixture_corpus()
+    corpus = spark.createDataFrame(list(zip(texts, labels)),
+                                   "text string, label string")
+    register_model("topics_dftrain", train_nb_df(corpus, "text", "label"))
+    docs = _t(spark, sf, "documents")
+    return (nb_classify(docs, "doc_id", "text", "topics_dftrain")
+            .orderBy("doc_id"))
+
+
 def q_gopher_quality(spark, sf):  # Gopher repetition + word-shape rules
     from fetcho_spark.operators.textops import gopher_repetition
     return gopher_repetition(_t(spark, sf, "documents")).orderBy("doc_id")
@@ -509,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xpath_extract": q_xpath_extract,
         "fragment_dedup": q_fragment_dedup,
         "ml_classify": q_ml_classify,
+        "ml_train_classify": q_ml_train_classify,
         "social_format": q_social_format,
         "ann_ivf": q_ann_ivf,
         "dedup_clusters": q_dedup_clusters,
@@ -890,6 +911,11 @@ def oracle_sql() -> dict[str, str]:
         # Spark plan uses (fetcho_spark/functions/mlmodel.nb_classify_sql) —
         # integer log-score sums are order-independent, so parity is exact
         "ml_classify": _ml_sql(),
+        # ml_train_classify: the Spark side trains DISTRIBUTED (train_nb_df)
+        # and scores with those weights; this twin is generated from the
+        # in-memory train_nb on the same fixture rows — the hash match IS
+        # the distributed≡in-memory trainer proof at gate level
+        "ml_train_classify": _ml_sql(),
         # gopher_quality / decontaminate: fractions are floor-quantized to
         # 6dp (floor of identical doubles is engine-independent; ROUND's
         # HALF_UP-vs-HALF_EVEN boundary is not)

@@ -66,6 +66,53 @@ class NBModel:
         return self.labels[k], float(p[k])
 
 
+def train_nb_df(df, text_col: str = "text", label_col: str = "label",
+                alpha: float = 1.0) -> NBModel:
+    """Cluster-scale NB trainer — the ``learno`` analog
+    (learno/MultiClassifierModelTrainer.cs trains multiclass text models
+    from workspace result data; this is the same fit expressed as DataFrame
+    aggregation). The corpus never reaches the driver: tokens explode
+    JVM-side (``regexp_extract_all``, whole-stage codegen), ONE
+    partial-aggregated ``groupBy(label, token)`` shuffle produces the count
+    matrix, and only the O(labels × vocab) aggregate — the model itself —
+    is collected. At 100 TB the corpus scan/shuffle distributes like any
+    word-count; the collected model is vocab-sized, not corpus-sized.
+
+    Exact parity with :func:`train_nb` on the same rows (identical
+    quantized params) is pinned by tests/test_training_ops.py and the
+    ``ml_train_classify`` correctness-gate entry: integer token counts are
+    exact in float64 regardless of summation order, so the numpy log-space
+    fit downstream is bit-identical. Tokenization runs through the JVM
+    ``lower`` + ``[a-z0-9]+`` regex, which agrees with the Python tokenizer
+    on everything but exotic case-folding codepoints (both fold ASCII
+    identically; the token alphabet is ASCII-only by construction).
+    """
+    toks = df.select(
+        F.col(label_col).alias("_lbl"),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("_tok"))
+    pair_rows = toks.groupBy("_lbl", "_tok").count().collect()
+    prior_rows = (df.groupBy(F.col(label_col).alias("_lbl")).count()
+                  .collect())
+    label_names = sorted(r["_lbl"] for r in prior_rows)
+    lidx = {l: i for i, l in enumerate(label_names)}
+    vocab = {t: j for j, t in
+             enumerate(sorted({r["_tok"] for r in pair_rows}))}
+    counts = np.zeros((len(label_names), len(vocab)))
+    for r in pair_rows:
+        counts[lidx[r["_lbl"]], vocab[r["_tok"]]] = r["count"]
+    prior = np.zeros(len(label_names))
+    for r in prior_rows:
+        prior[lidx[r["_lbl"]]] = r["count"]
+    v = len(vocab)
+    denom = counts.sum(axis=1, keepdims=True) + alpha * (v + 1)
+    log_lik = np.log((counts + alpha) / denom)
+    log_unk = np.log(alpha / denom[:, 0])
+    log_prior = np.log(prior / prior.sum())
+    return NBModel(label_names, vocab, log_prior, log_lik, log_unk)
+
+
 def train_nb(texts: list[str], labels: list[str], alpha: float = 1.0) -> NBModel:
     label_names = sorted(set(labels))
     lidx = {l: i for i, l in enumerate(label_names)}
@@ -106,10 +153,10 @@ def get_model(name: str) -> NBModel:
     return _MODELS[name]
 
 
-def _train_topics_fixture() -> NBModel:
-    """The in-repo 'topics' model: 4 classes, deterministic synthetic
-    corpus (keyword cores + shared filler) — the learno trainer's shape at
-    fixture scale."""
+def topics_fixture_corpus() -> tuple[list[str], list[str]]:
+    """The deterministic 'topics' fixture corpus (texts, labels) — shared
+    by the in-memory trainer (model registry) and the distributed-trainer
+    parity tests/oracle so both fit from identical rows."""
     cores = {
         "Science": ["experiment", "theory", "physics", "research", "data",
                     "quantum", "laboratory", "hypothesis"],
@@ -133,7 +180,14 @@ def _train_topics_fixture() -> NBModel:
             rng.shuffle(words)
             texts.append(" ".join(words))
             labels.append(label)
-    return train_nb(texts, labels)
+    return texts, labels
+
+
+def _train_topics_fixture() -> NBModel:
+    """The in-repo 'topics' model: 4 classes, deterministic synthetic
+    corpus (keyword cores + shared filler) — the learno trainer's shape at
+    fixture scale."""
+    return train_nb(*topics_fixture_corpus())
 
 
 # ------------------------------------------- quantized distributed scorer

@@ -497,3 +497,69 @@ def test_token_budget_partition_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert alt == ref and len(ref) == 200
+
+
+def _model_fingerprint(model):
+    """Quantized serialization of an NBModel — the exact integers the
+    distributed scorer and SQL oracle twin consume (mlmodel.SCORE_QUANT):
+    column order is normalized by sorting the vocab, so two fits are equal
+    iff their scoring behavior is bit-identical."""
+    from fetcho_spark.functions.mlmodel import SCORE_QUANT
+    Q = SCORE_QUANT
+    return (
+        list(model.labels),
+        [int(round(model.log_prior[i] * Q)) for i in range(len(model.labels))],
+        [int(round(model.log_unk[i] * Q)) for i in range(len(model.labels))],
+        [(tok, *[int(round(model.log_lik[i, j] * Q))
+                 for i in range(len(model.labels))])
+         for tok, j in sorted(model.vocab.items())],
+    )
+
+
+@pytest.mark.spark
+def test_train_nb_df_matches_inmemory(spark):
+    """learno analog (MultiClassifierModelTrainer.cs): the distributed
+    groupBy(label, token) fit must produce EXACTLY the quantized params of
+    the in-memory train_nb on the same rows — integer counts are exact in
+    float64 regardless of aggregation order, so the log-space fit is
+    bit-identical, not merely close."""
+    from fetcho_spark.functions.mlmodel import (topics_fixture_corpus,
+                                                train_nb, train_nb_df)
+    texts, labels = topics_fixture_corpus()
+    mem = train_nb(texts, labels)
+    df = spark.createDataFrame(list(zip(texts, labels)),
+                               "text string, label string")
+    dist = train_nb_df(df, "text", "label")
+    assert _model_fingerprint(dist) == _model_fingerprint(mem)
+    # and prediction behavior is identical end-to-end
+    for t in ("quantum experiment research data", "team match league",
+              "stock market price investor", "report about today", ""):
+        assert dist.predict_one(t) == mem.predict_one(t), t
+
+
+@pytest.mark.spark
+def test_train_nb_df_10x_scale_no_driver_corpus(spark):
+    """Train at 10× fixture scale where the corpus exists only as a Spark
+    plan (cross-join expansion — never a driver list): the distributed fit
+    must equal train_nb on the equivalent materialized rows, and the only
+    collected datasets are the O(labels×vocab) aggregates."""
+    from fetcho_spark.functions.mlmodel import (topics_fixture_corpus,
+                                                train_nb, train_nb_df)
+    texts, labels = topics_fixture_corpus()
+    base = spark.createDataFrame(list(zip(texts, labels)),
+                                 "text string, label string")
+    # 10× expansion with per-copy variation so the fit differs from 1×:
+    # copy k appends a distinct 'copyk' token to every doc
+    big = (base.crossJoin(spark.range(10).select(F.col("id").alias("_k")))
+           .select(F.concat_ws(" ", "text",
+                               F.concat(F.lit("copy"), F.col("_k")))
+                   .alias("text"), "label"))
+    dist = train_nb_df(big, "text", "label")
+    exp_rows = [(f"{t} copy{k}", l)
+                for t, l in zip(texts, labels) for k in range(10)]
+    mem = train_nb([t for t, _ in exp_rows], [l for _, l in exp_rows])
+    assert _model_fingerprint(dist) == _model_fingerprint(mem)
+    assert len(dist.vocab) == len(mem.vocab) > 0
+    # 10× replication with variation really changed the model vs 1×
+    assert _model_fingerprint(dist) != _model_fingerprint(
+        train_nb(texts, labels))
