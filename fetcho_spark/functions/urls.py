@@ -86,6 +86,14 @@ def canonicalize(href: str | None, base: str | None = None) -> str | None:
         return None
     netloc = host if (port is None or port == _DEFAULT_PORTS.get(scheme)) else f"{host}:{port}"
     path = parts.path or "/"
+    if "/." in path:
+        # RFC 3986 dot-segment removal for ABSOLUTE/scheme-relative hrefs
+        # too (reference parity: C# `new Uri` normalizes dot segments for
+        # every URL shape, while urljoin only runs for relatives — ADVICE
+        # round 3). Reuse urljoin against the URL's own root so ONE engine
+        # defines the semantics for every href shape; the probe ('/.'
+        # prefixes every dot segment) keeps the common case allocation-free.
+        path = urlsplit(urljoin(f"{scheme}://{netloc}", path)).path or "/"
     # Idempotence re-strips (fuzz-found round 3/4): the canonical output must
     # be a fixed point — re-canonicalizing it changes nothing. Two trailing-
     # whitespace leaks can survive the pre-parse edge strip:
@@ -220,17 +228,17 @@ FAST_STRUCT_RE = (
 
 )
 
-# Root-relative hrefs are resolved via urljoin() in the Python reference,
-# which performs RFC 3986 dot-segment removal ('/a/../b' → '/b', '/.' → '/');
-# the JVM fast path just concatenates scheme://host + path. Any root-relative
-# href containing a '.' or '..' PATH SEGMENT (terminated by '/', '?', '#',
-# whitespace-that-trims, or end) therefore routes to the UDF slow path.
-# Scheme-relative and absolute hrefs never pass through urljoin (both paths
-# keep their dot segments verbatim), so only the `/(?!/)` shape is gated.
-# Over-matching (e.g. a segment '. x') is safe — slow path is always correct.
-# Reference: Utility.cs:202-322 resolves relatives via `new Uri(base, rel)`
-# which removes dot segments — Python's urljoin path is the faithful one.
-DOTSEG_RISK_RE = r"^ */(?!/)(?:[^#]*/)?\.{1,2}(?:[/?#\s]|$)"
+# Dot segments resolve in the Python canonicalizer for EVERY href shape
+# (relatives via urljoin; absolutes/scheme-relatives via the '/.'-probed
+# re-resolve in canonicalize — round-4 reference-fidelity fix: C# `new Uri`
+# normalizes dot segments on absolute URLs too). The JVM fast path just
+# concatenates strings, so ANY href containing a '.' or '..' PATH SEGMENT
+# (terminated by '/', '?', '#', whitespace-that-trims, or end) routes to the
+# UDF slow path. Over-matching (dots inside a query, '$' matching before a
+# final line terminator) is safe — slow path is always correct.
+# Reference: Utility.cs:202-322 resolves via `new Uri`, which removes dot
+# segments — Python's urljoin machinery is the faithful analog.
+DOTSEG_RISK_RE = r"/\.{1,2}(?:[/?#\s]|$)"
 
 # urljoin resolves root-relative hrefs through urlparse, which splits
 # PARAMS off the last path segment at its first ';' — a segment whose ';'

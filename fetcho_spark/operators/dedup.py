@@ -199,7 +199,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
                        n_bits: int, max_hamming: int,
-                       max_band_df: int | None = 1000) -> DataFrame:
+                       max_band_df: int | None = 1000,
+                       observation=None) -> DataFrame:
     """Pairs of ids whose ``n_bits``-bit signatures are within
     ``max_hamming``, mined with banding — never an all-pairs product →
     ``(id_a, id_b, hamming)``.
@@ -224,6 +225,13 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
     collapses with one groupBy — run that first, then band the survivors.
     Arithmetic ``shiftright`` + mask is sign-safe, so full signed-64-bit
     signatures (image phash) work as well as simhash-60.
+
+    Bounded-recall mode is never silent when the caller asks: pass a
+    ``pyspark.sql.Observation`` as ``observation`` and, on the same action
+    that materializes the pairs (zero extra jobs — observe metrics ride the
+    scan), ``observation.get`` reports ``hot_buckets_dropped`` /
+    ``hot_bucket_rows`` — 0/0 means the cap never engaged and recall was
+    100%; anything else quantifies exactly how much the cap cut.
     """
     n_bands = max_hamming + 1
     width = n_bits // n_bands
@@ -240,8 +248,16 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
          .select(id_col, sig_col,
                  F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv")))
     if max_band_df is not None:
-        cold = (b.groupBy("bi", "bv").agg(F.count("*").alias("_n"))
-                .filter(F.col("_n") <= max_band_df).drop("_n"))
+        counts = b.groupBy("bi", "bv").agg(F.count("*").alias("_n"))
+        if observation is not None:
+            hot = F.col("_n") > max_band_df
+            counts = counts.observe(
+                observation,
+                F.coalesce(F.sum(F.when(hot, 1)), F.lit(0))
+                 .alias("hot_buckets_dropped"),
+                F.coalesce(F.sum(F.when(hot, F.col("_n"))), F.lit(0))
+                 .alias("hot_bucket_rows"))
+        cold = counts.filter(F.col("_n") <= max_band_df).drop("_n")
         b = b.join(cold, ["bi", "bv"])
     left = b.select(F.col(id_col).alias("id_a"),
                     F.col(sig_col).alias("_sha"), "bi", "bv")
@@ -259,18 +275,20 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       max_band_df: int | None = 1000) -> DataFrame:
+                       max_band_df: int | None = 1000,
+                       observation=None) -> DataFrame:
     """Text near-dup pairs by simhash-60 hamming distance (banded — see
     :func:`hamming_band_pairs`) → ``(id_a, id_b, hamming)``."""
     return hamming_band_pairs(simhash(df, text_col, id_col), "simhash",
                               id_col, SIMHASH_BITS, max_hamming,
-                              max_band_df)
+                              max_band_df, observation=observation)
 
 
 def phash_near_pairs(images: DataFrame, phash_col: str = "phash",
                      id_col: str = "image_id",
                      max_hamming: int = 4,
-                     max_band_df: int | None = 1000) -> DataFrame:
+                     max_band_df: int | None = 1000,
+                     observation=None) -> DataFrame:
     """IMAGE near-dup pairs by 64-bit perceptual-hash hamming distance
     (banded — see :func:`hamming_band_pairs`): re-encoded / lightly edited
     copies of an image land within a few phash bits, exact copies at 0.
@@ -279,4 +297,4 @@ def phash_near_pairs(images: DataFrame, phash_col: str = "phash",
     computes it from decoded pixels)."""
     return hamming_band_pairs(
         images.select(id_col, phash_col), phash_col, id_col, 64,
-        max_hamming, max_band_df)
+        max_hamming, max_band_df, observation=observation)

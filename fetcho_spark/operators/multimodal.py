@@ -162,7 +162,10 @@ def demux_avi(data: bytes):
                 list_type = data[body0:body0 + 4]
                 if list_type in (b"movi", b"rec "):
                     yield from walk(body0 + 4, body1)
-            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+            # stream ids are TWO HEX digits ('00dc' … 'FFdc'): streams 10+
+            # use A-F (ADVICE r3 — decimal-only silently skipped them)
+            elif fourcc[2:4] in (b"dc", b"db") and all(
+                    c in b"0123456789abcdefABCDEF" for c in fourcc[:2]):
                 yield idx, data[body0:body1]
                 idx += 1
             off = body1 + (size & 1)  # word alignment
@@ -232,6 +235,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("zcr", T.DoubleType()),
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("n_channels", T.IntegerType()),
+    T.StructField("err", T.StringType()),   # null = decoded; else reason
 ])
 
 # magic prefixes of compressed audio containers the stdlib cannot decode —
@@ -278,15 +282,21 @@ def _wav_features(data: bytes) -> tuple[float, float, float, int, int]:
 
 
 def audio_features(audio: DataFrame, id_col: str = "audio_id",
-                   bytes_col: str = "bytes") -> DataFrame:
+                   bytes_col: str = "bytes",
+                   strict: bool = False) -> DataFrame:
     """Audio feature extraction over an opaque binary column.
 
     Uncompressed WAV/PCM decodes for real (stdlib ``wave`` + numpy — see
-    :func:`_wav_features`); compressed formats (mp3/ogg/flac, detected by
-    magic) raise ``NotImplementedError`` — that decode path genuinely needs
-    ffmpeg/libsndfile, absent in this container. Unparseable bytes yield a
-    null feature row (same discipline as image_features). mapInPandas,
-    Arrow batches, narrow output frame.
+    :func:`_wav_features`). Every undecodable row yields a NULL feature row
+    with a per-row ``err`` reason instead of failing the job (ADVICE r3:
+    one stray mp3 in a 100 TB corpus must not abort the extraction):
+    ``err='needs-ffmpeg'`` for compressed formats (mp3/ogg/flac magic —
+    that decode genuinely needs ffmpeg/libsndfile, absent here),
+    ``err='unparseable'`` for garbage bytes, null ``err`` on success.
+    ``strict=True`` restores the fail-fast contract: compressed magic
+    raises ``NotImplementedError`` mid-job (the honest-stub behavior, for
+    callers who'd rather crash than silently skip a modality).
+    mapInPandas, Arrow batches, narrow output frame.
     """
     src = audio.select(F.col(id_col).alias("audio_id"),
                        F.col(bytes_col).alias("bytes"))
@@ -297,17 +307,21 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
                 b = bytes(data)
                 if any(b.startswith(m) for m in _COMPRESSED_AUDIO_MAGIC):
-                    raise NotImplementedError(
-                        "compressed audio decode requires ffmpeg/libsndfile "
-                        "(not in this container); WAV/PCM decodes natively")
+                    if strict:
+                        raise NotImplementedError(
+                            "compressed audio decode requires ffmpeg/"
+                            "libsndfile (not in this container); WAV/PCM "
+                            "decodes natively")
+                    rows.append((aid, None, None, None, None, None,
+                                 "needs-ffmpeg"))
+                    continue
                 try:
                     dur, rms, zcr, rate, nch = _wav_features(b)
-                except NotImplementedError:
-                    raise
                 except Exception:
-                    rows.append((aid, None, None, None, None, None))
+                    rows.append((aid, None, None, None, None, None,
+                                 "unparseable"))
                     continue
-                rows.append((aid, dur, rms, zcr, rate, nch))
+                rows.append((aid, dur, rms, zcr, rate, nch, None))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_FEATURES_SCHEMA.fields])
 

@@ -91,6 +91,17 @@ def with_global_seq(df: DataFrame,
     # desyncing _pid between branches. The checkpoint replaces the plan
     # with a LogicalRDD scan, so tests that assert the rangepartitioning
     # shape pass pin_partitioning=False to see the un-truncated plan.
+    # Fault-tolerance trade (ADVICE r3): localCheckpoint blocks are NOT
+    # recomputable — on a multi-executor cluster, losing an executor
+    # mid-round fails the ACTION instead of recomputing lineage, and the
+    # MEMORY_AND_DISK persist costs per-round memory. That is acceptable
+    # here because the crawl loop is round-idempotent: every round starts
+    # from the Iceberg/parquet checkpoint tables (crawl.py commits state
+    # per round), so a failed action re-runs from durable storage, not
+    # from scratch. Jobs needing intra-action executor-loss recovery on
+    # flaky clusters should use reliable checkpoint() with a durable
+    # spark.local.dir / checkpoint dir instead (same call site, one-line
+    # swap) and size spark.local.dir for one round of frontier data.
     if pin_partitioning:
         ranged = ranged.localCheckpoint(eager=False)
     w_local = Window.partitionBy("_pid").orderBy(*cols)

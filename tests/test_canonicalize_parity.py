@@ -78,6 +78,13 @@ EDGE_HREFS = [
     "http://a.example/x ?", "/x ?", "/x ?#f", "http://a.example/x  ?",
     "https://h.example/\x85?", "/x\u3000?", "http://a.example/x ?q",
     "http://a.example/ ?", "/ ?", "http://a.example/x ? #f",
+    # round-4 reference-fidelity fix (ADVICE r3): dot segments now resolve
+    # for ABSOLUTE and scheme-relative hrefs too (C# `new Uri` semantics) \u2014
+    # all of these must route slow and normalize
+    "http://a.example/./x", "http://a.example/a/.", "http://a.example/..",
+    "https://a.example/a/b/../../c?q=1", "//b.example/a/../x",
+    "http://a.example/...", "http://a.example/..x", "http://a.example/.../y",
+    "http://a.example/a/../b#frag", "HTTP://A.EXAMPLE/a/../B",
 ]
 
 

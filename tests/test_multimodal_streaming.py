@@ -123,13 +123,40 @@ def test_audio_features_pcm(spark):
 
 
 @pytest.mark.spark
-def test_audio_compressed_still_stubbed(spark):
-    """mp3/ogg/flac magic → honest NotImplementedError (needs ffmpeg)."""
+def test_audio_compressed_null_row_default_strict_raises(spark):
+    """Compressed-audio magic must NOT abort the job by default (ADVICE
+    r3): it yields a null feature row with err='needs-ffmpeg' while WAV
+    rows in the same batch still decode; strict=True restores the honest
+    fail-fast NotImplementedError."""
+    rate = 8000
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(rate) / rate)
     df = spark.createDataFrame(
-        [("m", bytearray(b"ID3\x04rest-of-an-mp3"))],
+        [("m", bytearray(b"ID3\x04rest-of-an-mp3")),
+         ("o", bytearray(b"OggS\x00fake")),
+         ("w", bytearray(_wav_bytes(sine, rate))),
+         ("g", bytearray(b"\x00\x01junk"))],
         "audio_id string, bytes binary")
+    got = {r["audio_id"]: r for r in MM.audio_features(df).collect()}
+    assert got["m"]["err"] == got["o"]["err"] == "needs-ffmpeg"
+    assert got["m"]["duration_s"] is None
+    assert got["g"]["err"] == "unparseable"
+    assert got["w"]["err"] is None and got["w"]["duration_s"] > 0
     with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
-        MM.audio_features(df).collect()
+        MM.audio_features(df, strict=True).collect()
+
+
+@pytest.mark.spark
+def test_avi_hex_stream_ids_demuxed(spark):
+    """AVI stream ids are two HEX digits: chunks of stream 0x0A ('0Adc')
+    must demux like stream 00 (ADVICE r3 — decimal-only skipped them)."""
+    frames = [b"\xff\xd8frame-a\xff\xd9", b"\xff\xd8frame-b\xff\xd9"]
+    avi = MM.mjpeg_avi(frames)
+    hexed = avi.replace(b"00dc", b"0Adc")
+    got = [f for _, f in MM.demux_avi(hexed)]
+    assert got == frames
+    # non-hex ids (e.g. 'ixNN' index chunks would be 'NNix'; 'JUNK') skip
+    junky = avi.replace(b"00dc", b"zzdc")
+    assert [f for _, f in MM.demux_avi(junky)] == []
 
 
 @pytest.mark.spark

@@ -563,3 +563,31 @@ def test_train_nb_df_10x_scale_no_driver_corpus(spark):
     # 10× replication with variation really changed the model vs 1×
     assert _model_fingerprint(dist) != _model_fingerprint(
         train_nb(texts, labels))
+
+
+@pytest.mark.spark
+def test_hamming_band_cap_observation_metric(spark):
+    """Bounded-recall mode must be observable (ADVICE r3): when the cap
+    drops hot buckets, an attached Observation reports how many buckets and
+    rows were cut — on the SAME action, no extra job; when nothing exceeds
+    the cap it reports 0/0 (recall was 100%)."""
+    from pyspark.sql import Observation
+    rows = [(i, 0x0F0F0F0F) for i in range(20)]       # hot identical cluster
+    rows += [(100, 0b1010101), (101, 0b1010100)]      # cold near pair
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    obs = Observation("cap")
+    got = {(r["id_a"], r["id_b"])
+           for r in D.hamming_band_pairs(df, "sig", "doc_id", 60, 3,
+                                         max_band_df=10,
+                                         observation=obs).collect()}
+    assert got == {(100, 101)}
+    m = obs.get
+    # 20 identical sigs → 4 hot buckets: bands 0-1 hold the 20 cluster
+    # rows; the cluster's zero-valued high bands 2-3 also absorb the two
+    # cold docs' zero bands (22 rows each) → 20+20+22+22
+    assert m["hot_buckets_dropped"] == 4 and m["hot_bucket_rows"] == 84
+    obs2 = Observation("nocap")
+    D.hamming_band_pairs(df.filter(F.col("doc_id") >= 100), "sig",
+                         "doc_id", 60, 3, max_band_df=10,
+                         observation=obs2).collect()
+    assert obs2.get == {"hot_buckets_dropped": 0, "hot_bucket_rows": 0}
