@@ -68,17 +68,22 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
 
 def run_crawl(spark, n_pages: int = CRAWL_PAGES, n_hosts: int = CRAWL_HOSTS,
               n_images: int = CRAWL_IMAGES,
-              n_frontier: int = CRAWL_FRONTIER) -> dict:
+              n_frontier: int = CRAWL_FRONTIER, reps: int = 2) -> dict:
     """One crawl round over a 16M-mention frontier (configurable): dedup →
     schedule → robots → politeness → fetch join → payload verify → link
-    extraction. Metric = frontier URLs processed (fetched+deduped)/second."""
+    extraction. Metric = frontier URLs processed (fetched+deduped)/second.
+
+    Best-of-``reps`` inside one warm JVM (±25% box noise); every sample's
+    throughput AND per-phase wall times ride the result, so the scaling
+    artifact can name which phase moves."""
     from fetcho_spark import benchgen as bg
     from fetcho_spark.catalog import Catalog
     from fetcho_spark.crawl import CrawlConfig, CrawlEngine
 
     best = None
     samples: list[float] = []
-    for _rep in range(2):  # best-of-2 in one warm JVM (±25% box noise)
+    phase_samples: list[dict] = []
+    for _rep in range(reps):
         root = "/dev/shm" if os.path.isdir("/dev/shm") else None
         d = tempfile.mkdtemp(prefix="bench-crawl-", dir=root)
         try:
@@ -103,6 +108,7 @@ def run_crawl(spark, n_pages: int = CRAWL_PAGES, n_hosts: int = CRAWL_HOSTS,
                    "pages": n_pages, "hosts": n_hosts,
                    "frontier": n_frontier}
             samples.append(res["urls_per_sec"])
+            phase_samples.append(dict(eng.phase_times))
             if best is None or res["urls_per_sec"] > best["urls_per_sec"]:
                 best = res
         finally:
@@ -110,6 +116,11 @@ def run_crawl(spark, n_pages: int = CRAWL_PAGES, n_hosts: int = CRAWL_HOSTS,
     # all samples ride the artifact — headline numbers are best-of-N and the
     # JSON shows exactly which N (claims == artifact, VERDICT r2 #3/#5)
     best["samples_urls_per_sec"] = samples
+    best["phase_samples"] = phase_samples
+    # per-phase best (min wall over reps): the clean-bus estimate per phase
+    phases = sorted({k for p in phase_samples for k in p})
+    best["phase_best_sec"] = {k: min(p[k] for p in phase_samples if k in p)
+                              for k in phases}
     return best
 
 
@@ -166,6 +177,7 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--data", default=None)
     ap.add_argument("--frontier", type=int, default=CRAWL_FRONTIER)
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,7 +188,7 @@ def main() -> None:
 
     if args.crawl_only:
         spark = _spark(f"local[{args.cpus}]", args.cpus)
-        res = run_crawl(spark, n_frontier=args.frontier)
+        res = run_crawl(spark, n_frontier=args.frontier, reps=args.reps)
         spark.stop()
         with open(args.out, "w") as f:
             json.dump(res, f)
@@ -215,13 +227,42 @@ def main() -> None:
         # headline throughput at local[16]; the N→4N scaling pair is 2→8 —
         # the pair where hw_calibrate shows the box's own DRAM/CPU ceilings
         # are least binding (16 threads saturate the single memory domain;
-        # executors on a real cluster each bring their own). ±25%+ box
-        # noise: single runs here; see BENCH/BASELINE.md for best-of-N.
+        # executors on a real cluster each bring their own).
+        # INTERLEAVED best-of-5 per level (VERDICT r3 #3): alternating
+        # lo/hi JVM blocks so the co-tenant's bus-stealing episodes hit
+        # both levels with equal probability — a level measured only while
+        # the bus was stolen would fake (or mask) a scaling cliff. Each
+        # block is a fresh JVM (never two masters in one JVM); samples and
+        # per-phase walls from every block ride the artifact.
         hi_c, lo_c = 8, 2
         head = _subprocess("--crawl-only", 16)
-        hi = _subprocess("--crawl-only", hi_c)
-        lo = _subprocess("--crawl-only", lo_c)
+
+        def _merge(blocks: list[dict]) -> dict:
+            out = max(blocks, key=lambda b: b["urls_per_sec"]).copy()
+            out["samples_urls_per_sec"] = [
+                s for b in blocks for s in b["samples_urls_per_sec"]]
+            ph = [p for b in blocks for p in b.get("phase_samples", [])]
+            out["phase_samples"] = ph
+            keys = sorted({k for p in ph for k in p})
+            out["phase_best_sec"] = {
+                k: min(p[k] for p in ph if k in p) for k in keys}
+            return out
+
+        lo_blocks, hi_blocks = [], []
+        for block_reps in (2, 2, 1):           # 3 interleaved blocks → 5+5
+            lo_blocks.append(_subprocess(
+                "--crawl-only", lo_c, ["--reps", str(block_reps)]))
+            hi_blocks.append(_subprocess(
+                "--crawl-only", hi_c, ["--reps", str(block_reps)]))
+        lo, hi = _merge(lo_blocks), _merge(hi_blocks)
         ratio = hi["urls_per_sec"] / lo["urls_per_sec"]
+        # per-phase N→4N efficiency from clean-bus (min-wall) phase times:
+        # same work at both levels ⇒ efficiency = (wall_lo / wall_hi) / 4
+        phase_eff = {
+            k: round(lo["phase_best_sec"][k] / hi["phase_best_sec"][k] / 4.0,
+                     3)
+            for k in lo["phase_best_sec"]
+            if k in hi["phase_best_sec"] and hi["phase_best_sec"][k] > 0}
 
         # the box's OWN N→4N ceiling, measured in THIS session, so the
         # artifact is self-contained evidence (VERDICT r2 #5): a local[N]
@@ -259,8 +300,17 @@ def main() -> None:
                 "local16_urls_per_sec": head["urls_per_sec"],
                 f"local{lo_c}_samples": lo.get("samples_urls_per_sec", []),
                 f"local{hi_c}_samples": hi.get("samples_urls_per_sec", []),
+                "interleaving": "3 alternating lo/hi JVM blocks (2+2+1 reps)",
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / (hi_c / lo_c), 3),
+                # which phase scales and which is bus-bound, by name:
+                # min-wall per phase per level (clean-bus estimate) and the
+                # implied N→4N efficiency per phase
+                f"local{lo_c}_phase_best_sec": lo.get("phase_best_sec", {}),
+                f"local{hi_c}_phase_best_sec": hi.get("phase_best_sec", {}),
+                "phase_efficiency": phase_eff,
+                f"local{lo_c}_phase_samples": lo.get("phase_samples", []),
+                f"local{hi_c}_phase_samples": hi.get("phase_samples", []),
                 "hw_ceiling_same_session": ceiling,
             },
             "payload_verify_scaling": {

@@ -29,8 +29,10 @@ rule, on top of AQE's runtime skew-join splitting.
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import json
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -133,6 +135,12 @@ class CrawlEngine:
         # P14 cumulative accepted-link count; lazily restored from the last
         # checkpoint so quota survives resume
         self._links_accepted: int | None = None
+        # wall-clock per pipeline phase of the LAST run_round (observability
+        # only — bench.py publishes these so the scaling artifact can NAME
+        # which phase stops scaling instead of inferring it; phases are
+        # delimited by the round's materialization points, since Spark's
+        # laziness bills all upstream work to the action that runs it)
+        self.phase_times: dict[str, float] = {}
 
     # ------------------------------------------------------------ lifecycle
     def logical_now(self, round_no: int) -> dt.datetime:
@@ -195,11 +203,21 @@ class CrawlEngine:
             self._robots_rules = (sid, rules)
         return self._robots_rules[1]
 
+    @contextlib.contextmanager
+    def _phase(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.phase_times[name] = round(
+                self.phase_times.get(name, 0.0) + time.time() - t0, 3)
+
     # ----------------------------------------------------------- one round
     def run_round(self, round_no: int) -> dict:
         cfg, c = self.cfg, self.catalog
         now = self.logical_now(round_no)
         counters: dict[str, int] = {}
+        self.phase_times = {}
 
         frontier = c.read("frontier")
 
@@ -225,8 +243,9 @@ class CrawlEngine:
                         F.count("*").alias("_mentions"))
                    .select("_r.*", "_mentions")
                    .persist())
-        agg = deduped.agg(F.sum("_mentions").alias("m"),
-                          F.count("*").alias("u")).collect()[0]
+        with self._phase("dedup_agg"):
+            agg = deduped.agg(F.sum("_mentions").alias("m"),
+                              F.count("*").alias("u")).collect()[0]
         counters["frontier_in"] = int(agg["m"] or 0)
         counters["frontier_unique"] = int(agg["u"] or 0)
         frontier = deduped.drop("_mentions")
@@ -351,8 +370,9 @@ class CrawlEngine:
             fetched_cols.append("body")
         if "redirected_to" in fetched.columns:  # S7 hop lineage
             fetched_cols.append("redirected_to")
-        c.append("fetched", fetched.select(*fetched_cols),
-                 meta={"round": round_no})
+        with self._phase("schedule_fetch_verify"):
+            c.append("fetched", fetched.select(*fetched_cols),
+                     meta={"round": round_no})
         fetched = c.read_incremental("fetched",
                                      c.current_snapshot_id("fetched") - 1)
         if cfg.collect_counters:
@@ -364,24 +384,26 @@ class CrawlEngine:
 
         # seen-set upsert: every *attempted* URL is recorded visited before
         # the fetch outcome matters (Fetcho.cs:170,274-281 semantics)
-        next_fetch = now + dt.timedelta(milliseconds=self.cfg.ttl_ms)
-        self.seen.record(
-            fetched.select(F.unhex(F.md5("url")).alias("url_hash"),
-                           F.col("url_hash64")),
-            next_fetch)
+        with self._phase("state_commits"):
+            next_fetch = now + dt.timedelta(milliseconds=self.cfg.ttl_ms)
+            self.seen.record(
+                fetched.select(F.unhex(F.md5("url")).alias("url_hash"),
+                               F.col("url_hash64")),
+                next_fetch)
 
-        # host feedback (429 penalty / network issues)
-        c.overwrite("hosts", po.apply_429_penalty(c.read("hosts"), fetched),
-                    meta={"round": round_no})
+            # host feedback (429 penalty / network issues)
+            c.overwrite("hosts",
+                        po.apply_429_penalty(c.read("hosts"), fetched),
+                        meta={"round": round_no})
 
-        # P9 state: record the IP groups fetched this round
-        if cfg.ip_window_rounds > 0:
-            c.append("recent_ips",
-                     fetched.select(F.pmod(F.xxhash64("host"),
-                                           F.lit(fr.N_IP_GROUPS))
-                                    .alias("ip_group")).distinct()
-                     .withColumn("round", F.lit(round_no)),
-                     meta={"round": round_no})
+            # P9 state: record the IP groups fetched this round
+            if cfg.ip_window_rounds > 0:
+                c.append("recent_ips",
+                         fetched.select(F.pmod(F.xxhash64("host"),
+                                               F.lit(fr.N_IP_GROUPS))
+                                        .alias("ip_group")).distinct()
+                         .withColumn("round", F.lit(round_no)),
+                         meta={"round": round_no})
 
         # C2/C3/O7 — link extraction → next frontier
         links = extract_links(fetched, cfg.seed, round_no,
@@ -424,7 +446,8 @@ class CrawlEngine:
             self._links_accepted += quota_df.count()
             counters["links_accepted_total"] = self._links_accepted
         nxt = carryover.unionByName(new_frontier)
-        c.overwrite("frontier", nxt, meta={"round": round_no})
+        with self._phase("link_stage"):
+            c.overwrite("frontier", nxt, meta={"round": round_no})
         if cfg.collect_counters:
             counters["new_links"] = new_frontier.count()
             counters["carryover"] = carryover.count()
@@ -436,14 +459,15 @@ class CrawlEngine:
                  F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
                   .alias("n_ok"))
             .withColumn("round", F.lit(round_no)))
-        c.append("metrics", lineage, meta={"round": round_no,
-                                           "counters": counters})
-        if not cfg.collect_counters:
-            agg = (c.read("metrics").filter(F.col("round") == round_no)
-                   .agg(F.sum("n_fetched").alias("f"),
-                        F.sum("n_ok").alias("ok")).collect()[0])
-            counters["fetched"] = int(agg["f"] or 0)
-            counters["fetched_ok"] = int(agg["ok"] or 0)
+        with self._phase("metrics_checkpoint"):
+            c.append("metrics", lineage, meta={"round": round_no,
+                                               "counters": counters})
+            if not cfg.collect_counters:
+                agg = (c.read("metrics").filter(F.col("round") == round_no)
+                       .agg(F.sum("n_fetched").alias("f"),
+                            F.sum("n_ok").alias("ok")).collect()[0])
+                counters["fetched"] = int(agg["f"] or 0)
+                counters["fetched_ok"] = int(agg["ok"] or 0)
 
         frontier.unpersist()
         deduped.unpersist()
@@ -457,7 +481,8 @@ class CrawlEngine:
         ckpt = self.spark.createDataFrame(
             [(round_no, json.dumps(snap_ids), json.dumps(counters))],
             "round int, snapshots string, counters string")
-        c.append("checkpoints", ckpt, meta={"round": round_no})
+        with self._phase("metrics_checkpoint"):
+            c.append("checkpoints", ckpt, meta={"round": round_no})
         return counters
 
     def _restore_links_accepted(self) -> int:
