@@ -1020,9 +1020,17 @@ def oracle_sql() -> dict[str, str]:
             b AS (SELECT doc_id, sh, u.i AS bi,
                          (sh >> (u.i * 15)) & 32767 AS bv
                   FROM s, unnest([0, 1, 2, 3]) AS u(i)),
+            -- hot-bucket cap = the Spark default (max_band_df=1000,
+            -- dedup.hamming_band_pairs): buckets past the cap are dropped
+            -- on BOTH engines, so the twin matches the bounded default at
+            -- any scale (sf1-found: uncapped oracle over-returned once
+            -- near-dup families pushed buckets past 1000)
+            cold AS (SELECT bi, bv FROM b GROUP BY bi, bv
+                     HAVING count(*) <= 1000),
+            bb AS (SELECT b.* FROM b JOIN cold USING (bi, bv)),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
                             a.sh AS sha, c.sh AS shb
-                     FROM b a JOIN b c
+                     FROM bb a JOIN bb c
                        ON a.bi = c.bi AND a.bv = c.bv
                       AND a.doc_id < c.doc_id)
             SELECT id_a, id_b,

@@ -49,6 +49,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
         ka, kb = a[c].dtype.kind, b[c].dtype.kind
         if ka != kb:
             return f"DTYPE col={c}: {a[c].dtype} vs {b[c].dtype}"
+        # vectorized fast paths (the per-cell loop took minutes on sf1
+        # results with long chunk texts). Typed numeric columns can't mix
+        # int/float within the column (dtype is uniform and kinds already
+        # match), so C-speed equality is exactly the strict semantics;
+        # float uses equal_nan. Object columns CAN mix (3.0 vs 3 inside an
+        # object cell), so they keep the strict per-cell check.
+        if ka in "iub" and a[c].equals(b[c]):
+            continue
+        if ka == "f":
+            import numpy as np
+            if np.array_equal(a[c].to_numpy(), b[c].to_numpy(),
+                              equal_nan=True):
+                continue
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if not values_equal(x, y):
