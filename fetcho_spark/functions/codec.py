@@ -1,8 +1,13 @@
 """Deterministic image codec + perceptual hash + PSNR (numpy, vectorizable).
 
-The container has no PIL/libjpeg, so real JPEG/PNG decode is STUBBED behind a
-deterministic stand-in codec (clearly marked — the Spark-side plumbing,
-schemas, batch shapes and invariants are real and tested either way).
+Three codecs ride the seam below: the vectorized deterministic STAND-IN
+(this module — fast, used by the bench fixtures), the REAL from-scratch
+``pure`` codec (functions/pure_codec.py — spec-compliant PNG + baseline
+JFIF/JPEG, decodes actual ``\\x89PNG``/``\\xff\\xd8`` bytes with no PIL;
+entropy coding is sequential Python, so it trades throughput for format
+reality), and ``pil`` (auto-available the day Pillow lands). The Spark-side
+plumbing, schemas, batch shapes and invariants are identical across all
+three and contract-tested per codec (tests/test_codec.py).
 
 **Codec seam**: every encode/decode/phash call resolves through
 :func:`get_codec` — pick the implementation with the ``FETCHO_SPARK_CODEC``
@@ -183,11 +188,28 @@ class PILCodec:
     phash64 = staticmethod(phash64)
 
 
-_CODECS = {"standin": StandinCodec, "pil": PILCodec}
+def _pure_codec():
+    from .pure_codec import PureCodec
+    return PureCodec
+
+
+class _PureCodecProxy:
+    """Lazy import indirection so codec.py stays import-light; resolves to
+    pure_codec.PureCodec — REAL from-scratch PNG + baseline JPEG (round 4:
+    actual ``\\x89PNG``/``\\xff\\xd8`` bytes decode in this container with
+    no PIL; see pure_codec.py for the honest scope/throughput notes)."""
+    name = "pure"
+    encode = staticmethod(lambda pixels, fmt: _pure_codec().encode(pixels, fmt))
+    decode = staticmethod(lambda data: _pure_codec().decode(data))
+    phash64 = staticmethod(phash64)
+
+
+_CODECS = {"standin": StandinCodec, "pil": PILCodec,
+           "pure": _PureCodecProxy}
 
 
 def available_codecs() -> list[str]:
-    out = ["standin"]
+    out = ["standin", "pure"]
     if importlib.util.find_spec("PIL") is not None:
         out.append("pil")
     return out

@@ -1,0 +1,634 @@
+"""REAL image codecs, from scratch, no PIL: spec-compliant PNG (lossless,
+stdlib zlib) and baseline JFIF/JPEG (numpy DCT + the standard Annex-K
+huffman/quant tables). Registered in the codec seam as ``pure``
+(``FETCHO_SPARK_CODEC=pure``) so the C12 payload-verify path can decode
+actual ``\\x89PNG`` / ``\\xff\\xd8`` bytes in this container.
+
+Written from the public specifications (PNG: RFC 2083 / ISO 15948; JPEG:
+ITU-T T.81 + JFIF 1.02) — not ported from any codebase. The reference
+*blocks* image fetches (common/ResourceFetchers/DefaultBlockProvider.cs:
+46-53); this build's north rule inverts that, making decode first-class.
+
+Scope (honest):
+- PNG: encode 8-bit RGB truecolor; decode 8-bit gray / gray+alpha / RGB /
+  RGBA / palette, all five scanline filters, multi-IDAT, CRC-checked.
+  Adam7 interlace raises (rare on the web, and a silent wrong decode would
+  be worse than an error row).
+- JPEG: encode baseline sequential 4:4:4 (quality-scaled Annex K tables);
+  decode baseline sequential (SOF0) with arbitrary sampling factors
+  (4:4:4, 4:2:0, 4:2:2, ...), grayscale or YCbCr, restart markers.
+  Progressive (SOF2) raises honestly.
+- Throughput: huffman entropy coding is sequential Python — fine for
+  correctness tests and modest corpora; a production cluster flips the
+  same seam to PILCodec (libjpeg) the day the library exists. The bench
+  keeps the vectorized stand-in for exactly this reason.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ============================================================ PNG (exact)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (color type 2, bit depth 8, filter 0)."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0                      # filter type None per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters → (h, stride) uint8 of raw samples."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = int(raw[pos]); pos += 1
+        line = raw[pos:pos + stride].astype(np.int32); pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:                               # None
+            cur = line
+        elif ft == 2:                             # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:                             # Sub (sequential in x)
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 3:                             # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:                             # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (cur[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB (gray/palette promoted, alpha
+    dropped). CRC-verified; Adam7 interlace / 16-bit depth raise."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: CRC mismatch in {tag!r}")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG: missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if interlace:
+        raise NotImplementedError("PNG Adam7 interlace not supported")
+    if comp or filt:
+        raise ValueError("PNG: unknown compression/filter method")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"PNG: unknown color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: IDAT length mismatch")
+    samples = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if ctype == 3:                                 # palette
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        return plte[samples[:, :, 0]]
+    if ctype in (0, 4):                            # gray (+alpha)
+        return np.repeat(samples[:, :, :1], 3, axis=2).copy()
+    return samples[:, :, :3].copy()                # RGB(+alpha dropped)
+
+
+# ================================================= baseline JPEG (T.81)
+
+# Annex K.1/K.2 quantization tables (natural, row-major order)
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+_QT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+# Annex K.3-K.6 huffman specs: (BITS counts per code length 1-16, HUFFVAL)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+           list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# orthonormal 8-point DCT-II basis (T.81 A.3.3 up to the 1/2 C(u) scale)
+_C = np.array([1.0 / np.sqrt(2)] + [1.0] * 7)
+_DCT = np.array([[0.5 * _C[u] * np.cos((2 * x + 1) * u * np.pi / 16)
+                  for x in range(8)] for u in range(8)])
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-style quality scaling of the Annex K tables (public formula)."""
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QT_LUM, _QT_CHR):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _build_codes(bits, values):
+    """(BITS, HUFFVAL) → {symbol: (code, length)} per T.81 C.2."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits, values):
+    """(BITS, HUFFVAL) → {(length, code): symbol} for the bit reader."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    f = px.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255) \
+             .astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:           # byte stuffing (B.1.1.5)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw, zz, dc_codes, ac_codes, pred):
+    """One zigzagged quantized block → bitstream; returns new DC pred."""
+    dc, diff = int(zz[0]), int(zz[0]) - pred
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]          # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_codes[0x00]              # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
+    """(h, w, 3) uint8 → baseline JFIF 4:4:4 bytes."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(pixels)
+    ph, pw = -h % 8, -w % 8                    # pad to 8 via edge replicate
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    H, W = ycc.shape[:2]
+    by, bx = H // 8, W // 8
+    # all blocks per component at once: (by*bx, 8, 8)
+    comps_zz = []
+    for ci in range(3):
+        plane = ycc[:, :, ci] - 128.0
+        blocks = (plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        coeff = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+        qt = qt_l if ci == 0 else qt_c
+        qz = np.round(coeff / qt).astype(np.int32)
+        comps_zz.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+    dc_l, ac_l = _build_codes(*_DC_LUM), _build_codes(*_AC_LUM)
+    dc_c, ac_c = _build_codes(*_DC_CHR), _build_codes(*_AC_CHR)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for n in range(by * bx):                   # interleaved MCUs (1x1x3)
+        for ci in range(3):
+            dc_codes = dc_l if ci == 0 else dc_c
+            ac_codes = ac_l if ci == 0 else ac_c
+            preds[ci] = _encode_block(bw, comps_zz[ci][n],
+                                      dc_codes, ac_codes, preds[ci])
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc_th: int, spec) -> bytes:
+        bits, values = spec
+        return bytes([tc_th]) + bytes(bits) + bytes(values)
+
+    out = bytearray(b"\xff\xd8")                                     # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt_l.flatten()[_ZIGZAG]
+                                       .astype(np.uint8)))           # DQT 0
+    out += seg(0xFFDB, b"\x01" + bytes(qt_c.flatten()[_ZIGZAG]
+                                       .astype(np.uint8)))           # DQT 1
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)              # SOF0
+               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += seg(0xFFC4, dht(0x00, _DC_LUM))                           # DHT
+    out += seg(0xFFC4, dht(0x10, _AC_LUM))
+    out += seg(0xFFC4, dht(0x01, _DC_CHR))
+    out += seg(0xFFC4, dht(0x11, _AC_CHR))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"                                               # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader: un-stuffs 0xFF00, stops at
+    markers (leaves position ON the 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2                  # stuffed 0xFF data byte
+            else:
+                raise _MarkerHit(self.pos)     # real marker
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, pos):
+        self.pos = pos
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_huff(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid huffman code")
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF/JPEG bytes → (h, w, 3) uint8 RGB. Supports SOF0 with
+    arbitrary sampling factors, 1 or 3 components, DRI/RSTn. SOF2
+    (progressive) and arithmetic coding raise honestly."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:                     # fill byte (B.1.1.2)
+            pos -= 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue                           # standalone markers
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:                     # DQT (possibly several)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                zz = np.frombuffer(body[i + 1:i + 65], np.uint8)
+                t = np.zeros(64, np.int32)
+                t[_ZIGZAG] = zz
+                qts[tq] = t.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:                   # DHT (possibly several)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                values = list(body[i + 17:i + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _build_decode_table(bits, values)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("JPEG: precision != 8")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: SOF{marker - 0xC0} (non-baseline) not supported")
+        elif marker == 0xDD:                   # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:                   # SOS → entropy data follows
+            if sof is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            pos += seglen
+            return _decode_scan(data, pos, sof, scan_comps, qts,
+                                huff_dc, huff_ac, restart_interval)
+        pos += seglen
+    raise ValueError("JPEG: no SOS marker found")
+
+
+def _decode_scan(data, pos, sof, scan_comps, qts, huff_dc, huff_ac,
+                 restart_interval):
+    h, w, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan_comps:
+        c = by_id[cs]
+        order.append((c, huff_dc[td], huff_ac[ta], qts[c["tq"]]))
+    planes = {c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in comps}
+    br = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    idct = _DCT.T                                # orthonormal inverse
+    n_mcu = mcux * mcuy
+    mcu = 0
+    try:
+        while mcu < n_mcu:
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align()                       # RSTn sits at byte edge
+                p = br.pos
+                if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                    br.pos = p + 2
+                    preds = {c["id"]: 0 for c in comps}
+            my, mx = divmod(mcu, mcux)
+            for c, dct_t, act_t, qt in order:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, np.int32)
+                        s = _decode_huff(br, dct_t)
+                        diff = _extend(br.receive(s), s) if s else 0
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, act_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16      # ZRL
+                                    continue
+                                break            # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[_ZIGZAG] = zz * qt.flatten()[_ZIGZAG]
+                        px = idct @ blk.reshape(8, 8) @ _DCT + 128.0
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + hh) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+            mcu += 1
+    except _MarkerHit:
+        if mcu < n_mcu:
+            raise ValueError("JPEG: truncated entropy data") from None
+    full = {}
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:                     # nearest upsample
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full[c["id"]] = p[:h, :w]
+    if len(comps) == 1:
+        g = np.clip(full[comps[0]["id"]].round(), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    ids = [c["id"] for c in comps]
+    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]])
+
+
+# --------------------------------------------------------------- seam codec
+
+class PureCodec:
+    """Real PNG + baseline JPEG, from scratch (this module) — the
+    ``FETCHO_SPARK_CODEC=pure`` option in the codec seam."""
+    name = "pure"
+
+    # Seam default: the payload contract (input_hint) demands PSNR ≥ 40 dB
+    # even on the uniform-NOISE fixture images — the worst case for any
+    # DCT codec. q=99 measures ~49 dB there (still genuinely lossy via
+    # YCbCr+DCT rounding); callers wanting web-typical q use jpeg_encode
+    # directly.
+    JPEG_QUALITY = 99
+
+    @staticmethod
+    def encode(pixels: np.ndarray, fmt: str) -> bytes:
+        if fmt == "png":
+            return png_encode(pixels)
+        if fmt == "jpeg":
+            return jpeg_encode(pixels, quality=PureCodec.JPEG_QUALITY)
+        raise NotImplementedError(f"format {fmt!r}")
+
+    @staticmethod
+    def decode(data: bytes):
+        if data[:8] == _PNG_SIG:
+            return png_decode(data), "png"
+        if data[:2] == b"\xff\xd8":
+            return jpeg_decode(data), "jpeg"
+        raise ValueError("not a PNG/JPEG payload")
+
+    # same pixel-space phash as every other codec (codec.phash64)
+    @staticmethod
+    def phash64(pixels: np.ndarray) -> int:
+        from .codec import phash64 as _ph
+        return _ph(pixels)

@@ -1,0 +1,285 @@
+"""From-scratch PNG / baseline-JPEG codec (functions/pure_codec.py):
+spec-level tests. The decoders are checked against HAND-BUILT byte streams
+(forward PNG filters re-implemented here independently; JPEG segments
+assembled from the T.81 marker grammar), not only against this module's own
+encoders — so encoder and decoder can't be consistently-wrong together."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from fetcho_spark.functions import pure_codec as PC
+from fetcho_spark.functions.codec import available_codecs, get_codec, psnr
+
+
+def _noise(seed, h, w):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(np.stack([
+        yy * 255 / max(h - 1, 1), xx * 255 / max(w - 1, 1),
+        128 + 100 * np.sin(yy / 6.0) * np.cos(xx / 9.0)], axis=-1),
+        0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------- PNG
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 9), (8, 8), (33, 17), (64, 64)])
+def test_png_roundtrip_exact(h, w):
+    px = _noise(h * 100 + w, h, w)
+    data = PC.png_encode(px)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (PC.png_decode(data) == px).all()
+
+
+def _png_hand_build(pixels, filters, ctype=2, plte=None):
+    """Independent PNG builder: applies the FORWARD filters from the spec
+    (decoder implements the inverse) and assembles chunks by hand."""
+    h, w, nch = pixels.shape
+    if ctype == 3:
+        nch = 1
+    stride = w * nch
+    flat = pixels.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        line = flat[y]
+        ft = filters[y % len(filters)]
+        out = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = int(line[x - nch]) if x >= nch else 0        # left (recon)
+            b = int(prev[x])                                  # up
+            c = int(prev[x - nch]) if x >= nch else 0         # upper-left
+            if ft == 0:
+                out[x] = line[x]
+            elif ft == 1:
+                out[x] = line[x] - a
+            elif ft == 2:
+                out[x] = line[x] - b
+            elif ft == 3:
+                out[x] = line[x] - ((a + b) >> 1)
+            else:                                             # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+                out[x] = line[x] - pred
+        raw.append(ft)
+        raw += bytes((out & 0xFF).astype(np.uint8))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = PC._PNG_SIG + PC._chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += PC._chunk(b"PLTE", bytes(plte.flatten()))
+    # split IDAT in two to exercise multi-IDAT reassembly
+    z = zlib.compress(bytes(raw), 6)
+    mid = len(z) // 2
+    body += PC._chunk(b"IDAT", z[:mid]) + PC._chunk(b"IDAT", z[mid:])
+    return body + PC._chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filter_types_hand_built():
+    px = _noise(42, 12, 10)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _png_hand_build(px, filters)
+        assert (PC.png_decode(data) == px).all(), filters
+
+
+def test_png_decode_grayscale_rgba_palette():
+    g = np.random.default_rng(1).integers(0, 256, (5, 7, 1), dtype=np.uint8)
+    data = _png_hand_build(g, [0, 2], ctype=0)
+    assert (PC.png_decode(data) == np.repeat(g, 3, axis=2)).all()
+    rgba = np.random.default_rng(2).integers(0, 256, (6, 4, 4),
+                                             dtype=np.uint8)
+    data = _png_hand_build(rgba, [0, 1, 4], ctype=6)
+    assert (PC.png_decode(data) == rgba[:, :, :3]).all()
+    plte = np.random.default_rng(3).integers(0, 256, (16, 3),
+                                             dtype=np.uint8)
+    idx = np.random.default_rng(4).integers(0, 16, (9, 9, 1),
+                                            dtype=np.uint8)
+    data = _png_hand_build(idx, [0], ctype=3, plte=plte)
+    assert (PC.png_decode(data) == plte[idx[:, :, 0]]).all()
+
+
+def test_png_rejects_bad_input():
+    px = _noise(5, 8, 8)
+    good = PC.png_encode(px)
+    with pytest.raises(ValueError, match="signature"):
+        PC.png_decode(b"NOTAPNG" + good)
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF                      # flip an IDAT byte → CRC fail
+    with pytest.raises(ValueError, match="CRC"):
+        PC.png_decode(bytes(corrupt))
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)   # Adam7
+    data = PC._PNG_SIG + PC._chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError, match="interlace"):
+        PC.png_decode(data + PC._chunk(b"IEND", b""))
+
+
+# ------------------------------------------------------------------ JPEG
+
+def test_jpeg_roundtrip_psnr():
+    sm = _smooth(64, 48)
+    out = PC.jpeg_decode(PC.jpeg_encode(sm, quality=95))
+    assert psnr(sm, out) >= 45.0
+    nz = _noise(7, 64, 64)
+    out = PC.jpeg_decode(PC.jpeg_encode(nz,
+                                        quality=PC.PureCodec.JPEG_QUALITY))
+    assert psnr(nz, out) >= 40.0             # input_hint floor on noise
+    assert not (out == nz).all()             # genuinely lossy
+
+
+def test_jpeg_constant_color_and_odd_sizes():
+    for (h, w) in [(8, 8), (7, 9), (17, 23), (1, 1)]:
+        px = np.full((h, w, 3), (200, 64, 130), dtype=np.uint8)
+        out = PC.jpeg_decode(PC.jpeg_encode(px, quality=95))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 2, (h, w)
+
+
+def _jpeg_segments(sof_comps, scan_comps, qt_ids, dc_specs, ac_specs,
+                   h, w, scan_bits, dri=None):
+    """Assemble a JPEG from the T.81 marker grammar by hand."""
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+    out = bytearray(b"\xff\xd8")
+    for tq in qt_ids:
+        out += seg(0xFFDB, bytes([tq]) + bytes([1] * 64))  # all-ones table
+    sof = struct.pack(">BHHB", 8, h, w, len(sof_comps))
+    for cid, hv, tq in sof_comps:
+        sof += bytes([cid, hv, tq])
+    out += seg(0xFFC0, sof)
+    for th, spec in dc_specs:
+        out += seg(0xFFC4, bytes([0x00 | th]) + bytes(spec[0])
+                   + bytes(spec[1]))
+    for th, spec in ac_specs:
+        out += seg(0xFFC4, bytes([0x10 | th]) + bytes(spec[0])
+                   + bytes(spec[1]))
+    if dri is not None:
+        out += seg(0xFFDD, struct.pack(">H", dri))
+    sos = bytes([len(scan_comps)])
+    for cs, td, ta in scan_comps:
+        sos += bytes([cs, (td << 4) | ta])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan_bits
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _dc_only_block(bw, dc_codes, ac_codes, diff):
+    s = int(abs(diff)).bit_length()
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    code, ln = ac_codes[0x00]                # EOB immediately
+    bw.write(code, ln)
+
+
+def test_jpeg_grayscale_single_component_hand_built():
+    """1-component DC-only stream with all-ones quant: constant gray v
+    decodes to exactly v (DC = 8*(v-128) under the orthonormal DCT)."""
+    v = 180
+    dc = 8 * (v - 128)
+    bw = PC._BitWriter()
+    dc_codes = PC._build_codes(*PC._DC_LUM)
+    ac_codes = PC._build_codes(*PC._AC_LUM)
+    _dc_only_block(bw, dc_codes, ac_codes, dc)
+    data = _jpeg_segments(
+        sof_comps=[(1, 0x11, 0)], scan_comps=[(1, 0, 0)], qt_ids=[0],
+        dc_specs=[(0, PC._DC_LUM)], ac_specs=[(0, PC._AC_LUM)],
+        h=8, w=8, scan_bits=bw.flush())
+    out = PC.jpeg_decode(data)
+    assert out.shape == (8, 8, 3)
+    assert np.abs(out.astype(int) - v).max() <= 1
+
+
+def test_jpeg_420_subsampling_hand_built():
+    """2x2-sampled Y + 1x1 chroma (4:2:0): one 16x16 MCU, DC-only constant
+    YCbCr — the decoder must place 4 Y blocks and upsample chroma."""
+    y, cb, cr = 120, 140, 110
+    dc_codes = PC._build_codes(*PC._DC_LUM)
+    ac_codes = PC._build_codes(*PC._AC_LUM)
+    bw = PC._BitWriter()
+    # 4 Y blocks: first carries the DC diff, rest diff=0
+    _dc_only_block(bw, dc_codes, ac_codes, 8 * (y - 128))
+    for _ in range(3):
+        _dc_only_block(bw, dc_codes, ac_codes, 0)
+    _dc_only_block(bw, dc_codes, ac_codes, 8 * (cb - 128))   # Cb
+    _dc_only_block(bw, dc_codes, ac_codes, 8 * (cr - 128))   # Cr
+    data = _jpeg_segments(
+        sof_comps=[(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)],
+        scan_comps=[(1, 0, 0), (2, 0, 0), (3, 0, 0)], qt_ids=[0],
+        dc_specs=[(0, PC._DC_LUM)], ac_specs=[(0, PC._AC_LUM)],
+        h=16, w=16, scan_bits=bw.flush())
+    out = PC.jpeg_decode(data)
+    assert out.shape == (16, 16, 3)
+    exp = PC._ycbcr_to_rgb(np.full((16, 16), float(y)),
+                           np.full((16, 16), float(cb)),
+                           np.full((16, 16), float(cr)))
+    assert np.abs(out.astype(int) - exp.astype(int)).max() <= 1
+
+
+def test_jpeg_restart_markers_hand_built():
+    """DRI=1 with an RST0 between two 8x8 MCUs: DC predictor must reset,
+    so the second block's diff is its full DC again."""
+    v1, v2 = 100, 200
+    dc_codes = PC._build_codes(*PC._DC_LUM)
+    ac_codes = PC._build_codes(*PC._AC_LUM)
+    bw1 = PC._BitWriter()
+    _dc_only_block(bw1, dc_codes, ac_codes, 8 * (v1 - 128))
+    bw2 = PC._BitWriter()
+    _dc_only_block(bw2, dc_codes, ac_codes, 8 * (v2 - 128))  # full, not diff
+    scan = bw1.flush() + b"\xff\xd0" + bw2.flush()
+    data = _jpeg_segments(
+        sof_comps=[(1, 0x11, 0)], scan_comps=[(1, 0, 0)], qt_ids=[0],
+        dc_specs=[(0, PC._DC_LUM)], ac_specs=[(0, PC._AC_LUM)],
+        h=8, w=16, scan_bits=scan, dri=1)
+    out = PC.jpeg_decode(data)
+    assert np.abs(out[:, :8].astype(int) - v1).max() <= 1
+    assert np.abs(out[:, 8:].astype(int) - v2).max() <= 1
+
+
+def test_jpeg_rejects_progressive_truncated_garbage():
+    with pytest.raises(ValueError, match="SOI"):
+        PC.jpeg_decode(b"not a jpeg at all")
+    good = PC.jpeg_encode(_smooth(16, 16), quality=90)
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2                        # flip SOF0 → SOF2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        PC.jpeg_decode(bytes(prog))
+    with pytest.raises(Exception):
+        PC.jpeg_decode(good[: len(good) // 2])
+
+
+def test_jpeg_grayscale_roundtrip_via_3comp_encoder():
+    """Gray-content RGB image: encode/decode stays gray (channel deltas
+    from chroma quantization stay tiny)."""
+    g = _smooth(24, 24)[:, :, :1]
+    px = np.repeat(g, 3, axis=2)
+    out = PC.jpeg_decode(PC.jpeg_encode(px, quality=95))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 6
+    assert np.abs(out[:, :, 0].astype(int) - out[:, :, 1].astype(int)).max() <= 4
+
+
+# ------------------------------------------------------------- seam wiring
+
+def test_pure_codec_registered_and_dispatches():
+    assert "pure" in available_codecs()
+    codec = get_codec("pure")
+    px = _noise(11, 32, 32)
+    png = codec.encode(px, "png")
+    dec, fmt = codec.decode(png)
+    assert fmt == "png" and (dec == px).all()
+    jp = codec.encode(px, "jpeg")
+    dec, fmt = codec.decode(jp)
+    assert fmt == "jpeg" and jp[:2] == b"\xff\xd8"
+    assert psnr(px, dec) >= 40.0
+    assert codec.phash64(px) == get_codec("standin").phash64(px)
