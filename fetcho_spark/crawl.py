@@ -460,14 +460,20 @@ class CrawlEngine:
                   .alias("n_ok"))
             .withColumn("round", F.lit(round_no)))
         with self._phase("metrics_checkpoint"):
-            c.append("metrics", lineage, meta={"round": round_no,
-                                               "counters": counters})
+            # the lineage rollup is ≤ n_seen_buckets rows: collect ONCE
+            # (one fetched scan), then both the metrics append and the
+            # counter totals come from the local rows — the old
+            # append-then-read-back shape scanned fetched twice and its
+            # fixed job latency was the worst-scaling phase in the 2→8
+            # profile (phase_efficiency 0.285, BENCH_r04)
+            lin_rows = lineage.collect()
+            c.append("metrics",
+                     self.spark.createDataFrame(
+                         lin_rows, schema=lineage.schema),
+                     meta={"round": round_no, "counters": counters})
             if not cfg.collect_counters:
-                agg = (c.read("metrics").filter(F.col("round") == round_no)
-                       .agg(F.sum("n_fetched").alias("f"),
-                            F.sum("n_ok").alias("ok")).collect()[0])
-                counters["fetched"] = int(agg["f"] or 0)
-                counters["fetched_ok"] = int(agg["ok"] or 0)
+                counters["fetched"] = sum(r["n_fetched"] for r in lin_rows)
+                counters["fetched_ok"] = sum(r["n_ok"] for r in lin_rows)
 
         frontier.unpersist()
         deduped.unpersist()

@@ -283,3 +283,31 @@ def test_pure_codec_registered_and_dispatches():
     assert fmt == "jpeg" and jp[:2] == b"\xff\xd8"
     assert psnr(px, dec) >= 40.0
     assert codec.phash64(px) == get_codec("standin").phash64(px)
+
+
+# ------------------------------------------------------------ fuzz (pure)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 24), st.integers(1, 24))
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_png_roundtrip_property(seed, h, w):
+    px = _noise(seed, h, w)
+    assert (PC.png_decode(PC.png_encode(px)) == px).all()
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 3), st.integers(1, 3))
+@settings(max_examples=25, deadline=None, derandomize=True)
+def test_jpeg_roundtrip_property(seed, bh, bw):
+    """Any content, any block-ish size: decode(encode(x)) keeps shape and
+    stays within the q99 error envelope (max per-pixel error bounded by
+    the all-but-DC-1 quant step through YCbCr)."""
+    h, w = bh * 8 - (seed % 5), bw * 8 - (seed // 7 % 5)
+    h, w = max(h, 1), max(w, 1)
+    px = _noise(seed, h, w)
+    out = PC.jpeg_decode(PC.jpeg_encode(px,
+                                        quality=PC.PureCodec.JPEG_QUALITY))
+    assert out.shape == px.shape
+    assert psnr(px, out) >= 35.0     # tiny images: PSNR floor, not mean
