@@ -1,0 +1,292 @@
+"""Container-METADATA extractors for compressed media, pure stdlib —
+written from the public specs (MPEG-1/2 audio frame headers; FLAC
+STREAMINFO; Ogg/Vorbis identification header + granule positions;
+ISO/IEC 14496-12 BMFF box grammar). No codec decode happens here: at
+corpus scale you want rate/channels/duration/dimensions for EVERY file
+cheaply (stats, filtering, budget planning) long before you spend
+ffmpeg-class CPU on the few you actually decode — and this container has
+no ffmpeg, so metadata is also the honest limit of what we extract from
+compressed formats (PCM/WAV and MJPEG-AVI decode for real in
+operators/multimodal.py; JPEG/PNG decode for real in pure_codec.py).
+
+Every ``probe_*`` returns a plain dict or raises ValueError on
+malformed/unrecognized bytes; :func:`probe_audio` / :func:`probe_video`
+dispatch on magic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ------------------------------------------------------------------- MP3
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320, 0]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000],      # MPEG-1 (version bits 11)
+              2: [22050, 24000, 16000],      # MPEG-2 (10)
+              0: [11025, 12000, 8000]}       # MPEG-2.5 (00)
+
+
+def _mp3_frame(data: bytes, off: int):
+    """Parse one MPEG audio frame header at ``off`` → (frame_len,
+    bitrate_kbps, sample_rate, channels, samples_per_frame) or None."""
+    if off + 4 > len(data):
+        return None
+    b1, b2, b3, _b4 = data[off:off + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    version = (b2 >> 3) & 0x03                # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b2 >> 1) & 0x03                  # 1=Layer III
+    if version == 1 or layer != 1:            # reserved version / not L3
+        return None
+    br_idx = (b3 >> 4) & 0x0F
+    sr_idx = (b3 >> 2) & 0x03
+    padding = (b3 >> 1) & 0x01
+    if sr_idx == 3 or br_idx in (0, 15):
+        return None
+    table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    bitrate = table[br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    spf = 1152 if version == 3 else 576       # Layer III samples/frame
+    frame_len = (spf // 8) * bitrate * 1000 // rate + padding
+    channels = 1 if ((data[off + 3] >> 6) & 0x03) == 3 else 2
+    return frame_len, bitrate, rate, channels, spf
+
+
+def probe_mp3(data: bytes) -> dict:
+    """MP3 (MPEG-1/2 Layer III): walks frame headers. Skips an ID3v2 tag,
+    reads the Xing/Info VBR frame count when present (exact duration),
+    else walks up to 4096 frames / falls back to a CBR size estimate."""
+    off = 0
+    if data[:3] == b"ID3":                    # ID3v2: syncsafe 28-bit size
+        sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+             | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        off = 10 + sz
+    # resync: find the first valid frame header
+    first = None
+    for i in range(off, min(len(data), off + 64 * 1024)):
+        fr = _mp3_frame(data, i)
+        if fr:
+            # require a second valid header right after (kills false
+            # syncs), or a single frame that fully fits the buffer
+            nxt = _mp3_frame(data, i + fr[0])
+            if nxt or i + fr[0] <= len(data):
+                first, off = fr, i
+                break
+    if first is None:
+        raise ValueError("mp3: no valid frame sync")
+    frame_len, bitrate, rate, channels, spf = first
+    # Xing/Info header (VBR): frame count lives in the first frame
+    side = 32 if channels == 2 else 17
+    xing_off = off + 4 + side
+    vbr = False
+    n_frames = None
+    if data[xing_off:xing_off + 4] in (b"Xing", b"Info"):
+        vbr = data[xing_off:xing_off + 4] == b"Xing"
+        flags = struct.unpack(">I", data[xing_off + 4:xing_off + 8])[0]
+        if flags & 0x1:
+            n_frames = struct.unpack(
+                ">I", data[xing_off + 8:xing_off + 12])[0]
+    if n_frames is None:
+        # walk frames (bounded); if we reach the end it's exact
+        n_frames, pos, walked_all = 0, off, True
+        while pos < len(data) and n_frames < 4096:
+            fr = _mp3_frame(data, pos)
+            if not fr:
+                break
+            n_frames += 1
+            pos += fr[0]
+        else:
+            walked_all = pos >= len(data)
+        if not walked_all and n_frames >= 4096:
+            # CBR estimate from stream size
+            n_frames = max(1, (len(data) - off) // frame_len)
+    duration = n_frames * spf / rate
+    return {"format": "mp3", "sample_rate": rate, "channels": channels,
+            "duration_s": duration, "bitrate_kbps": bitrate, "vbr": vbr}
+
+
+# ------------------------------------------------------------------ FLAC
+
+def probe_flac(data: bytes) -> dict:
+    """FLAC STREAMINFO (always the first metadata block): exact sample
+    rate / channels / total samples → exact duration."""
+    if data[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        btype = hdr & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + data[pos + 1:pos + 4])
+        body = data[pos + 4:pos + 4 + blen]
+        if btype == 0:                         # STREAMINFO
+            if blen < 34:
+                raise ValueError("flac: truncated STREAMINFO")
+            bits = int.from_bytes(body[10:18], "big")
+            rate = (bits >> 44) & 0xFFFFF
+            channels = ((bits >> 41) & 0x7) + 1
+            total = bits & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("flac: invalid sample rate")
+            return {"format": "flac", "sample_rate": rate,
+                    "channels": channels,
+                    "duration_s": total / rate if total else None,
+                    "bitrate_kbps": None, "vbr": True}
+        if hdr & 0x80:                         # last-metadata-block flag
+            break
+        pos += 4 + blen
+    raise ValueError("flac: no STREAMINFO block")
+
+
+# ------------------------------------------------------- Ogg (Vorbis/Opus)
+
+def probe_ogg(data: bytes) -> dict:
+    """Ogg container: reads the Vorbis identification header (or Opus
+    head) from the first page, then the LAST page's granule position for
+    the duration (granule = PCM samples for Vorbis; 48 kHz ticks for
+    Opus, per their public mappings)."""
+    if data[:4] != b"OggS":
+        raise ValueError("ogg: bad magic")
+    nseg = data[26]
+    body = data[27 + nseg:27 + nseg + sum(data[27:27 + nseg])]
+    if body[:7] == b"\x01vorbis":
+        channels = body[11]
+        (rate,) = struct.unpack("<I", body[12:16])
+        fmt, gran_rate = "ogg-vorbis", rate
+    elif body[:8] == b"OpusHead":
+        channels = body[9]
+        rate = 48000                            # Opus always decodes at 48k
+        fmt, gran_rate = "ogg-opus", 48000
+    else:
+        raise ValueError("ogg: unknown codec in first page")
+    last = data.rfind(b"OggS")
+    duration = None
+    if last > 0 and last + 14 <= len(data):
+        (granule,) = struct.unpack("<q", data[last + 6:last + 14])
+        if granule > 0:
+            duration = granule / gran_rate
+    return {"format": fmt, "sample_rate": rate, "channels": channels,
+            "duration_s": duration, "bitrate_kbps": None, "vbr": True}
+
+
+# ------------------------------------------------------ MP4 / ISO BMFF
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body_off = pos + 8
+        if size == 1:                           # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            body_off = pos + 16
+        elif size == 0:                         # to end of file
+            size = end - pos
+        if size < 8:
+            raise ValueError("mp4: invalid box size")
+        yield tag, body_off, pos + size
+        pos += size
+
+
+def _find_box(data, start, end, path):
+    tag0 = path[0]
+    for tag, b0, b1 in _walk_boxes(data, start, end):
+        if tag == tag0:
+            if len(path) == 1:
+                return b0, b1
+            return _find_box(data, b0, b1, path[1:])
+    return None
+
+
+def probe_mp4(data: bytes) -> dict:
+    """ISO-BMFF (mp4/mov/m4a): mvhd → duration; first video trak's tkhd →
+    width/height (16.16 fixed point); stsd → sample-entry fourcc."""
+    head = _find_box(data, 0, len(data), [b"ftyp"])
+    if head is None:
+        raise ValueError("mp4: no ftyp box")
+    brand = data[head[0]:head[0] + 4].decode("ascii", "replace")
+    moov = _find_box(data, 0, len(data), [b"moov"])
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    mvhd = _find_box(data, moov[0], moov[1], [b"mvhd"])
+    if mvhd is None:
+        raise ValueError("mp4: no mvhd box")
+    ver = data[mvhd[0]]
+    if ver == 1:
+        timescale, duration = struct.unpack(
+            ">IQ", data[mvhd[0] + 20:mvhd[0] + 32])
+    else:
+        timescale, duration = struct.unpack(
+            ">II", data[mvhd[0] + 12:mvhd[0] + 20])
+    width = height = None
+    codec = None
+    for tag, b0, b1 in _walk_boxes(data, moov[0], moov[1]):
+        if tag != b"trak":
+            continue
+        tkhd = _find_box(data, b0, b1, [b"tkhd"])
+        if tkhd:
+            tv = data[tkhd[0]]
+            base = tkhd[0] + (32 if tv == 0 else 44)
+            w16, h16 = struct.unpack(">II", data[base + 44:base + 52])
+            if w16 and h16 and width is None:
+                width, height = w16 >> 16, h16 >> 16
+        stsd = _find_box(data, b0, b1,
+                         [b"mdia", b"minf", b"stbl", b"stsd"])
+        if stsd and codec is None:
+            for etag, _e0, _e1 in _walk_boxes(data, stsd[0] + 8, stsd[1]):
+                codec = etag.decode("ascii", "replace")
+                break
+    return {"format": "mp4", "brand": brand,
+            "duration_s": duration / timescale if timescale else None,
+            "width": width, "height": height, "codec": codec}
+
+
+# --------------------------------------------------------------- RIFF/AVI
+
+def probe_avi(data: bytes) -> dict:
+    """RIFF/AVI main header (avih): frame timing, count, dimensions; the
+    first stream header's fccHandler as the codec fourcc. Frame PAYLOADS
+    demux for real in operators/multimodal.demux_avi."""
+    if data[:4] != b"RIFF" or data[8:12] not in (b"AVI ", b"AVIX"):
+        raise ValueError("avi: bad magic")
+    i = data.find(b"avih")
+    if i < 0 or i + 44 > len(data):
+        raise ValueError("avi: no avih header")
+    a = i + 8                                  # past fourcc + size
+    usec_pf, = struct.unpack("<I", data[a:a + 4])
+    total, = struct.unpack("<I", data[a + 16:a + 20])
+    w, = struct.unpack("<I", data[a + 32:a + 36])
+    h, = struct.unpack("<I", data[a + 36:a + 40])
+    codec = None
+    j = data.find(b"strh")
+    if j >= 0 and data[j + 8:j + 12] == b"vids":
+        codec = data[j + 12:j + 16].decode("ascii", "replace")
+    return {"format": "avi", "brand": None,
+            "duration_s": total * usec_pf / 1e6 if usec_pf else None,
+            "width": w or None, "height": h or None, "codec": codec}
+
+
+# ------------------------------------------------------------- dispatch
+
+def probe_audio(data: bytes) -> dict:
+    """Magic-dispatched audio metadata probe (mp3/flac/ogg; m4a via
+    probe_mp4 has no audio rate here — use probe_video for BMFF)."""
+    if data[:4] == b"fLaC":
+        return probe_flac(data)
+    if data[:4] == b"OggS":
+        return probe_ogg(data)
+    if data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF
+                              and (data[1] & 0xE0) == 0xE0):
+        return probe_mp3(data)
+    raise ValueError("unrecognized audio container")
+
+
+def probe_video(data: bytes) -> dict:
+    """Magic-dispatched video metadata probe (mp4-family + RIFF/AVI)."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return probe_mp4(data)
+    if data[:4] == b"RIFF":
+        return probe_avi(data)
+    raise ValueError("unrecognized video container")

@@ -138,6 +138,54 @@ def video_frame_sample(videos: DataFrame, every_n: int = 10,
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("err", T.StringType()),
+])
+
+
+def video_metadata(videos: DataFrame, id_col: str = "video_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Container metadata for every video payload, no decode: MP4-family
+    (ISO-BMFF box walk → mvhd duration, tkhd dims, stsd codec fourcc) and
+    RIFF/AVI (avih) via functions/mediameta; the FSVD test container
+    reports its frame count. At corpus scale this is the cheap first pass
+    (stats / filtering / decode-budget planning) before any codec work;
+    unrecognized bytes yield a null row with err, never a failed job."""
+    from ..functions.mediameta import probe_video
+    src = videos.select(F.col(id_col).alias("video_id"),
+                        F.col(bytes_col).alias("bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                b = bytes(data)
+                if b[:4] == _VMAGIC:
+                    (n,) = struct.unpack("<I", b[4:8])
+                    rows.append((vid, "fsvd", float(n), None, None,
+                                 "fsim", None))
+                    continue
+                try:
+                    m = probe_video(b)
+                    rows.append((vid, m["format"], m.get("duration_s"),
+                                 m.get("width"), m.get("height"),
+                                 m.get("codec"), None))
+                except Exception:
+                    rows.append((vid, None, None, None, None, None,
+                                 "unrecognized"))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              VIDEO_META_SCHEMA.fields])
+
+    return src.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
 def demux_avi(data: bytes):
     """RIFF/AVI demux, stdlib-only: walk the chunk tree to the ``movi``
     LIST and yield (frame_index, payload) for each video-stream chunk
@@ -312,8 +360,20 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
                             "compressed audio decode requires ffmpeg/"
                             "libsndfile (not in this container); WAV/PCM "
                             "decodes natively")
-                    rows.append((aid, None, None, None, None, None,
-                                 "needs-ffmpeg"))
+                    # no decode, but the CONTAINER metadata is real: rate/
+                    # channels/duration from the spec headers (mp3 frame
+                    # sync, FLAC STREAMINFO, Ogg id header + granule) —
+                    # err='metadata-only' marks that rms/zcr need a real
+                    # decoder while the filled fields are trustworthy
+                    try:
+                        from ..functions.mediameta import probe_audio
+                        m = probe_audio(b)
+                        rows.append((aid, m.get("duration_s"), None, None,
+                                     m.get("sample_rate"),
+                                     m.get("channels"), "metadata-only"))
+                    except Exception:
+                        rows.append((aid, None, None, None, None, None,
+                                     "needs-ffmpeg"))
                     continue
                 try:
                     dur, rms, zcr, rate, nch = _wav_features(b)
