@@ -268,6 +268,203 @@ def probe_avi(data: bytes) -> dict:
             "width": w or None, "height": h or None, "codec": codec}
 
 
+# -------------------------------------------------- image headers (dims)
+
+def probe_image(data: bytes) -> dict:
+    """Width/height/format from image HEADERS only — no pixel decode.
+    JPEG (walk markers to the first SOFn), PNG (IHDR), GIF (logical
+    screen), WebP (VP8 / VP8L / VP8X per the public container spec),
+    BMP (BITMAPINFOHEADER). At corpus scale this answers the
+    resolution-distribution / thumbnail-filter questions for every
+    payload at I/O cost, decode for none."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", data[16:24])
+        return {"format": "png", "width": w, "height": h}
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD9:
+                pos += 2
+                continue
+            (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                return {"format": "jpeg", "width": w, "height": h}
+            pos += 2 + ln
+        raise ValueError("jpeg: no SOF marker")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        fourcc = data[12:16]
+        if fourcc == b"VP8 ":                  # lossy: frame tag + dims
+            w, h = struct.unpack("<HH", data[26:30])
+            return {"format": "webp", "width": w & 0x3FFF,
+                    "height": h & 0x3FFF}
+        if fourcc == b"VP8L":                  # lossless: 14-bit packed
+            bits = int.from_bytes(data[21:25], "little")
+            return {"format": "webp",
+                    "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1}
+        if fourcc == b"VP8X":                  # extended: 24-bit minus-one
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return {"format": "webp", "width": w, "height": h}
+        raise ValueError("webp: unknown chunk")
+    if data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    raise ValueError("unrecognized image container")
+
+
+# ------------------------------------------------- Matroska / WebM (EBML)
+
+def _ebml_read_vint(data: bytes, pos: int, keep_marker: bool):
+    """EBML variable-length integer at ``pos`` → (value, new_pos).
+    ``keep_marker`` keeps the length-descriptor bit (element IDs) or
+    strips it (sizes)."""
+    if pos >= len(data):
+        raise ValueError("ebml: truncated vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("ebml: invalid vint")
+    n = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        n += 1
+    if pos + n > len(data):
+        raise ValueError("ebml: truncated vint")
+    v = first if keep_marker else first & (mask - 1)
+    for i in range(1, n):
+        v = (v << 8) | data[pos + i]
+    return v, pos + n
+
+
+def _ebml_walk(data: bytes, pos: int, end: int):
+    while pos < end:
+        eid, pos = _ebml_read_vint(data, pos, keep_marker=True)
+        size, pos = _ebml_read_vint(data, pos, keep_marker=False)
+        body_end = min(pos + size, end)
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def probe_webm(data: bytes) -> dict:
+    """Matroska/WebM: EBML DocType, Segment→Info (TimestampScale +
+    Duration), first video TrackEntry (PixelWidth/Height, CodecID)."""
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("webm: bad EBML magic")
+    doctype = "matroska"
+    duration = None
+    timescale = 1_000_000                      # default: 1 ms
+    width = height = None
+    codec = None
+    for eid, b0, b1 in _ebml_walk(data, 0, len(data)):
+        if eid == 0x1A45DFA3:                  # EBML header
+            for hid, h0, h1 in _ebml_walk(data, b0, b1):
+                if hid == 0x4282:              # DocType
+                    doctype = data[h0:h1].decode("ascii", "replace")
+        elif eid == 0x18538067:                # Segment
+            for sid, s0, s1 in _ebml_walk(data, b0, b1):
+                if sid == 0x1549A966:          # Info
+                    for iid, i0, i1 in _ebml_walk(data, s0, s1):
+                        if iid == 0x2AD7B1:    # TimestampScale (ns)
+                            timescale = int.from_bytes(data[i0:i1], "big")
+                        elif iid == 0x4489:    # Duration (float)
+                            raw = data[i0:i1]
+                            duration = struct.unpack(
+                                ">f" if len(raw) == 4 else ">d", raw)[0]
+                elif sid == 0x1654AE6B:        # Tracks
+                    for tid, t0, t1 in _ebml_walk(data, s0, s1):
+                        if tid != 0xAE:        # TrackEntry
+                            continue
+                        for fid, f0, f1 in _ebml_walk(data, t0, t1):
+                            if fid == 0x86 and codec is None:   # CodecID
+                                codec = data[f0:f1].decode(
+                                    "ascii", "replace")
+                            elif fid == 0xE0:  # Video
+                                for vid_, v0, v1 in _ebml_walk(
+                                        data, f0, f1):
+                                    if vid_ == 0xB0:
+                                        width = int.from_bytes(
+                                            data[v0:v1], "big")
+                                    elif vid_ == 0xBA:
+                                        height = int.from_bytes(
+                                            data[v0:v1], "big")
+    return {"format": doctype, "brand": None,
+            "duration_s": (duration * timescale / 1e9
+                           if duration is not None else None),
+            "width": width, "height": height, "codec": codec}
+
+
+# --------------------------------------------- MP4 sample extraction
+
+def mp4_video_samples(data: bytes):
+    """REAL ISO-BMFF demux (the MP4 analog of demux_avi): yields
+    (sample_index, payload_bytes) for the first video track, by joining
+    the stbl sample tables — stsz (sizes), stco/co64 (chunk offsets),
+    stsc (samples-per-chunk runs). Payloads are codec packets (e.g.
+    length-prefixed AVC NAL units) for a downstream decoder; this is a
+    container parse, not a codec."""
+    moov = _find_box(data, 0, len(data), [b"moov"])
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    stbl = None
+    for tag, b0, b1 in _walk_boxes(data, moov[0], moov[1]):
+        if tag != b"trak":
+            continue
+        s = _find_box(data, b0, b1, [b"mdia", b"minf", b"stbl"])
+        if s and _find_box(data, s[0], s[1], [b"stsz"]):
+            hd = _find_box(data, b0, b1, [b"mdia", b"minf", b"vmhd"])
+            if hd or stbl is None:
+                stbl = s
+            if hd:
+                break
+    if stbl is None:
+        raise ValueError("mp4: no sample table")
+    stsz = _find_box(data, stbl[0], stbl[1], [b"stsz"])
+    stsc = _find_box(data, stbl[0], stbl[1], [b"stsc"])
+    stco = _find_box(data, stbl[0], stbl[1], [b"stco"])
+    co64 = _find_box(data, stbl[0], stbl[1], [b"co64"])
+    if stsz is None or stsc is None or (stco is None and co64 is None):
+        raise ValueError("mp4: incomplete sample table")
+    uniform, count = struct.unpack(">II", data[stsz[0] + 4:stsz[0] + 12])
+    sizes = ([uniform] * count if uniform else
+             list(struct.unpack(f">{count}I",
+                                data[stsz[0] + 12:stsz[0] + 12 + 4 * count])))
+    if co64 is not None:
+        (nchunks,) = struct.unpack(">I", data[co64[0] + 4:co64[0] + 8])
+        offsets = struct.unpack(
+            f">{nchunks}Q", data[co64[0] + 8:co64[0] + 8 + 8 * nchunks])
+    else:
+        (nchunks,) = struct.unpack(">I", data[stco[0] + 4:stco[0] + 8])
+        offsets = struct.unpack(
+            f">{nchunks}I", data[stco[0] + 8:stco[0] + 8 + 4 * nchunks])
+    (nruns,) = struct.unpack(">I", data[stsc[0] + 4:stsc[0] + 8])
+    runs = [struct.unpack(">III", data[stsc[0] + 8 + 12 * i:
+                                       stsc[0] + 20 + 12 * i])
+            for i in range(nruns)]             # (first_chunk, spc, sdi)
+    # expand samples-per-chunk runs across the chunk list
+    spc_by_chunk = []
+    for ri, (first, spc, _sdi) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else nchunks
+        spc_by_chunk += [spc] * (last - first + 1)
+    idx = 0
+    for ci, chunk_off in enumerate(offsets):
+        pos = chunk_off
+        for _ in range(spc_by_chunk[ci] if ci < len(spc_by_chunk) else 0):
+            if idx >= count:
+                return
+            yield idx, data[pos:pos + sizes[idx]]
+            pos += sizes[idx]
+            idx += 1
+
+
 # ------------------------------------------------------------- dispatch
 
 def probe_audio(data: bytes) -> dict:
@@ -284,9 +481,12 @@ def probe_audio(data: bytes) -> dict:
 
 
 def probe_video(data: bytes) -> dict:
-    """Magic-dispatched video metadata probe (mp4-family + RIFF/AVI)."""
+    """Magic-dispatched video metadata probe (mp4-family, RIFF/AVI,
+    Matroska/WebM)."""
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return probe_mp4(data)
     if data[:4] == b"RIFF":
         return probe_avi(data)
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return probe_webm(data)
     raise ValueError("unrecognized video container")

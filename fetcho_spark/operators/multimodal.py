@@ -112,14 +112,17 @@ def video_frame_sample(videos: DataFrame, every_n: int = 10,
                        bytes_col: str = "bytes") -> DataFrame:
     """Frame sampling over an opaque video binary column.
 
-    Two REAL demuxers run without ffmpeg: RIFF/AVI containers
+    Three REAL demuxers run without ffmpeg: RIFF/AVI containers
     (:func:`demux_avi` — pure-stdlib chunk walk; an MJPEG AVI yields raw
-    JPEG frame payloads) and the deterministic FSVD test container
-    (:func:`_fake_demux`). Inter-frame *decode* of compressed codecs
-    (H.264 etc.) genuinely needs ffmpeg/pyav and still raises — the
-    sampled frames come back as opaque bytes for a downstream decoder
-    (the codec seam's PIL path decodes MJPEG frames directly).
+    JPEG frame payloads), ISO-BMFF/MP4 (``mediameta.mp4_video_samples`` —
+    stsz/stsc/stco sample-table join; yields codec packets), and the
+    deterministic FSVD test container (:func:`_fake_demux`). Inter-frame
+    *decode* of compressed codecs (H.264 etc.) genuinely needs
+    ffmpeg/pyav and still raises — the sampled frames come back as opaque
+    bytes for a downstream decoder (the codec seam decodes MJPEG frames
+    directly).
     """
+    from ..functions.mediameta import mp4_video_samples
     src = videos.select(F.col(id_col).alias("video_id"),
                         F.col(bytes_col).alias("bytes"))
 
@@ -128,7 +131,12 @@ def video_frame_sample(videos: DataFrame, every_n: int = 10,
             rows = []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
                 b = bytes(data)
-                demux = demux_avi if b[:4] == b"RIFF" else _fake_demux
+                if b[:4] == b"RIFF":
+                    demux = demux_avi
+                elif len(b) >= 12 and b[4:8] == b"ftyp":
+                    demux = mp4_video_samples
+                else:
+                    demux = _fake_demux
                 for idx, frame in demux(b):
                     if idx % every_n == 0:
                         rows.append((vid, idx, bytearray(frame)))
@@ -136,6 +144,42 @@ def video_frame_sample(videos: DataFrame, every_n: int = 10,
                                               "frame_bytes"])
 
     return src.mapInPandas(run, FRAME_SCHEMA)
+
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("err", T.StringType()),
+])
+
+
+def image_metadata(images: DataFrame, id_col: str = "image_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Dimensions + format from image HEADERS only (mediameta.probe_image:
+    JPEG SOF marker, PNG IHDR, GIF, WebP VP8/VP8L/VP8X, BMP) — answers the
+    resolution-distribution / thumbnail-filter questions for a 100 TB
+    corpus at I/O cost, decoding nothing. Formats we cannot decode at all
+    (GIF/WebP) still report real dims here. Unrecognized → err row."""
+    from ..functions.mediameta import probe_image
+    src = images.select(F.col(id_col).alias("image_id"),
+                        F.col(bytes_col).alias("bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    m = probe_image(bytes(data))
+                    rows.append((iid, m["format"], m["width"],
+                                 m["height"], None))
+                except Exception:
+                    rows.append((iid, None, None, None, "unrecognized"))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_META_SCHEMA.fields])
+
+    return src.mapInPandas(run, IMAGE_META_SCHEMA)
 
 
 VIDEO_META_SCHEMA = T.StructType([

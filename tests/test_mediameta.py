@@ -179,3 +179,137 @@ def test_video_metadata_operator(spark):
     assert (got["avi"]["container"], got["avi"]["codec"]) == ("avi", "MJPG")
     assert got["fsvd"]["container"] == "fsvd" and got["fsvd"]["duration_s"] == 4.0
     assert got["junk"]["err"] == "unrecognized"
+
+
+# ------------------------------------------- image headers / webm / mp4
+
+def test_probe_image_real_and_handbuilt():
+    from fetcho_spark.functions import pure_codec as PC
+    px = np.random.default_rng(3).integers(0, 256, (24, 31, 3),
+                                           dtype=np.uint8)
+    p = MM.probe_image(PC.png_encode(px))            # real PNG bytes
+    assert (p["format"], p["width"], p["height"]) == ("png", 31, 24)
+    j = MM.probe_image(PC.jpeg_encode(px, 90))       # real JPEG bytes
+    assert (j["format"], j["width"], j["height"]) == ("jpeg", 31, 24)
+    g = MM.probe_image(b"GIF89a" + struct.pack("<HH", 500, 300) + b"\x00" * 6)
+    assert (g["format"], g["width"], g["height"]) == ("gif", 500, 300)
+    # WebP lossy: RIFF/WEBP/'VP8 ' with dims at the frame header
+    # real VP8 layout: 3-byte frame tag + 0x9D012A start code, then dims
+    vp8 = (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8 "
+           + struct.pack("<I", 20) + b"\x00" * 3 + b"\x9d\x01\x2a"
+           + struct.pack("<HH", 640, 480))
+    w = MM.probe_image(vp8)
+    assert (w["format"], w["width"], w["height"]) == ("webp", 640, 480)
+    # WebP lossless: VP8L 14-bit packed minus-one dims
+    bits = (320 - 1) | ((200 - 1) << 14)
+    vp8l = (b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8L"
+            + struct.pack("<I", 10) + b"\x2f" + struct.pack("<I", bits))
+    wl = MM.probe_image(vp8l)
+    assert (wl["width"], wl["height"]) == (320, 200)
+    # WebP extended: VP8X 24-bit minus-one dims
+    vp8x = (b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X"
+            + struct.pack("<I", 10) + b"\x00" * 4
+            + (127).to_bytes(3, "little") + (63).to_bytes(3, "little"))
+    wx = MM.probe_image(vp8x)
+    assert (wx["width"], wx["height"]) == (128, 64)
+    b = MM.probe_image(b"BM" + b"\x00" * 16 + struct.pack("<ii", 99, -44)
+                       + b"\x00" * 10)
+    assert (b["format"], b["width"], b["height"]) == ("bmp", 99, 44)
+    with pytest.raises(ValueError):
+        MM.probe_image(b"\x00\x01nonsense")
+
+
+def _ebml(eid: int, body: bytes) -> bytes:
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    assert len(body) < 127
+    return id_bytes + bytes([0x80 | len(body)]) + body
+
+
+def build_webm(duration_ms=5000.0, w=320, h=240, codec=b"V_VP9"):
+    header = _ebml(0x1A45DFA3, _ebml(0x4282, b"webm"))
+    info = _ebml(0x1549A966,
+                 _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                 + _ebml(0x4489, struct.pack(">f", duration_ms)))
+    video = _ebml(0xE0, _ebml(0xB0, w.to_bytes(2, "big"))
+                  + _ebml(0xBA, h.to_bytes(2, "big")))
+    track = _ebml(0xAE, _ebml(0x86, codec) + video)
+    tracks = _ebml(0x1654AE6B, track)
+    return header + _ebml(0x18538067, info + tracks)
+
+
+def test_probe_webm_hand_built():
+    m = MM.probe_webm(build_webm())
+    assert m["format"] == "webm" and m["codec"] == "V_VP9"
+    assert m["duration_s"] == 5.0
+    assert (m["width"], m["height"]) == (320, 240)
+    assert MM.probe_video(build_webm())["format"] == "webm"
+    with pytest.raises(ValueError):
+        MM.probe_webm(b"\x1a\x45\xdf\xa4 nope")
+
+
+def build_mp4_with_samples(samples, chunks):
+    """ftyp + mdat(sample bytes laid out per `chunks` runs) + moov with a
+    full stbl (stsz/stsc/stco). `chunks` = list of samples-per-chunk."""
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x00\x00mp42")
+    mdat_body = b"".join(samples)
+    base = len(ftyp) + 8                       # first chunk offset
+    offsets, idx = [], 0
+    pos = base
+    for spc in chunks:
+        offsets.append(pos)
+        pos += sum(len(samples[idx + k]) for k in range(spc))
+        idx += spc
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, len(samples))
+                + b"".join(struct.pack(">I", len(s)) for s in samples))
+    # stsc runs: collapse equal consecutive spc
+    runs, first = [], 1
+    for i, spc in enumerate(chunks):
+        if not runs or runs[-1][1] != spc:
+            runs.append((i + 1, spc))
+    stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">I", len(runs))
+                + b"".join(struct.pack(">III", fc, spc, 1)
+                           for fc, spc in runs))
+    stco = _box(b"stco", b"\x00" * 4 + struct.pack(">I", len(offsets))
+                + b"".join(struct.pack(">I", o) for o in offsets))
+    stbl = _box(b"stbl", stsz + stsc + stco)
+    minf = _box(b"minf", _box(b"vmhd", b"\x00" * 12) + stbl)
+    mvhd = _box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 2000)
+                + b"\x00" * 80)
+    trak = _box(b"trak", _box(b"mdia", minf))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+def test_mp4_video_samples_demux():
+    samples = [b"aaa", b"bbbb", b"ccccc", b"dddddd", b"e"]
+    mp4 = build_mp4_with_samples(samples, chunks=[2, 3])
+    got = list(MM.mp4_video_samples(mp4))
+    assert got == list(enumerate(samples))
+    # uneven runs: 1+1+3 chunks
+    mp4b = build_mp4_with_samples(samples, chunks=[1, 1, 3])
+    assert [s for _, s in MM.mp4_video_samples(mp4b)] == samples
+
+
+@pytest.mark.spark
+def test_video_frame_sample_mp4_and_image_metadata(spark):
+    from fetcho_spark.functions import pure_codec as PC
+    samples = [f"frame{i}".encode() for i in range(10)]
+    mp4 = build_mp4_with_samples(samples, chunks=[4, 6])
+    vdf = spark.createDataFrame([("v", bytearray(mp4))],
+                                "video_id string, bytes binary")
+    got = {r["frame_idx"]: bytes(r["frame_bytes"])
+           for r in MO.video_frame_sample(vdf, every_n=3).collect()}
+    assert got == {0: b"frame0", 3: b"frame3", 6: b"frame6", 9: b"frame9"}
+    px = np.random.default_rng(5).integers(0, 256, (16, 20, 3),
+                                           dtype=np.uint8)
+    idf = spark.createDataFrame(
+        [("png", bytearray(PC.png_encode(px))),
+         ("jpg", bytearray(PC.jpeg_encode(px, 90))),
+         ("gif", bytearray(b"GIF87a" + struct.pack("<HH", 5, 6)
+                           + b"\x00" * 6)),
+         ("bad", bytearray(b"zzzz"))],
+        "image_id string, bytes binary")
+    meta = {r["image_id"]: r for r in MO.image_metadata(idf).collect()}
+    assert (meta["png"]["fmt"], meta["png"]["width"]) == ("png", 20)
+    assert (meta["jpg"]["fmt"], meta["jpg"]["height"]) == ("jpeg", 16)
+    assert meta["gif"]["width"] == 5 and meta["bad"]["err"] == "unrecognized"
