@@ -14,6 +14,9 @@ Scope (honest):
   RGBA / palette, all five scanline filters, multi-IDAT, CRC-checked.
   Adam7 interlace raises (rare on the web, and a silent wrong decode would
   be worse than an error row).
+- GIF: full LZW decode (87a/89a, global/local color tables, interlace,
+  animated → first frame); encode via the classic fixed-9-bit
+  'uncompressed LZW' strategy for ≤256-color images.
 - JPEG: encode baseline sequential 4:4:4 (quality-scaled Annex K tables);
   decode baseline sequential (SOF0) with arbitrary sampling factors
   (4:4:4, 4:2:0, 4:2:2, ...), grayscale or YCbCr, restart markers.
@@ -142,6 +145,165 @@ def png_decode(data: bytes) -> np.ndarray:
     if ctype in (0, 4):                            # gray (+alpha)
         return np.repeat(samples[:, :, :1], 3, axis=2).copy()
     return samples[:, :, :3].copy()                # RGB(+alpha dropped)
+
+
+# ======================================================= GIF (87a/89a)
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes, dict grows
+    to 12 bits) — written from the GIF89a specification appendix."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("gif: invalid LZW code")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))   # Adam-style interlace
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF87a/89a → (h, w, 3) uint8 RGB of the FIRST image (animated GIFs
+    decode their first frame; transparency flattens to the palette
+    color). Handles global/local color tables and interlacing."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("gif: truncated header")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags, bg, _aspect = data[10], data[11], data[12]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n],
+                            np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:                       # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:                     # image descriptor
+            left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:                   # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(data[pos:pos + 3 * n],
+                                    np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("gif: no color table")
+            min_cs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(_gif_lzw_decode(min_cs, bytes(lzw)),
+                                np.uint8)[: iw * ih]
+            if len(idx) < iw * ih:
+                raise ValueError("gif: truncated image data")
+            grid = idx.reshape(ih, iw)
+            if iflags & 0x40:                   # interlaced: un-permute
+                order = [y for start, step in _GIF_PASSES
+                         for y in range(start, ih, step)]
+                out_rows = np.empty_like(grid)
+                out_rows[order] = grid
+                grid = out_rows
+            canvas = np.zeros((h, w), np.uint8)
+            canvas[:, :] = bg if (gct is not None and bg < len(gct)) else 0
+            canvas[top:top + ih, left:left + iw] = grid
+            return pal[np.minimum(canvas, len(pal) - 1)]
+        elif block == 0x3B:                     # trailer
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+    raise ValueError("gif: no image data")
+
+
+def gif_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 with ≤256 unique colors → GIF89a. Uses the classic
+    'uncompressed' LZW strategy (fixed 9-bit literal codes with a CLEAR
+    every 254 codes, min code size 8) — valid output any decoder accepts,
+    no compression dictionary needed."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("gif: more than 256 unique colors")
+    pal_full = np.zeros((256, 3), np.uint8)
+    pal_full[:len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])           # GCT, 256 entries
+    out += pal_full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([8])                           # LZW min code size
+    # 9-bit codes, LSB-first; CLEAR(256) resets the dict before it grows
+    # past 511 so the code size never leaves 9 bits; END(257) terminates
+    acc = nbits = 0
+    payload = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(256)
+    for i, v in enumerate(idx):
+        if i and i % 254 == 0:
+            emit(256)
+        emit(int(v))
+    emit(257)
+    if nbits:
+        payload.append(acc & 0xFF)
+    for off in range(0, len(payload), 255):
+        chunk = payload[off:off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # ================================================= baseline JPEG (T.81)
@@ -617,6 +779,8 @@ class PureCodec:
             return png_encode(pixels)
         if fmt == "jpeg":
             return jpeg_encode(pixels, quality=PureCodec.JPEG_QUALITY)
+        if fmt == "gif":
+            return gif_encode(pixels)
         raise NotImplementedError(f"format {fmt!r}")
 
     @staticmethod
@@ -625,7 +789,9 @@ class PureCodec:
             return png_decode(data), "png"
         if data[:2] == b"\xff\xd8":
             return jpeg_decode(data), "jpeg"
-        raise ValueError("not a PNG/JPEG payload")
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return gif_decode(data), "gif"
+        raise ValueError("not a PNG/JPEG/GIF payload")
 
     # same pixel-space phash as every other codec (codec.phash64)
     @staticmethod

@@ -4,8 +4,10 @@ Treats media as ``binary`` payload columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` / pandas UDFs — the Spark-side plumbing
 (schemas, batch shapes, partition behavior) is real and tested. Decoders:
 
-- **image**: the deterministic stand-in codec (functions/codec.py) — swap for
-  PIL when available; the UDF signatures don't change.
+- **image**: via the codec seam (functions/codec.get_codec) — the
+  deterministic stand-in by default, the REAL from-scratch PNG/JPEG/GIF
+  codec with ``FETCHO_SPARK_CODEC=pure``, PIL when available; the UDF
+  signatures don't change.
 - **audio**: REAL for uncompressed WAV/PCM (stdlib ``wave`` + numpy);
   compressed formats (mp3/ogg/flac) raise — they genuinely need
   ffmpeg/libsndfile.
@@ -45,9 +47,15 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 
 
 def image_features(images: DataFrame, id_col: str = "image_id",
-                   bytes_col: str = "bytes") -> DataFrame:
+                   bytes_col: str = "bytes", codec=None) -> DataFrame:
     """Decode + per-image features, one Arrow batch at a time. Output is a
-    fresh narrow frame (never pass wide exact-int columns through pandas)."""
+    fresh narrow frame (never pass wide exact-int columns through pandas).
+    The decoder resolves through the codec seam on the DRIVER
+    (functions/codec.get_codec — FETCHO_SPARK_CODEC env or explicit
+    object) and ships in the UDF closure, same as verify_payload."""
+    from ..functions.codec import get_codec
+    codec = codec or get_codec()
+    decode, phash64 = codec.decode, codec.phash64
     src = images.select(F.col(id_col).alias("image_id"), F.col(bytes_col)
                         .alias("bytes"))
 
@@ -80,9 +88,14 @@ RESIZE_SCHEMA = T.StructType([
 
 
 def image_resize(images: DataFrame, size: int,
-                 id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+                 id_col: str = "image_id", bytes_col: str = "bytes",
+                 codec=None) -> DataFrame:
     """Nearest-neighbour resize to (size×size), re-encoded lossless —
-    deterministic numpy; PIL's Lanczos would slot into the same op."""
+    deterministic numpy; PIL's Lanczos would slot into the same op.
+    Codec resolves through the seam (see image_features)."""
+    from ..functions.codec import get_codec
+    codec = codec or get_codec()
+    decode, encode = codec.decode, codec.encode
     src = images.select(F.col(id_col).alias("image_id"),
                         F.col(bytes_col).alias("bytes"))
 
@@ -161,7 +174,7 @@ def image_metadata(images: DataFrame, id_col: str = "image_id",
     JPEG SOF marker, PNG IHDR, GIF, WebP VP8/VP8L/VP8X, BMP) — answers the
     resolution-distribution / thumbnail-filter questions for a 100 TB
     corpus at I/O cost, decoding nothing. Formats we cannot decode at all
-    (GIF/WebP) still report real dims here. Unrecognized → err row."""
+    (WebP; GIF decodes via the pure codec) still report real dims here. Unrecognized → err row."""
     from ..functions.mediameta import probe_image
     src = images.select(F.col(id_col).alias("image_id"),
                         F.col(bytes_col).alias("bytes"))

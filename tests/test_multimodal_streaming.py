@@ -68,11 +68,19 @@ def test_video_avi_demux(spark):
            for r in MM.video_frame_sample(df, every_n=10).collect()}
     assert sorted(out) == [0, 10, 20]
     assert out[10] == frames[10]
-    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+    # MP4 now demuxes for REAL (mediameta.mp4_video_samples): a moov-less
+    # stub is a parse error, not a needs-ffmpeg stub
+    with pytest.raises(Exception, match="no moov"):
         df2 = spark.createDataFrame(
             [("v2", bytearray(b"\x00\x00\x00\x18ftypisom-not-supported"))],
             "video_id string, bytes binary")
         MM.video_frame_sample(df2).collect()
+    # non-container junk still raises the honest needs-ffmpeg stub
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        df3 = spark.createDataFrame(
+            [("v3", bytearray(b"random-not-a-video"))],
+            "video_id string, bytes binary")
+        MM.video_frame_sample(df3).collect()
 
 
 def _wav_bytes(samples: np.ndarray, rate: int = 8000,

@@ -311,3 +311,125 @@ def test_jpeg_roundtrip_property(seed, bh, bw):
                                         quality=PC.PureCodec.JPEG_QUALITY))
     assert out.shape == px.shape
     assert psnr(px, out) >= 35.0     # tiny images: PSNR floor, not mean
+
+
+# ------------------------------------------------------------------- GIF
+
+def _palette_image(seed, h, w, n_colors=16):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, (h, w))
+    return pal[idx]
+
+
+def test_gif_roundtrip_exact():
+    for seed, (h, w) in [(1, (1, 1)), (2, (7, 9)), (3, (33, 17)),
+                         (4, (64, 64))]:
+        px = _palette_image(seed, h, w)
+        data = PC.gif_encode(px)
+        assert data[:6] == b"GIF89a"
+        assert (PC.gif_decode(data) == px).all(), (h, w)
+    # 256 distinct colors exactly fits; 257+ raises
+    px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    px = np.stack([px, px, px], axis=-1)
+    assert (PC.gif_decode(PC.gif_encode(px)) == px).all()
+    too_many = np.zeros((20, 20, 3), np.uint8)
+    too_many[:, :, 0] = np.arange(400).reshape(20, 20) % 256
+    too_many[:, :, 1] = np.arange(400).reshape(20, 20) // 256
+    with pytest.raises(ValueError, match="256"):
+        PC.gif_encode(too_many)
+
+
+def _gif_hand_build(idx_rows, pal, min_cs=2, interlace=False,
+                    local_table=False, extra_frame=False):
+    """Independent GIF builder: its own LSB-first variable-width LZW
+    emitter (literal codes, mirroring the decoder's table growth), hand-
+    assembled blocks. Exercises paths the module encoder never emits:
+    small code sizes, interlace, local color tables, animation."""
+    h, w = len(idx_rows), len(idx_rows[0])
+    clear, end = 1 << min_cs, (1 << min_cs) + 1
+    rows = list(idx_rows)
+    if interlace:
+        order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(start, h, step)]
+        rows = [idx_rows[y] for y in order]
+    acc = nbits = 0
+    payload = bytearray()
+    code_size = min_cs + 1
+    table_len = clear + 2
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    first = True
+    for v in (v for row in rows for v in row):
+        emit(v)
+        if not first:
+            table_len += 1                     # decoder appends per code
+            if table_len == (1 << code_size) and code_size < 12:
+                code_size += 1
+        first = False
+    emit(end)
+    if nbits:
+        payload.append(acc & 0xFF)
+    pal_n = len(pal)
+    pal_bits = max(1, (pal_n - 1).bit_length())
+    pal_padded = list(pal) + [(0, 0, 0)] * ((1 << pal_bits) - pal_n)
+    pal_bytes = bytes(c for rgb in pal_padded for c in rgb)
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    if local_table:
+        out += bytes([0x00, 0, 0])             # no global table
+    else:
+        out += bytes([0x80 | (pal_bits - 1), 0, 0]) + pal_bytes
+    # a GCE extension block (decoder must skip it)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    iflags = (0x40 if interlace else 0) | \
+             ((0x80 | (pal_bits - 1)) if local_table else 0)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
+    if local_table:
+        out += pal_bytes
+    out += bytes([min_cs])
+    for off in range(0, len(payload), 255):
+        chunk = payload[off:off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    if extra_frame:                            # animated: 2nd frame, all 0
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([min_cs]) + b"\x01\x00" + b"\x00"   # degenerate
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_hand_built_small_codes_interlace_lct():
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    rng = np.random.default_rng(8)
+    idx = rng.integers(0, 4, (16, 5))
+    exp = np.array(pal, np.uint8)[idx]
+    plain = _gif_hand_build([list(r) for r in idx], pal)
+    assert (PC.gif_decode(plain) == exp).all()
+    inter = _gif_hand_build([list(r) for r in idx], pal, interlace=True)
+    assert (PC.gif_decode(inter) == exp).all()
+    lct = _gif_hand_build([list(r) for r in idx], pal, local_table=True)
+    assert (PC.gif_decode(lct) == exp).all()
+    anim = _gif_hand_build([list(r) for r in idx], pal, extra_frame=True)
+    assert (PC.gif_decode(anim) == exp).all()   # first frame only
+
+
+def test_gif_via_seam_and_probe():
+    from fetcho_spark.functions.mediameta import probe_image
+    px = _palette_image(9, 12, 18)
+    codec = get_codec("pure")
+    data = codec.encode(px, "gif")
+    dec, fmt = codec.decode(data)
+    assert fmt == "gif" and (dec == px).all()
+    m = probe_image(data)
+    assert (m["format"], m["width"], m["height"]) == ("gif", 18, 12)
+    with pytest.raises(ValueError):
+        PC.gif_decode(b"GIF89a" + b"\x00" * 4)
