@@ -349,6 +349,115 @@ _COMPRESSED_AUDIO_MAGIC = (b"ID3", b"\xff\xfb", b"\xff\xf3", b"\xff\xf2",
                            b"OggS", b"fLaC")
 
 
+def _g711_luts():
+    """256-entry decode LUTs for G.711 μ-law and A-law, built from the
+    public companding formulas (cross-checked bit-exactly against stdlib
+    audioop in tests — an independent implementation)."""
+    codes = np.arange(256, dtype=np.int32)
+    u = ~codes & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    ulaw = np.where(u & 0x80, -mag, mag).astype(np.int32)
+    a = codes ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+                   (mant << 4) + 8)
+    # A-law sign convention is INVERTED vs μ-law: 0x80 set = positive
+    alaw = np.where(a & 0x80, mag, -mag).astype(np.int32)
+    return ulaw, alaw
+
+
+_ULAW_LUT, _ALAW_LUT = _g711_luts()
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+
+
+def _ima_decode_block(block: bytes) -> np.ndarray:
+    """One mono IMA-ADPCM block (4-byte header + 4-bit nibbles) → int16
+    samples, per the public DVI/IMA algorithm."""
+    pred = int(np.frombuffer(block[:2], "<i2")[0])
+    index = min(max(block[2], 0), 88)
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = int(_IMA_STEPS[index])
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = min(max(index + int(_IMA_INDEX[nib]), 0), 88)
+            out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+def _wav_features_ext(data: bytes) -> tuple[float, float, float, int, int]:
+    """Non-PCM WAVE formats the stdlib ``wave`` module rejects: G.711
+    μ-law (tag 7) / A-law (tag 6) via LUT, IEEE float32 (tag 3), mono IMA
+    ADPCM (tag 0x11) via the DVI block algorithm. Same feature contract
+    as :func:`_wav_features`."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (sz,) = np.frombuffer(data[pos + 4:pos + 8], "<u4")
+        body = data[pos + 8:pos + 8 + sz]
+        if tag == b"fmt ":
+            fmt = np.frombuffer(body[:16], "<u2")  # view as 8 uint16
+        elif tag == b"data":
+            payload = body
+        pos += 8 + int(sz) + (int(sz) & 1)
+    if fmt is None or payload is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    wtag = int(fmt[0])
+    nch = int(fmt[1])
+    rate = int(fmt[2]) | (int(fmt[3]) << 16)
+    block_align = int(fmt[6])
+    if wtag == 7:
+        x = _ULAW_LUT[np.frombuffer(payload, np.uint8)] / 32768.0
+    elif wtag == 6:
+        x = _ALAW_LUT[np.frombuffer(payload, np.uint8)] / 32768.0
+    elif wtag == 3:
+        x = np.frombuffer(payload[: len(payload) // 4 * 4],
+                          "<f4").astype(np.float64)
+    elif wtag == 0x11:
+        if nch != 1:
+            raise NotImplementedError("wav: stereo IMA ADPCM")
+        blocks = [_ima_decode_block(payload[o:o + block_align])
+                  for o in range(0, len(payload) - 4, block_align)]
+        x = (np.concatenate(blocks).astype(np.float64) / 32768.0
+             if blocks else np.zeros(0))
+    else:
+        raise NotImplementedError(f"wav: format tag {wtag}")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    dur = len(x) / rate if rate else 0.0
+    if len(x) == 0:
+        return dur, 0.0, 0.0, rate, nch
+    rms = float(np.sqrt(np.mean(x * x)))
+    if len(x) < 2:
+        zcr = 0.0
+    else:
+        neg = x < 0
+        zcr = float(np.mean(neg[1:] != neg[:-1]))
+    return dur, rms, zcr, rate, nch
+
+
 def _wav_features(data: bytes) -> tuple[float, float, float, int, int]:
     """Uncompressed WAV/PCM → (duration_s, rms, zcr, rate, channels).
 
@@ -435,9 +544,14 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
                 try:
                     dur, rms, zcr, rate, nch = _wav_features(b)
                 except Exception:
-                    rows.append((aid, None, None, None, None, None,
-                                 "unparseable"))
-                    continue
+                    try:
+                        # stdlib wave rejects non-PCM tags: decode G.711
+                        # μ/A-law, float32 and mono IMA ADPCM ourselves
+                        dur, rms, zcr, rate, nch = _wav_features_ext(b)
+                    except Exception:
+                        rows.append((aid, None, None, None, None, None,
+                                     "unparseable"))
+                        continue
                 rows.append((aid, dur, rms, zcr, rate, nch, None))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_FEATURES_SCHEMA.fields])

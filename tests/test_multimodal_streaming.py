@@ -204,3 +204,117 @@ def test_stream_crawl_availablenow(spark, tmp_path):
     q.awaitTermination(120)
     assert eng.last_completed_round() is not None
     assert cat.read("crawl_log").count() > 0
+
+
+def test_g711_luts_match_audioop_bit_exact():
+    """Our μ-law/A-law LUTs (built from the G.711 formulas) must equal
+    stdlib audioop's independent implementation on ALL 256 codes."""
+    import audioop
+    codes = bytes(range(256))
+    exp_u = np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2")
+    exp_a = np.frombuffer(audioop.alaw2lin(codes, 2), "<i2")
+    assert (MM._ULAW_LUT == exp_u).all()
+    assert (MM._ALAW_LUT == exp_a).all()
+
+
+def _riff_wav(fmt_tag, nch, rate, bits, block_align, payload):
+    import struct
+    fmt = struct.pack("<HHIIHH", fmt_tag, nch, rate,
+                      rate * block_align, block_align, bits)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.mark.spark
+def test_audio_features_g711_and_float_wav(spark):
+    """μ-law / A-law / float32 WAVs (which stdlib wave rejects) decode for
+    real: features match the PCM encoding of the same sine."""
+    import audioop
+    rate = 8000
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(2 * rate) / rate)
+    pcm16 = (sine * 32767).astype("<i2").tobytes()
+    rows = [
+        ("pcm", bytearray(_wav_bytes(sine, rate))),
+        ("ulaw", bytearray(_riff_wav(7, 1, rate, 8, 1,
+                                     audioop.lin2ulaw(pcm16, 2)))),
+        ("alaw", bytearray(_riff_wav(6, 1, rate, 8, 1,
+                                     audioop.lin2alaw(pcm16, 2)))),
+        ("f32", bytearray(_riff_wav(3, 1, rate, 32, 4,
+                                    sine.astype("<f4").tobytes()))),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    got = {r["audio_id"]: r for r in MM.audio_features(df).collect()}
+    ref = got["pcm"]
+    for k in ("ulaw", "alaw", "f32"):
+        r = got[k]
+        assert r["err"] is None, k
+        assert abs(r["duration_s"] - 2.0) < 1e-6, k
+        assert abs(r["rms"] - ref["rms"]) < 0.01, k       # companding noise
+        assert abs(r["zcr"] - ref["zcr"]) < 0.01, k
+        assert r["sample_rate"] == rate
+
+
+def _ima_encode(samples_i16, block_samples=505):
+    """Independent forward IMA quantizer (spec direction; the module
+    implements the inverse): 4-byte block header + packed nibbles."""
+    steps, idx_tab = MM._IMA_STEPS, MM._IMA_INDEX
+    out = bytearray()
+    i = 0
+    index = 0
+    while i < len(samples_i16):
+        block = samples_i16[i:i + block_samples]
+        i += block_samples
+        pred = int(block[0])
+        out += int(pred).to_bytes(2, "little", signed=True)
+        out += bytes([index, 0])
+        nibbles = []
+        for s in block[1:]:
+            step = int(steps[index])
+            diff = int(s) - pred
+            code = 0
+            if diff < 0:
+                code = 8
+                diff = -diff
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            # reconstruct exactly like the decoder to stay in sync
+            d = step >> 3
+            if code & 1:
+                d += step >> 2
+            if code & 2:
+                d += step >> 1
+            if code & 4:
+                d += step
+            pred = pred - d if code & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            index = min(max(index + int(idx_tab[code & 0x0F]), 0), 88)
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+@pytest.mark.spark
+def test_audio_features_ima_adpcm(spark):
+    rate = 8000
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(rate) / rate)
+    s16 = (sine * 32767).astype(np.int16)
+    payload = _ima_encode(s16)
+    block_align = 4 + (505 - 1 + 1) // 2          # header + nibble bytes
+    wav = _riff_wav(0x11, 1, rate, 4, block_align, payload)
+    df = spark.createDataFrame([("ima", bytearray(wav))],
+                               "audio_id string, bytes binary")
+    r = MM.audio_features(df).collect()[0]
+    assert r["err"] is None
+    assert abs(r["duration_s"] - 1.0) < 0.01
+    assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.02    # ADPCM noise floor
+    assert abs(r["zcr"] - 2 * 440.0 / rate) < 0.01
