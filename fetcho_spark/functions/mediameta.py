@@ -321,6 +321,83 @@ def probe_image(data: bytes) -> dict:
     raise ValueError("unrecognized image container")
 
 
+# ----------------------------------------------------- EXIF (JPEG APP1)
+
+_EXIF_TAGS = {0x0112: "orientation", 0x0132: "datetime", 0x010F: "make",
+              0x0110: "model", 0x9003: "datetime_original",
+              0xA002: "pixel_x", 0xA003: "pixel_y"}
+
+
+def _exif_ifd(data: bytes, tiff: int, off: int, e: str, out: dict) -> None:
+    if tiff + off + 2 > len(data):
+        return
+    (n,) = struct.unpack(e + "H", data[tiff + off:tiff + off + 2])
+    pos = tiff + off + 2
+    for _ in range(n):
+        if pos + 12 > len(data):
+            return
+        tag, typ, cnt = struct.unpack(e + "HHI", data[pos:pos + 8])
+        valfield = data[pos + 8:pos + 12]
+        pos += 12
+        size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}.get(typ, 1)
+        total = size * cnt
+        if total <= 4:
+            voff = pos - 4
+        else:
+            (rel,) = struct.unpack(e + "I", valfield)
+            voff = tiff + rel
+        if tag == 0x8769:                      # Exif sub-IFD pointer
+            (rel,) = struct.unpack(e + "I", valfield)
+            _exif_ifd(data, tiff, rel, e, out)
+            continue
+        name = _EXIF_TAGS.get(tag)
+        if name is None or voff + total > len(data):
+            continue
+        if typ == 2:                           # ASCII
+            out[name] = data[voff:voff + total].split(b"\x00")[0] \
+                .decode("ascii", "replace")
+        elif typ == 3:
+            out[name] = struct.unpack(e + "H", data[voff:voff + 2])[0]
+        elif typ == 4:
+            out[name] = struct.unpack(e + "I", data[voff:voff + 4])[0]
+
+
+def probe_exif(data: bytes) -> dict:
+    """EXIF metadata from a JPEG's APP1 segment (TIFF IFD walk, both
+    endians): orientation, timestamps, make/model, Exif pixel dims.
+    Empty dict when no EXIF is present; never raises on malformed IFDs
+    beyond the outer JPEG check. Orientation is the field a training
+    pipeline MUST read before treating decoded pixels as upright."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = pos + 10
+            bom = data[tiff:tiff + 2]
+            e = "<" if bom == b"II" else ">" if bom == b"MM" else None
+            if e is None:
+                return {}
+            (magic,) = struct.unpack(e + "H", data[tiff + 2:tiff + 4])
+            if magic != 42:
+                return {}
+            (ifd0,) = struct.unpack(e + "I", data[tiff + 4:tiff + 8])
+            out: dict = {}
+            _exif_ifd(data, tiff, ifd0, e, out)
+            return out
+        if marker == 0xDA:                     # entropy data: stop
+            break
+        pos += 2 + ln
+    return {}
+
+
 # ------------------------------------------------- Matroska / WebM (EBML)
 
 def _ebml_read_vint(data: bytes, pos: int, keep_marker: bool):

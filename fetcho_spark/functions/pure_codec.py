@@ -10,10 +10,9 @@ ITU-T T.81 + JFIF 1.02) — not ported from any codebase. The reference
 46-53); this build's north rule inverts that, making decode first-class.
 
 Scope (honest):
-- PNG: encode 8-bit RGB truecolor; decode 8-bit gray / gray+alpha / RGB /
-  RGBA / palette, all five scanline filters, multi-IDAT, CRC-checked.
-  Adam7 interlace raises (rare on the web, and a silent wrong decode would
-  be worse than an error row).
+- PNG: encode 8-bit RGB truecolor; decode 8- and 16-bit gray /
+  gray+alpha / RGB / RGBA / palette, all five scanline filters, Adam7
+  interlace, multi-IDAT, CRC-checked.
 - GIF: full LZW decode (87a/89a, global/local color tables, interlace,
   animated → first frame); encode via the classic fixed-9-bit
   'uncompressed LZW' strategy for ≤256-color images.
@@ -99,9 +98,37 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+
+def _png_deinterlace(raw: np.ndarray, w: int, h: int, nch: int,
+                     bytes_per_sample: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images concatenated in the
+    stream; unfilter each with its own stride, scatter into place."""
+    bpp = nch * bytes_per_sample
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    pos = 0
+    for (x0, dx, y0, dy) in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * bpp
+        sub = _png_unfilter(raw[pos:pos + ph * (stride + 1)], ph, stride,
+                            bpp)
+        pos += ph * (stride + 1)
+        cols = np.arange(pw) * dx + x0
+        byte_cols = (cols[:, None] * bpp
+                     + np.arange(bpp)[None, :]).reshape(-1)
+        out[y0::dy, byte_cols] = sub.reshape(ph, -1)
+    return out
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8 RGB (gray/palette promoted, alpha
-    dropped). CRC-verified; Adam7 interlace / 16-bit depth raise."""
+    dropped, 16-bit downscaled). CRC-verified; Adam7 interlace handled."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat, plte = 8, None, bytearray(), None
@@ -124,20 +151,31 @@ def png_decode(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG: missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace:
-        raise NotImplementedError("PNG Adam7 interlace not supported")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} (8/16 supported)")
+    if depth == 16 and ctype == 3:
+        raise ValueError("PNG: 16-bit palette is not legal")
     if comp or filt:
         raise ValueError("PNG: unknown compression/filter method")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"PNG: unknown color type {ctype}")
+    bps = depth // 8
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG: IDAT length mismatch")
-    samples = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if interlace == 1:
+        flat = _png_deinterlace(raw, w, h, nch, bps)
+    elif interlace:
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
+    else:
+        stride = w * nch * bps
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG: IDAT length mismatch")
+        flat = _png_unfilter(raw, h, stride, nch * bps)
+    if depth == 16:
+        # big-endian 16-bit samples → high byte (the standard 16→8 scale)
+        flat = flat.reshape(h, w * nch, 2)[:, :, 0]
+    samples = flat.reshape(h, w, nch)
     if ctype == 3:                                 # palette
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")

@@ -313,3 +313,56 @@ def test_video_frame_sample_mp4_and_image_metadata(spark):
     assert (meta["png"]["fmt"], meta["png"]["width"]) == ("png", 20)
     assert (meta["jpg"]["fmt"], meta["jpg"]["height"]) == ("jpeg", 16)
     assert meta["gif"]["width"] == 5 and meta["bad"]["err"] == "unrecognized"
+
+
+# ------------------------------------------------------------------ EXIF
+
+def _exif_app1(endian="<"):
+    """Hand-built APP1/TIFF blob: IFD0 with orientation/make/datetime +
+    an Exif sub-IFD with pixel dims (both endians)."""
+    e = endian
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val4
+    make = b"CamCo\x00"
+    dt = b"2026:08:17 10:00:00\x00"
+    # layout (offsets relative to TIFF header):
+    # 0: header(8)  8: IFD0 count(2) + 4 entries(48) + next(4) = 62
+    # 70: make bytes(6)  76: datetime(20)  96: ExifIFD count+2entries+next=30
+    ifd0_off, make_off, dt_off, exif_off = 8, 70, 76, 96
+    header = (b"II" if e == "<" else b"MM") + struct.pack(e + "H", 42) \
+        + struct.pack(e + "I", ifd0_off)
+    ifd0 = struct.pack(e + "H", 4)
+    ifd0 += entry(0x0112, 3, 1, struct.pack(e + "H", 6) + b"\x00\x00")
+    ifd0 += entry(0x010F, 2, len(make), struct.pack(e + "I", make_off))
+    ifd0 += entry(0x0132, 2, len(dt), struct.pack(e + "I", dt_off))
+    ifd0 += entry(0x8769, 4, 1, struct.pack(e + "I", exif_off))
+    ifd0 += struct.pack(e + "I", 0)
+    body = header + ifd0
+    body += b"\x00" * (make_off - len(body)) + make
+    body += b"\x00" * (dt_off - len(body)) + dt
+    exif = struct.pack(e + "H", 2)
+    exif += entry(0xA002, 4, 1, struct.pack(e + "I", 800))
+    exif += entry(0xA003, 3, 1, struct.pack(e + "H", 600) + b"\x00\x00")
+    exif += struct.pack(e + "I", 0)
+    body += b"\x00" * (exif_off - len(body)) + exif
+    app1 = b"Exif\x00\x00" + body
+    return struct.pack(">HH", 0xFFE1, len(app1) + 2) + app1
+
+
+def test_probe_exif_both_endians_and_embedded():
+    from fetcho_spark.functions import pure_codec as PC
+    for endian in ("<", ">"):
+        jpeg = PC.jpeg_encode(np.full((8, 8, 3), 128, np.uint8), 90)
+        tagged = jpeg[:2] + _exif_app1(endian) + jpeg[2:]
+        m = MM.probe_exif(tagged)
+        assert m["orientation"] == 6, endian
+        assert m["make"] == "CamCo"
+        assert m["datetime"] == "2026:08:17 10:00:00"
+        assert (m["pixel_x"], m["pixel_y"]) == (800, 600), endian
+        # the tagged JPEG still decodes and still dimension-probes
+        assert PC.jpeg_decode(tagged).shape == (8, 8, 3)
+        assert MM.probe_image(tagged)["width"] == 8
+    assert MM.probe_exif(PC.jpeg_encode(
+        np.zeros((8, 8, 3), np.uint8), 90)) == {}
+    with pytest.raises(ValueError):
+        MM.probe_exif(b"not-a-jpeg")

@@ -115,9 +115,10 @@ def test_png_rejects_bad_input():
     corrupt[40] ^= 0xFF                      # flip an IDAT byte → CRC fail
     with pytest.raises(ValueError, match="CRC"):
         PC.png_decode(bytes(corrupt))
-    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)   # Adam7
+    # sub-byte depths stay unsupported (Adam7 decodes since round 4)
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 4, 0, 0, 0, 0)   # 4-bit gray
     data = PC._PNG_SIG + PC._chunk(b"IHDR", ihdr)
-    with pytest.raises(NotImplementedError, match="interlace"):
+    with pytest.raises(NotImplementedError, match="depth"):
         PC.png_decode(data + PC._chunk(b"IEND", b""))
 
 
@@ -433,3 +434,84 @@ def test_gif_via_seam_and_probe():
     assert (m["format"], m["width"], m["height"]) == ("gif", 18, 12)
     with pytest.raises(ValueError):
         PC.gif_decode(b"GIF89a" + b"\x00" * 4)
+
+
+# --------------------------------------------- PNG Adam7 + 16-bit depth
+
+_ADAM7 = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+
+def _png_hand_build_interlaced(pixels, filters=(0, 1, 2, 3, 4)):
+    """Forward Adam7: split into the seven pass sub-images, filter each
+    independently (reusing the test-side forward filter via
+    _png_hand_build's inner logic would couple streams, so this builds
+    pass streams directly), assemble one IDAT."""
+    h, w, nch = pixels.shape
+    raw = bytearray()
+    k = 0
+    for (x0, dx, y0, dy) in _ADAM7:
+        sub = pixels[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        flat = sub.reshape(ph, pw * nch).astype(np.int32)
+        prev = np.zeros(pw * nch, np.int32)
+        for y in range(ph):
+            ft = filters[k % len(filters)]
+            k += 1
+            line = flat[y]
+            out = np.zeros(pw * nch, np.int32)
+            for x in range(pw * nch):
+                a = int(line[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                if ft == 0:
+                    out[x] = line[x]
+                elif ft == 1:
+                    out[x] = line[x] - a
+                elif ft == 2:
+                    out[x] = line[x] - b
+                elif ft == 3:
+                    out[x] = line[x] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    out[x] = line[x] - pred
+            raw.append(ft)
+            raw += bytes((out & 0xFF).astype(np.uint8))
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)   # interlace=1
+    return (PC._PNG_SIG + PC._chunk(b"IHDR", ihdr)
+            + PC._chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + PC._chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (8, 8), (13, 21),
+                                 (16, 16), (7, 2)])
+def test_png_adam7_interlaced_decode(h, w):
+    px = _noise(h * 31 + w, h, w)
+    data = _png_hand_build_interlaced(px)
+    assert (PC.png_decode(data) == px).all(), (h, w)
+
+
+def test_png_16bit_decode():
+    rng = np.random.default_rng(12)
+    hi = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    # 16-bit big-endian samples: hi byte then lo byte per sample
+    h, w, _ = hi.shape
+    inter = np.empty((h, w * 3 * 2), dtype=np.uint8)
+    inter[:, 0::2] = hi.reshape(h, -1)
+    inter[:, 1::2] = lo.reshape(h, -1)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += bytes(inter[y])
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    data = (PC._PNG_SIG + PC._chunk(b"IHDR", ihdr)
+            + PC._chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + PC._chunk(b"IEND", b""))
+    assert (PC.png_decode(data) == hi).all()   # high byte = 16→8 scale
