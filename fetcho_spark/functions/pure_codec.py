@@ -16,10 +16,12 @@ Scope (honest):
 - GIF: full LZW decode (87a/89a, global/local color tables, interlace,
   animated → first frame); encode via the classic fixed-9-bit
   'uncompressed LZW' strategy for ≤256-color images.
-- JPEG: encode baseline sequential 4:4:4 (quality-scaled Annex K tables);
-  decode baseline sequential (SOF0) with arbitrary sampling factors
-  (4:4:4, 4:2:0, 4:2:2, ...), grayscale or YCbCr, restart markers.
-  Progressive (SOF2) raises honestly.
+- JPEG: encode baseline sequential 4:4:4 (quality-scaled Annex K
+  tables) plus a spectral-selection PROGRESSIVE writer
+  (jpeg_encode_progressive); decode baseline (SOF0/1) AND progressive
+  (SOF2 — spectral selection, successive approximation, EOBRUN,
+  interleaved DC scans) with arbitrary sampling factors, grayscale or
+  YCbCr, restart markers. Lossless/hierarchical/arithmetic raise.
 - Throughput: huffman entropy coding is sequential Python — fine for
   correctness tests and modest corpora; a production cluster flips the
   same seam to PILCodec (libjpeg) the day the library exists. The bench
@@ -493,14 +495,19 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def _encode_block(bw, zz, dc_codes, ac_codes, pred):
-    """One zigzagged quantized block → bitstream; returns new DC pred."""
+def _encode_block_dc(bw, zz, dc_codes, pred):
+    """DC diff of one zigzagged quantized block → bitstream; new pred."""
     dc, diff = int(zz[0]), int(zz[0]) - pred
     s = _category(diff)
     code, ln = dc_codes[s]
     bw.write(code, ln)
     if s:
         bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return dc
+
+
+def _encode_block_ac(bw, zz, ac_codes):
+    """AC run-length coefficients 1..63 of one block → bitstream."""
     run = 0
     last_nz = 0
     for i in range(63, 0, -1):
@@ -522,13 +529,20 @@ def _encode_block(bw, zz, dc_codes, ac_codes, pred):
         bw.write(v if v >= 0 else v + (1 << s) - 1, s)
         run = 0
     if last_nz != 63:
-        code, ln = ac_codes[0x00]              # EOB
-        bw.write(code, ln)
+        code, ln = ac_codes[0x00]              # EOB (EOBRUN of 1 in
+        bw.write(code, ln)                     # progressive AC scans)
+
+
+def _encode_block(bw, zz, dc_codes, ac_codes, pred):
+    """One zigzagged quantized block → bitstream; returns new DC pred."""
+    dc = _encode_block_dc(bw, zz, dc_codes, pred)
+    _encode_block_ac(bw, zz, ac_codes)
     return dc
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
-    """(h, w, 3) uint8 → baseline JFIF 4:4:4 bytes."""
+def _jpeg_front(pixels: np.ndarray, quality: int):
+    """Shared encode front-end: RGB → per-component zigzagged quantized
+    blocks + tables (used by both the baseline and progressive writers)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("expected (h, w, 3) uint8")
     h, w = pixels.shape[:2]
@@ -538,7 +552,6 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
     ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
     H, W = ycc.shape[:2]
     by, bx = H // 8, W // 8
-    # all blocks per component at once: (by*bx, 8, 8)
     comps_zz = []
     for ci in range(3):
         plane = ycc[:, :, ci] - 128.0
@@ -548,6 +561,36 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
         qt = qt_l if ci == 0 else qt_c
         qz = np.round(coeff / qt).astype(np.int32)
         comps_zz.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+    return h, w, by, bx, qt_l, qt_c, comps_zz
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_headers(h, w, qt_l, qt_c, sof_marker: int) -> bytearray:
+    def dht(tc_th: int, spec) -> bytes:
+        bits, values = spec
+        return bytes([tc_th]) + bytes(bits) + bytes(values)
+
+    out = bytearray(b"\xff\xd8")                                     # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(qt_l.flatten()[_ZIGZAG]
+                                        .astype(np.uint8)))          # DQT 0
+    out += _seg(0xFFDB, b"\x01" + bytes(qt_c.flatten()[_ZIGZAG]
+                                        .astype(np.uint8)))          # DQT 1
+    out += _seg(sof_marker, struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += _seg(0xFFC4, dht(0x00, _DC_LUM))                          # DHT
+    out += _seg(0xFFC4, dht(0x10, _AC_LUM))
+    out += _seg(0xFFC4, dht(0x01, _DC_CHR))
+    out += _seg(0xFFC4, dht(0x11, _AC_CHR))
+    return out
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
+    """(h, w, 3) uint8 → baseline JFIF 4:4:4 bytes."""
+    h, w, by, bx, qt_l, qt_c, comps_zz = _jpeg_front(pixels, quality)
     dc_l, ac_l = _build_codes(*_DC_LUM), _build_codes(*_AC_LUM)
     dc_c, ac_c = _build_codes(*_DC_CHR), _build_codes(*_AC_CHR)
     bw = _BitWriter()
@@ -558,30 +601,42 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
             ac_codes = ac_l if ci == 0 else ac_c
             preds[ci] = _encode_block(bw, comps_zz[ci][n],
                                       dc_codes, ac_codes, preds[ci])
-    scan = bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dht(tc_th: int, spec) -> bytes:
-        bits, values = spec
-        return bytes([tc_th]) + bytes(bits) + bytes(values)
-
-    out = bytearray(b"\xff\xd8")                                     # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(qt_l.flatten()[_ZIGZAG]
-                                       .astype(np.uint8)))           # DQT 0
-    out += seg(0xFFDB, b"\x01" + bytes(qt_c.flatten()[_ZIGZAG]
-                                       .astype(np.uint8)))           # DQT 1
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)              # SOF0
-               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    out += seg(0xFFC4, dht(0x00, _DC_LUM))                           # DHT
-    out += seg(0xFFC4, dht(0x10, _AC_LUM))
-    out += seg(0xFFC4, dht(0x01, _DC_CHR))
-    out += seg(0xFFC4, dht(0x11, _AC_CHR))
-    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    out += scan
+    out = _jpeg_headers(h, w, qt_l, qt_c, 0xFFC0)
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.flush()
     out += b"\xff\xd9"                                               # EOI
+    return bytes(out)
+
+
+def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 92) -> bytes:
+    """(h, w, 3) uint8 → PROGRESSIVE JFIF bytes (SOF2, spectral selection:
+    one interleaved DC scan + one AC 1-63 scan per component, Ah=Al=0 —
+    the simplest legal progressive mode; coefficients are identical to the
+    baseline encoding at the same quality, so decode output matches
+    byte-for-byte)."""
+    h, w, by, bx, qt_l, qt_c, comps_zz = _jpeg_front(pixels, quality)
+    dc_l, ac_l = _build_codes(*_DC_LUM), _build_codes(*_AC_LUM)
+    dc_c, ac_c = _build_codes(*_DC_CHR), _build_codes(*_AC_CHR)
+    out = _jpeg_headers(h, w, qt_l, qt_c, 0xFFC2)
+    # scan 1: interleaved DC (Ss=0 Se=0 Ah=0 Al=0)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for n in range(by * bx):
+        for ci in range(3):
+            preds[ci] = _encode_block_dc(
+                bw, comps_zz[ci][n], dc_l if ci == 0 else dc_c, preds[ci])
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0]))
+    out += bw.flush()
+    # scans 2-4: per-component AC 1..63 (per-block EOB = EOBRUN of 1)
+    for ci, cid in enumerate((1, 2, 3)):
+        bw = _BitWriter()
+        ac_codes = ac_l if ci == 0 else ac_c
+        for n in range(by * bx):
+            _encode_block_ac(bw, comps_zz[ci][n], ac_codes)
+        out += _seg(0xFFDA, bytes([1, cid, 0x00 if ci == 0 else 0x01,
+                                   1, 63, 0]))
+        out += bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -647,9 +702,11 @@ def _decode_huff(br: _BitReader, table) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes → (h, w, 3) uint8 RGB. Supports SOF0 with
-    arbitrary sampling factors, 1 or 3 components, DRI/RSTn. SOF2
-    (progressive) and arithmetic coding raise honestly."""
+    """JFIF/JPEG bytes → (h, w, 3) uint8 RGB. Supports baseline (SOF0/1)
+    AND progressive (SOF2: spectral selection + successive approximation,
+    EOBRUN, interleaved DC scans, DRI/RSTn) with arbitrary sampling
+    factors, 1 or 3 components. Lossless/hierarchical/arithmetic SOFs
+    raise honestly."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -657,6 +714,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     sof = None
+    progressive = False
+    coeffs: dict | None = None
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -667,6 +726,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if marker == 0xFF:                     # fill byte (B.1.1.2)
             pos -= 1
             continue
+        if marker == 0xD9 and progressive and coeffs is not None:
+            break                              # EOI after progressive scans
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             continue                           # standalone markers
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
@@ -692,7 +753,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _build_decode_table(bits, values)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("JPEG: precision != 8")
@@ -702,7 +764,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG: SOF{marker - 0xC0} (non-baseline) not supported")
@@ -716,11 +778,219 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
-            pos += seglen
-            return _decode_scan(data, pos, sof, scan_comps, qts,
-                                huff_dc, huff_ac, restart_interval)
+            if not progressive:
+                pos += seglen
+                return _decode_scan(data, pos, sof, scan_comps, qts,
+                                    huff_dc, huff_ac, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if coeffs is None:
+                coeffs = _prog_init(sof)
+            pos = _decode_prog_scan(
+                data, pos + seglen, sof, scan_comps, ss, se,
+                ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                restart_interval, coeffs)
+            continue
         pos += seglen
+    if progressive and coeffs is not None:
+        return _prog_reconstruct(sof, coeffs, qts)
     raise ValueError("JPEG: no SOS marker found")
+
+
+def _prog_geometry(sof):
+    h, w, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return h, w, comps, hmax, vmax, mcux, mcuy
+
+
+def _prog_init(sof):
+    """Per-component coefficient arrays (blocks_y, blocks_x, 64) in
+    ZIGZAG index order, sized to the full interleaved grid."""
+    _h, _w, comps, _hm, _vm, mcux, mcuy = _prog_geometry(sof)
+    return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+            for c in comps}
+
+
+def _ni_blocks(sof, c):
+    """Non-interleaved block grid for one component (T.81 A.2.2)."""
+    h, w, _comps, hmax, vmax, _mx, _my = _prog_geometry(sof)
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_prog_scan(data, pos, sof, scan_comps, ss, se, ah, al,
+                      huff_dc, huff_ac, dri, coeffs):
+    """One progressive SOS (T.81 G.2): mutates ``coeffs``; returns the
+    stream position of the next marker."""
+    _h, _w, comps, hmax, vmax, mcux, mcuy = _prog_geometry(sof)
+    by_id = {c["id"]: c for c in comps}
+    br = _BitReader(data, pos)
+    preds = {cs: 0 for cs, _td, _ta in scan_comps}
+    eobrun = 0
+
+    def restart(unit):
+        nonlocal eobrun
+        if dri and unit and unit % dri == 0:
+            br.align()
+            p = br.pos
+            if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                br.pos = p + 2
+            for k in preds:
+                preds[k] = 0
+            eobrun = 0
+
+    def finish():
+        # bit reader stops before the next marker; scan data may end with
+        # padding bits — advance to the 0xFF
+        p = br.pos
+        while p < len(data) and data[p] != 0xFF:
+            p += 1
+        while p + 1 < len(data) and data[p] == 0xFF \
+                and data[p + 1] == 0x00:
+            p += 2
+            while p < len(data) and data[p] != 0xFF:
+                p += 1
+        return p
+
+    try:
+        if ss == 0:                                   # ---- DC scan
+            if len(scan_comps) > 1:                   # interleaved
+                for mcu in range(mcux * mcuy):
+                    restart(mcu)
+                    my, mx = divmod(mcu, mcux)
+                    for cs, td, _ta in scan_comps:
+                        c = by_id[cs]
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                blk = coeffs[cs][my * c["v"] + v,
+                                                 mx * c["h"] + hh]
+                                _prog_dc(br, blk, huff_dc.get(td),
+                                         preds, cs, ah, al)
+            else:
+                cs, td, _ta = scan_comps[0]
+                bw_, bh_ = _ni_blocks(sof, by_id[cs])
+                for idx in range(bw_ * bh_):
+                    restart(idx)
+                    by, bx = divmod(idx, bw_)
+                    _prog_dc(br, coeffs[cs][by, bx], huff_dc.get(td),
+                             preds, cs, ah, al)
+        else:                                         # ---- AC scan
+            cs, _td, ta = scan_comps[0]
+            act = huff_ac[ta]
+            bw_, bh_ = _ni_blocks(sof, by_id[cs])
+            for idx in range(bw_ * bh_):
+                restart(idx)
+                by, bx = divmod(idx, bw_)
+                blk = coeffs[cs][by, bx]
+                if ah == 0:
+                    eobrun = _prog_ac_first(br, blk, act, ss, se, al,
+                                            eobrun)
+                else:
+                    eobrun = _prog_ac_refine(br, blk, act, ss, se, al,
+                                             eobrun)
+    except _MarkerHit:
+        pass
+    return finish()
+
+
+def _prog_dc(br, blk, dct, preds, cs, ah, al):
+    if ah == 0:                                # first DC scan
+        s = _decode_huff(br, dct)
+        diff = _extend(br.receive(s), s) if s else 0
+        preds[cs] += diff
+        blk[0] = preds[cs] << al
+    elif br.read_bit():                        # DC refinement bit
+        blk[0] |= 1 << al
+
+
+def _prog_ac_first(br, blk, act, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16                        # ZRL
+                continue
+            eobrun = (1 << r) - 1              # EOBn: this block ends now
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overflow")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(br, blk, act, ss, se, al, eobrun):
+    """T.81 G.1.2.3 successive-approximation AC refinement."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r            # includes the current block
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                val = 0                        # ZRL: skip 16 zero-history
+            else:
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:                         # correction bits to the end
+            if blk[k] != 0 and br.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_reconstruct(sof, coeffs, qts):
+    """Accumulated zig-order coefficients → dequant → IDCT → RGB."""
+    h, w, comps, hmax, vmax, _mx, _my = _prog_geometry(sof)
+    full = {}
+    for c in comps:
+        arr = coeffs[c["id"]]
+        bh, bw_ = arr.shape[:2]
+        qt = qts[c["tq"]].flatten()
+        nat = np.zeros((bh * bw_, 64))
+        nat[:, _ZIGZAG] = arr.reshape(-1, 64) * qt[_ZIGZAG]
+        blocks = nat.reshape(-1, 8, 8)
+        px = np.einsum("xu,nuv,vy->nxy", _DCT.T, blocks, _DCT) + 128.0
+        plane = (px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw_ * 8))
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full[c["id"]] = plane[:h, :w]
+    if len(comps) == 1:
+        g = np.clip(full[comps[0]["id"]].round(), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    ids = [c["id"] for c in comps]
+    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]])
 
 
 def _decode_scan(data, pos, sof, scan_comps, qts, huff_dc, huff_ac,

@@ -251,11 +251,11 @@ def test_jpeg_rejects_progressive_truncated_garbage():
     with pytest.raises(ValueError, match="SOI"):
         PC.jpeg_decode(b"not a jpeg at all")
     good = PC.jpeg_encode(_smooth(16, 16), quality=90)
-    prog = bytearray(good)
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2                        # flip SOF0 → SOF2
+    lossless = bytearray(good)
+    i = lossless.find(b"\xff\xc0")
+    lossless[i + 1] = 0xC3                    # flip SOF0 → SOF3 lossless
     with pytest.raises(NotImplementedError, match="non-baseline"):
-        PC.jpeg_decode(bytes(prog))
+        PC.jpeg_decode(bytes(lossless))
     with pytest.raises(Exception):
         PC.jpeg_decode(good[: len(good) // 2])
 
@@ -515,3 +515,142 @@ def test_png_16bit_decode():
             + PC._chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + PC._chunk(b"IEND", b""))
     assert (PC.png_decode(data) == hi).all()   # high byte = 16→8 scale
+
+
+# ------------------------------------------------------ progressive JPEG
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """Spectral-selection progressive (SOF2, DC scan + per-component AC
+    scans) carries the SAME coefficients as baseline at the same quality:
+    decodes must be byte-identical."""
+    for img in (_smooth(33, 22), _noise(3, 24, 24), _smooth(8, 8),
+                _noise(4, 7, 9)):
+        prog = PC.jpeg_encode_progressive(img, quality=90)
+        base = PC.jpeg_encode(img, quality=90)
+        assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") == 4
+        assert (PC.jpeg_decode(prog) == PC.jpeg_decode(base)).all()
+
+
+def _prog_gray(scans, h=8, w=8, ac_spec=None):
+    """Single-component SOF2 stream from hand-built scan list:
+    [(Ss, Se, Ah, Al, bits_bytes), ...], all-ones quant table. ``ac_spec``
+    overrides the AC huffman table (the Annex-K baseline table lacks the
+    EOBn symbols 0x10.. real progressive encoders define)."""
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">HH", 0xFFDB, 67) + b"\x00" + bytes([1] * 64)
+    out += struct.pack(">HH", 0xFFC2, 11) \
+        + struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    bits, values = PC._DC_LUM
+    out += struct.pack(">HH", 0xFFC4, 2 + 1 + 16 + len(values)) \
+        + b"\x00" + bytes(bits) + bytes(values)
+    bits, values = ac_spec or PC._AC_LUM
+    out += struct.pack(">HH", 0xFFC4, 2 + 1 + 16 + len(values)) \
+        + b"\x10" + bytes(bits) + bytes(values)
+    for ss, se, ah, al, scan_bits in scans:
+        out += struct.pack(">HH", 0xFFDA, 8) \
+            + bytes([1, 1, 0x00, ss, se, (ah << 4) | al]) + scan_bits
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_successive_approximation_hand_built():
+    """DC first at Al=1 + DC refine, AC first at Al=1 + AC refine with
+    new-coefficient insertion — the full G.1.2.3 machinery on one block
+    with hand-chosen coefficients (all-ones quant → exact arithmetic)."""
+    dc = 42                                     # DC: 42 = (21<<1) | 0
+    ac_full = {1: 6, 3: -5, 10: 1}              # zig indices (k: value)
+    dcc = PC._build_codes(*PC._DC_LUM)
+    acc = PC._build_codes(*PC._AC_LUM)
+
+    def cat_bits(bw, v):
+        s = int(abs(v)).bit_length()
+        code, ln = dcc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+    # scan 1: DC first, Al=1 → send 42>>1 = 21
+    b1 = PC._BitWriter(); cat_bits(b1, 21)
+    # scan 2: DC refine, Al=0 → one bit (42 & 1 = 0)
+    b2 = PC._BitWriter(); b2.write(0, 1)
+    # scan 3: AC first 1..63, Al=1 → 6>>1=3 at k=1; -5→-2 at k=3; k=10
+    #         value 1>>1=0 vanishes at this precision; EOB
+    b3 = PC._BitWriter()
+    def ac_sym(bw, run, v):
+        s = int(abs(v)).bit_length()
+        code, ln = acc[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+    ac_sym(b3, 0, 3)            # k=1
+    ac_sym(b3, 1, -2)           # skip k=2, hit k=3
+    code, ln = acc[0x00]; b3.write(code, ln)    # EOB
+    # scan 4: AC refine 1..63, Al=0 — corrections for k=1 (6&1=0) and
+    # k=3 (5&1=1), NEW coefficient +1 at k=10 (6 zero-history skips), EOB
+    b4 = PC._BitWriter()
+    code, ln = acc[(7 << 4) | 1]                # skip 7 zero-history, s=1
+    b4.write(code, ln)
+    b4.write(1, 1)                              # sign bit: positive
+    # run counts ZERO-HISTORY coefficients to skip; nonzero-history ones
+    # consume correction bits without decrementing the run. Zeros before
+    # k=10 are k=2,4,5,6,7,8,9 → run=7 places the new ±1 at k=10.
+    # Bit order after symbol+sign: corr(k1), corr(k3).
+    b4.write(0, 1)                              # k=1: 6 low bit 0
+    b4.write(1, 1)                              # k=3: 5 low bit 1
+    code, ln = acc[0x00]; b4.write(code, ln)    # EOB (covers k=11..63)
+    data = _prog_gray([(0, 0, 0, 1, b1.flush()),
+                       (0, 0, 1, 0, b2.flush()),
+                       (1, 63, 0, 1, b3.flush()),
+                       (1, 63, 1, 0, b4.flush())])
+    out = PC.jpeg_decode(data)
+    # expected: IDCT of the exact coefficient block
+    zz = np.zeros(64)
+    zz[0] = dc
+    for k, v in ac_full.items():
+        zz[k] = v
+    nat = np.zeros(64)
+    nat[PC._ZIGZAG] = zz
+    exp = np.clip((PC._DCT.T @ nat.reshape(8, 8) @ PC._DCT + 128).round(),
+                  0, 255).astype(np.uint8)
+    assert (out[:, :, 0] == exp).all()
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """EOBn with n>1 in an AC-first scan ends the current block AND the
+    next: two-block image where block 2's AC stays empty via EOB2."""
+    dcc = PC._build_codes(*PC._DC_LUM)
+    acc = PC._build_codes(*PC._AC_LUM)
+    b1 = PC._BitWriter()
+    for dc in (16, 32):                        # two DC values, diff coded
+        pass
+    # DC scan: block1 dc=16, block2 diff=16
+    def cat_bits(bw, v):
+        s = int(abs(v)).bit_length()
+        code, ln = dcc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+    cat_bits(b1, 16)
+    cat_bits(b1, 16)
+    # custom AC table carrying 0x02 and the EOB2 symbol 0x10
+    ac_spec = ([0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+               [0x02, 0x10])
+    acc2 = PC._build_codes(*ac_spec)
+    b2 = PC._BitWriter()
+    code, ln = acc2[(0 << 4) | 2]              # block1: k=1 value 2
+    b2.write(code, ln)
+    b2.write(2, 2)
+    code, ln = acc2[0x10]                      # EOB2: r=1 → 2-block run
+    b2.write(code, ln)
+    b2.write(0, 1)                             # receive(1) = 0 → eobrun 1
+    data = _prog_gray([(0, 0, 0, 0, b1.flush()),
+                       (1, 63, 0, 0, b2.flush())], h=8, w=16,
+                      ac_spec=ac_spec)
+    out = PC.jpeg_decode(data)
+    zz1 = np.zeros(64); zz1[0] = 16; zz1[1] = 2
+    nat = np.zeros(64); nat[PC._ZIGZAG] = zz1
+    exp1 = np.clip((PC._DCT.T @ nat.reshape(8, 8) @ PC._DCT + 128).round(),
+                   0, 255).astype(np.uint8)
+    exp2 = np.full((8, 8), 128 + 32 / 8, np.float64).round().astype(np.uint8)
+    assert (out[:, :8, 0] == exp1).all()
+    assert (out[:, 8:, 0] == exp2).all()
