@@ -172,6 +172,38 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, WARC_SCHEMA)
 
 
+def warc_webgraph(warc_df: DataFrame) -> DataFrame:
+    """WARC rows → the engine's WEBGRAPH table shape: a Common-Crawl-style
+    archive becomes the web the crawl loop runs over. Bodies of textual
+    payloads ride as the C3 raw-body corpus (the engine's HTML extractor
+    pulls the links); redirects map from the Location header of 3xx
+    responses; the Rating header feeds the P15 content block; URLs absent
+    from the archive 404 naturally in the fetch join. image_id stays null
+    (archives carry no fixture payload corpus — payload verify no-ops)."""
+    from ..functions.urls import frontier_host_col
+    textual = (F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+               .rlike("text/|html|xml|json|javascript"))
+    is_3xx = F.col("http_status").between(300, 399)
+    return (warc_df
+            .filter((F.col("warc_type") == "response")
+                    & F.col("http_status").isNotNull()
+                    & F.col("url").isNotNull())
+            .dropDuplicates(["url"])
+            .select(F.col("url"),
+                    frontier_host_col(F.col("url")).alias("host"),
+                    F.lit(None).cast("string").alias("image_id"),
+                    F.lit(None).cast(T.ArrayType(T.StringType()))
+                     .alias("out_links"),
+                    F.col("http_status").alias("status"),
+                    F.col("content_type"),
+                    F.when(textual, F.col("body").cast("string"))
+                     .alias("body"),
+                    F.col("resp_headers").getItem("Rating").alias("rating"),
+                    F.when(is_3xx,
+                           F.col("resp_headers").getItem("Location"))
+                     .alias("redirect_to")))
+
+
 def warc_response_pages(warc_df: DataFrame) -> DataFrame:
     """WARC rows → the ``fetched``-shaped frame ``operators/fetch
     .extract_links`` consumes (url, host, status, content_type, body,

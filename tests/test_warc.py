@@ -86,3 +86,49 @@ def test_read_warc_spark_and_link_bridge(spark, tmp_path):
     # 404s extract too (status filter is the caller's policy), but the
     # image's binary body yields no links
     assert not any(src == "http://site.example/img" for src, _ in links)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_crawl_engine_over_warc_archive(spark, tmp_path):
+    """End-to-end: a WARC archive becomes the webgraph and the crawl loop
+    runs over it — seeds fetch, the HTML extractor follows archive links
+    across hosts in later rounds, unarchived URLs 404."""
+    from fetcho_spark import fixtures as fx
+    from fetcho_spark.catalog import Catalog
+    from fetcho_spark.crawl import CrawlConfig, CrawlEngine
+
+    def page(url, links):
+        body = "<html>" + "".join(f"<a href='{u}'>l</a>" for u in links) \
+            + "</html>"
+        return (url, "2026-08-17T00:00:00Z", 200,
+                {"Content-Type": "text/html"}, body.encode())
+
+    d = tmp_path / "web"
+    d.mkdir()
+    W.write_warc([
+        page("http://h1.example/", ["http://h2.example/a", "/self"]),
+        page("http://h1.example/self", []),
+        page("http://h2.example/a", ["http://h3.example/deep"]),
+        page("http://h3.example/deep", []),
+    ], str(d / "web.warc.gz"))
+    web = W.warc_webgraph(W.read_warc(spark, str(d)))
+    assert web.count() == 4
+
+    hosts = spark.createDataFrame(
+        [(h, 1000, 0) for h in ("h1.example", "h2.example", "h3.example")],
+        fx.HOSTS_SCHEMA)
+    robots = spark.createDataFrame([], fx.ROBOTS_SCHEMA)
+    images = spark.createDataFrame([], fx.IMAGES_SCHEMA)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    eng = CrawlEngine(spark, cat, CrawlConfig(
+        max_chunk=10, n_seen_buckets=4, bits_per_bucket=1 << 12))
+    eng.init(["http://h1.example/"], web, images, robots, hosts)
+    eng.run(3)
+    log = {(r["round"], r["url"]): r["status"]
+           for r in cat.read("crawl_log").collect()}
+    assert log[(0, "http://h1.example/")] == 200
+    assert log[(1, "http://h2.example/a")] == 200
+    assert log[(1, "http://h1.example/self")] == 200
+    assert log[(2, "http://h3.example/deep")] == 200
+    assert len(log) == 4
