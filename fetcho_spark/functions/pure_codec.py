@@ -10,9 +10,9 @@ ITU-T T.81 + JFIF 1.02) — not ported from any codebase. The reference
 46-53); this build's north rule inverts that, making decode first-class.
 
 Scope (honest):
-- PNG: encode 8-bit RGB truecolor; decode 8- and 16-bit gray /
-  gray+alpha / RGB / RGBA / palette, all five scanline filters, Adam7
-  interlace, multi-IDAT, CRC-checked.
+- PNG: encode 8-bit RGB truecolor; decode every legal bit depth
+  (1/2/4-bit gray+palette, 8/16-bit all color types), all five scanline
+  filters, Adam7 interlace (8/16-bit), multi-IDAT, CRC-checked.
 - GIF: full LZW decode (87a/89a, global/local color tables, interlace,
   animated → first frame); encode via the classic fixed-9-bit
   'uncompressed LZW' strategy for ≤256-color images.
@@ -153,9 +153,10 @@ def png_decode(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG: missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} (8/16 supported)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth}")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError("PNG: sub-byte depth only for gray/palette")
     if depth == 16 and ctype == 3:
         raise ValueError("PNG: 16-bit palette is not legal")
     if comp or filt:
@@ -163,21 +164,42 @@ def png_decode(data: bytes) -> np.ndarray:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"PNG: unknown color type {ctype}")
-    bps = depth // 8
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if interlace == 1:
-        flat = _png_deinterlace(raw, w, h, nch, bps)
-    elif interlace:
-        raise ValueError(f"PNG: unknown interlace method {interlace}")
-    else:
-        stride = w * nch * bps
-        if len(raw) != h * (stride + 1):
+    if depth < 8:
+        # filters operate on the PACKED bytes (bpp rounds up to 1);
+        # unfilter per packed row, then unpack MSB-first bit groups.
+        # Sub-byte + Adam7 would need per-pass packing — rare enough to
+        # refuse loudly rather than decode wrongly.
+        if interlace:
+            raise NotImplementedError("PNG: sub-byte Adam7 interlace")
+        row_bytes = (w * depth + 7) // 8
+        if len(raw) != h * (row_bytes + 1):
             raise ValueError("PNG: IDAT length mismatch")
-        flat = _png_unfilter(raw, h, stride, nch * bps)
-    if depth == 16:
-        # big-endian 16-bit samples → high byte (the standard 16→8 scale)
-        flat = flat.reshape(h, w * nch, 2)[:, :, 0]
-    samples = flat.reshape(h, w, nch)
+        packed = _png_unfilter(raw, h, row_bytes, 1)
+        bits = np.unpackbits(packed, axis=1)[:, :w * depth]
+        vals = bits.reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        idx = (vals * weights).sum(axis=2).astype(np.uint8)
+        if ctype == 3:
+            samples = idx[:, :, None]
+        else:                      # gray: scale to full 8-bit range
+            scale = 255 // ((1 << depth) - 1)
+            samples = (idx * scale).astype(np.uint8)[:, :, None]
+    else:
+        bps = depth // 8
+        if interlace == 1:
+            flat = _png_deinterlace(raw, w, h, nch, bps)
+        elif interlace:
+            raise ValueError(f"PNG: unknown interlace method {interlace}")
+        else:
+            stride = w * nch * bps
+            if len(raw) != h * (stride + 1):
+                raise ValueError("PNG: IDAT length mismatch")
+            flat = _png_unfilter(raw, h, stride, nch * bps)
+        if depth == 16:
+            # big-endian 16-bit samples → high byte (the 16→8 scale)
+            flat = flat.reshape(h, w * nch, 2)[:, :, 0]
+        samples = flat.reshape(h, w, nch)
     if ctype == 3:                                 # palette
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")

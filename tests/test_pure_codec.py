@@ -115,8 +115,8 @@ def test_png_rejects_bad_input():
     corrupt[40] ^= 0xFF                      # flip an IDAT byte → CRC fail
     with pytest.raises(ValueError, match="CRC"):
         PC.png_decode(bytes(corrupt))
-    # sub-byte depths stay unsupported (Adam7 decodes since round 4)
-    ihdr = struct.pack(">IIBBBBB", 8, 8, 4, 0, 0, 0, 0)   # 4-bit gray
+    # 3-bit depth is not a legal PNG depth — loud refusal
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 3, 0, 0, 0, 0)
     data = PC._PNG_SIG + PC._chunk(b"IHDR", ihdr)
     with pytest.raises(NotImplementedError, match="depth"):
         PC.png_decode(data + PC._chunk(b"IEND", b""))
@@ -654,3 +654,40 @@ def test_jpeg_progressive_eobrun_spans_blocks():
     exp2 = np.full((8, 8), 128 + 32 / 8, np.float64).round().astype(np.uint8)
     assert (out[:, :8, 0] == exp1).all()
     assert (out[:, 8:, 0] == exp2).all()
+
+
+def _png_subbyte(idx, depth, ctype, plte=None):
+    """Hand-packed sub-byte PNG (MSB-first groups, filter 0 rows)."""
+    h, w = idx.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        bits = "".join(format(int(v), f"0{depth}b") for v in idx[y])
+        bits += "0" * (-len(bits) % 8)
+        raw += bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    out = PC._PNG_SIG + PC._chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += PC._chunk(b"PLTE", bytes(plte.flatten()))
+    return (out + PC._chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + PC._chunk(b"IEND", b""))
+
+
+def test_png_subbyte_depths():
+    rng = np.random.default_rng(21)
+    # 1-bit gray: 0/255; width not byte-aligned (w=11)
+    one = rng.integers(0, 2, (5, 11))
+    assert (PC.png_decode(_png_subbyte(one, 1, 0))
+            == (one * 255)[:, :, None].repeat(3, 2)).all()
+    # 2-bit gray scale 85, 4-bit gray scale 17
+    two = rng.integers(0, 4, (7, 9))
+    assert (PC.png_decode(_png_subbyte(two, 2, 0))
+            == (two * 85)[:, :, None].repeat(3, 2)).all()
+    four = rng.integers(0, 16, (6, 5))
+    assert (PC.png_decode(_png_subbyte(four, 4, 0))
+            == (four * 17)[:, :, None].repeat(3, 2)).all()
+    # 4-bit palette
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    pal_idx = rng.integers(0, 16, (4, 7))
+    assert (PC.png_decode(_png_subbyte(pal_idx, 4, 3, plte))
+            == plte[pal_idx]).all()
