@@ -45,6 +45,26 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
 
+def _clean_decode_errors(fmt):
+    """Truncated/corrupt streams must fail with ValueError — never leak
+    IndexError/struct.error/zlib.error from arbitrary web bytes (the
+    payload-verify path treats ValueError as a per-row decode failure)."""
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(data, *a, **k):
+            try:
+                return fn(data, *a, **k)
+            except (ValueError, NotImplementedError):
+                raise
+            except (IndexError, struct.error, zlib.error) as e:
+                raise ValueError(f"{fmt}: truncated/corrupt stream "
+                                 f"({type(e).__name__})") from e
+        return wrapped
+    return deco
+
+
 def png_encode(pixels: np.ndarray) -> bytes:
     """(h, w, 3) uint8 → PNG bytes (color type 2, bit depth 8, filter 0)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
@@ -128,6 +148,7 @@ def _png_deinterlace(raw: np.ndarray, w: int, h: int, nch: int,
     return out
 
 
+@_clean_decode_errors("png")
 def png_decode(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8 RGB (gray/palette promoted, alpha
     dropped, 16-bit downscaled). CRC-verified; Adam7 interlace handled."""
@@ -253,6 +274,7 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytes:
 _GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))   # Adam-style interlace
 
 
+@_clean_decode_errors("gif")
 def gif_decode(data: bytes) -> np.ndarray:
     """GIF87a/89a → (h, w, 3) uint8 RGB of the FIRST image (animated GIFs
     decode their first frame; transparency flattens to the palette
@@ -723,6 +745,7 @@ def _decode_huff(br: _BitReader, table) -> int:
     raise ValueError("JPEG: invalid huffman code")
 
 
+@_clean_decode_errors("jpeg")
 def jpeg_decode(data: bytes) -> np.ndarray:
     """JFIF/JPEG bytes → (h, w, 3) uint8 RGB. Supports baseline (SOF0/1)
     AND progressive (SOF2: spectral selection + successive approximation,

@@ -691,3 +691,20 @@ def test_png_subbyte_depths():
     pal_idx = rng.integers(0, 16, (4, 7))
     assert (PC.png_decode(_png_subbyte(pal_idx, 4, 3, plte))
             == plte[pal_idx]).all()
+
+
+def test_decoders_fail_cleanly_on_every_truncation():
+    """Arbitrary web bytes: truncation at ANY offset must raise
+    ValueError/NotImplementedError — never IndexError/struct/zlib leaks
+    (the payload-verify path maps ValueError to a per-row failure)."""
+    img = _noise(1, 16, 16)
+    pal = np.random.default_rng(2).integers(0, 256, (8, 3), dtype=np.uint8)
+    pal_img = pal[np.random.default_rng(3).integers(0, 8, (16, 16))]
+    streams = [PC.png_encode(img), PC.jpeg_encode(img, 90),
+               PC.jpeg_encode_progressive(img, 90), PC.gif_encode(pal_img)]
+    for data in streams:
+        for cut in range(1, len(data), 3):
+            try:
+                PC.PureCodec.decode(data[:cut])
+            except (ValueError, NotImplementedError):
+                pass
