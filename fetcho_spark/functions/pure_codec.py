@@ -22,6 +22,11 @@ Scope (honest):
   (SOF2 — spectral selection, successive approximation, EOBRUN,
   interleaved DC scans) with arbitrary sampling factors, grayscale or
   YCbCr, restart markers. Lossless/hierarchical/arithmetic raise.
+- WebP: full VP8L (lossless) decode via functions/webp.py — canonical
+  prefix codes incl. the code-length-code bootstrap, meta prefix images,
+  color cache, LZ77 with the 2D distance mapping, and all four
+  transforms; a minimal spec-valid lossless writer for round-trips.
+  Lossy VP8 genuinely needs a video intra decoder and raises.
 - Throughput: huffman entropy coding is sequential Python — fine for
   correctness tests and modest corpora; a production cluster flips the
   same seam to PILCodec (libjpeg) the day the library exists. The bench
@@ -1134,6 +1139,9 @@ class PureCodec:
             return jpeg_encode(pixels, quality=PureCodec.JPEG_QUALITY)
         if fmt == "gif":
             return gif_encode(pixels)
+        if fmt == "webp":
+            from .webp import webp_encode_lossless
+            return webp_encode_lossless(pixels)
         raise NotImplementedError(f"format {fmt!r}")
 
     @staticmethod
@@ -1144,7 +1152,10 @@ class PureCodec:
             return jpeg_decode(data), "jpeg"
         if data[:6] in (b"GIF87a", b"GIF89a"):
             return gif_decode(data), "gif"
-        raise ValueError("not a PNG/JPEG/GIF payload")
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            from .webp import webp_decode
+            return webp_decode(data), "webp"
+        raise ValueError("not a PNG/JPEG/GIF/WebP payload")
 
     # same pixel-space phash as every other codec (codec.phash64)
     @staticmethod

@@ -174,7 +174,7 @@ def image_metadata(images: DataFrame, id_col: str = "image_id",
     JPEG SOF marker, PNG IHDR, GIF, WebP VP8/VP8L/VP8X, BMP) — answers the
     resolution-distribution / thumbnail-filter questions for a 100 TB
     corpus at I/O cost, decoding nothing. Formats we cannot decode at all
-    (WebP; GIF decodes via the pure codec) still report real dims here. Unrecognized → err row."""
+    (lossy-VP8 WebP; VP8L/GIF decode via the pure codec) report dims here. Unrecognized → err row."""
     from ..functions.mediameta import probe_image
     src = images.select(F.col(id_col).alias("image_id"),
                         F.col(bytes_col).alias("bytes"))
