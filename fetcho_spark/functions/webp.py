@@ -346,6 +346,24 @@ def _apply_color_transform(img, tile_bits, tiles):
     return px.astype(np.uint8)
 
 
+def _clean(fn):
+    """Truncated/corrupt web bytes → ValueError, never IndexError (same
+    contract as pure_codec's decoders)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data, *a, **k):
+        try:
+            return fn(data, *a, **k)
+        except (ValueError, NotImplementedError):
+            raise
+        except (IndexError, struct.error) as e:
+            raise ValueError(
+                f"vp8l: truncated/corrupt stream ({type(e).__name__})")                 from e
+    return wrapped
+
+
+@_clean
 def vp8l_decode(data: bytes) -> np.ndarray:
     """VP8L chunk payload (after the 'VP8L' fourcc + size) → (h, w, 3)
     uint8 RGB (alpha dropped)."""
@@ -422,6 +440,7 @@ def vp8l_decode(data: bytes) -> np.ndarray:
     return img[:, :, 1:4].copy()            # ARGB → RGB
 
 
+@_clean
 def webp_decode(data: bytes) -> np.ndarray:
     """RIFF/WEBP container → RGB for VP8L payloads (lossy VP8 raises)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":

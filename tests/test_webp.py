@@ -185,3 +185,13 @@ def test_webp_seam_probe_and_errors():
         WP.webp_decode(b"RIFF\x08\x00\x00\x00WEBPJUNK")
     with pytest.raises(ValueError):
         WP.webp_decode(b"not webp at all")
+
+
+def test_webp_truncation_fails_cleanly():
+    px = _noise(2, 10, 10)
+    data = WP.webp_encode_lossless(px)
+    for cut in range(1, len(data), 2):
+        try:
+            WP.webp_decode(data[:cut])
+        except (ValueError, NotImplementedError):
+            pass
