@@ -143,6 +143,43 @@ class Catalog:
                 f"INTO {n} BUCKETS LOCATION '{snap.dirs[0]}'")
         return self.spark.table(tbl)
 
+    def append_rows(self, name: str, rows: list[tuple], arrow_schema,
+                    meta: dict | None = None) -> int:
+        """Driver-local append of a TINY row set — pyarrow write, no Spark job.
+
+        The per-round bookkeeping tables (checkpoints: 1 row; metrics:
+        ≤ n_seen_buckets rows, already collect()ed for the counter totals)
+        were each paying a full Spark write job — createDataFrame →
+        task launch → commit protocol — per round: pure fixed latency that
+        never shrinks with executors (the 2→8 profile's worst phases).
+        Writing them with pyarrow on the driver keeps the identical snapshot
+        semantics (same manifest, same parquet dirs, Spark reads them back
+        bit-for-bit) and removes two jobs from every round's Amdahl floor.
+
+        ``arrow_schema`` must match the types Spark would have written
+        (int32 for IntegerType, int64 for LongType, string for StringType…)
+        — appends mix files inside one table, and Spark reads the union with
+        the first file's schema (tests/test_catalog.py pins the mix).
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(self._tdir(name), exist_ok=True)
+        snaps = self._load(name)
+        snap_dir = os.path.join(self._tdir(name),
+                                f"data-{uuid.uuid4().hex[:12]}")
+        os.makedirs(snap_dir)
+        cols = [[r[i] for r in rows] for i in range(len(arrow_schema))]
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+            schema=arrow_schema)
+        pq.write_table(table, os.path.join(snap_dir, "part-00000.parquet"),
+                       compression="snappy")
+        prev = snaps[-1].dirs if snaps else []
+        sid = (snaps[-1].id + 1) if snaps else 0
+        snaps.append(Snapshot(sid, "append", prev + [snap_dir], meta or {}))
+        self._store(name, snaps)
+        return sid
+
     def merge_upsert(self, name: str, updates: DataFrame, key: str,
                      meta: dict | None = None) -> int:
         """MERGE INTO semantics: rows in ``updates`` replace same-key rows.

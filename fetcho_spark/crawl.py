@@ -68,6 +68,20 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("round_added", T.IntegerType()),
 ])
 
+# arrow schemas for the driver-local bookkeeping appends
+# (catalog.append_rows) — types mirror what Spark itself writes for these
+# tables (pmod/count/sum → int64; F.lit(round_no) → int32) so appended
+# files mix cleanly inside one snapshot-versioned table
+import pyarrow as _pa  # noqa: E402  (baked-in dependency)
+
+_METRICS_ARROW = _pa.schema([("bucket", _pa.int64()),
+                             ("n_fetched", _pa.int64()),
+                             ("n_ok", _pa.int64()),
+                             ("round", _pa.int32())])
+_CKPT_ARROW = _pa.schema([("round", _pa.int32()),
+                          ("snapshots", _pa.string()),
+                          ("counters", _pa.string())])
+
 
 @dataclass
 class CrawlConfig:
@@ -194,9 +208,14 @@ class CrawlEngine:
         if self._robots_rules is None or self._robots_rules[0] != sid:
             if self._robots_rules is not None:
                 self._robots_rules[1].unpersist()
-            rules = rules_like_df(self.spark, self.catalog.read("robots"),
-                                  self.cfg.user_agent).persist()
-            rules.count()  # materialize the compile once per snapshot
+            # phase-named so the bench artifact shows this as the one-time
+            # per-snapshot cost it is (a single measured round charges the
+            # whole compile; steady-state rounds reuse the memo)
+            with self._phase("robots_compile"):
+                rules = rules_like_df(self.spark,
+                                      self.catalog.read("robots"),
+                                      self.cfg.user_agent).persist()
+                rules.count()  # materialize the compile once per snapshot
             self._robots_rules = (sid, rules)
         return self._robots_rules[1]
 
@@ -389,27 +408,68 @@ class CrawlEngine:
                 fetched.filter(F.col("status") == 200).count()
 
         # seen-set upsert: every *attempted* URL is recorded visited before
-        # the fetch outcome matters (Fetcho.cs:170,274-281 semantics)
-        with self._phase("state_commits"):
-            next_fetch = now + dt.timedelta(milliseconds=self.cfg.ttl_ms)
-            self.seen.record(
-                fetched.select(F.unhex(F.md5("url")).alias("url_hash"),
-                               F.col("url_hash64")),
-                next_fetch)
+        # the fetch outcome matters (Fetcho.cs:170,274-281 semantics).
+        # The upsert, host feedback, P9 state and the lineage rollup all
+        # consume ONLY the already-committed `fetched` snapshot — they are
+        # independent of the link stage, so they run on driver threads
+        # CONCURRENTLY with it. This is overlap, not reordering: outputs are
+        # identical, the threads are joined before the round checkpoint
+        # (checkpoint-last invariant intact), and the per-round fixed commit
+        # latency — the Amdahl floor the 2→8 phase profile names as the
+        # non-scaling component — hides under the link stage's compute.
+        def _state_commits() -> None:
+            with self._phase("state_commits"):
+                next_fetch = now + dt.timedelta(milliseconds=self.cfg.ttl_ms)
+                self.seen.record(
+                    fetched.select(F.unhex(F.md5("url")).alias("url_hash"),
+                                   F.col("url_hash64")),
+                    next_fetch)
 
-            # host feedback (429 penalty / network issues)
-            c.overwrite("hosts",
-                        po.apply_429_penalty(c.read("hosts"), fetched),
-                        meta={"round": round_no})
+                # host feedback (429 penalty / network issues)
+                c.overwrite("hosts",
+                            po.apply_429_penalty(c.read("hosts"), fetched),
+                            meta={"round": round_no})
 
-            # P9 state: record the IP groups fetched this round
-            if cfg.ip_window_rounds > 0:
-                c.append("recent_ips",
-                         fetched.select(F.pmod(F.xxhash64("host"),
-                                               F.lit(fr.N_IP_GROUPS))
-                                        .alias("ip_group")).distinct()
-                         .withColumn("round", F.lit(round_no)),
-                         meta={"round": round_no})
+                # P9 state: record the IP groups fetched this round
+                if cfg.ip_window_rounds > 0:
+                    c.append("recent_ips",
+                             fetched.select(F.pmod(F.xxhash64("host"),
+                                                   F.lit(fr.N_IP_GROUPS))
+                                            .alias("ip_group")).distinct()
+                             .withColumn("round", F.lit(round_no)),
+                             meta={"round": round_no})
+
+        # per-partition lineage metrics (north rule): counts per host bucket.
+        # ≤ n_seen_buckets rows: collect ONCE (one fetched scan) — the
+        # metrics append and the counter totals both come from the local rows
+        lineage = (fetched.groupBy(
+            F.pmod(F.col("url_hash64"), F.lit(cfg.n_seen_buckets))
+             .alias("bucket"))
+            .agg(F.count("*").alias("n_fetched"),
+                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
+                  .alias("n_ok"))
+            .withColumn("round", F.lit(round_no)))
+        lin_rows: list = []
+
+        def _lineage_collect() -> None:
+            with self._phase("metrics_checkpoint"):
+                lin_rows.extend(lineage.collect())
+
+        bg_errors: list[BaseException] = []
+
+        def _guard(fn):
+            def run():
+                try:
+                    fn()
+                except BaseException as e:  # re-raised on the main thread
+                    bg_errors.append(e)
+            return run
+
+        from pyspark import InheritableThread
+        bg_threads = [InheritableThread(target=_guard(fn), daemon=True)
+                      for fn in (_state_commits, _lineage_collect)]
+        for t in bg_threads:
+            t.start()
 
         # C2/C3/O7 — link extraction → next frontier
         links = extract_links(fetched, cfg.seed, round_no,
@@ -457,25 +517,22 @@ class CrawlEngine:
             counters["new_links"] = new_frontier.count()
             counters["carryover"] = carryover.count()
 
-        # per-partition lineage metrics (north rule): counts per host bucket
-        lineage = (fetched.groupBy(
-            F.pmod(F.col("url_hash64"), F.lit(cfg.n_seen_buckets)).alias("bucket"))
-            .agg(F.count("*").alias("n_fetched"),
-                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
-                  .alias("n_ok"))
-            .withColumn("round", F.lit(round_no)))
+        # rejoin the overlapped commits before anything downstream reads
+        # their snapshot ids — the checkpoint must describe a finished round
+        for t in bg_threads:
+            t.join()
+        if bg_errors:
+            raise bg_errors[0]
+
         with self._phase("metrics_checkpoint"):
-            # the lineage rollup is ≤ n_seen_buckets rows: collect ONCE
-            # (one fetched scan), then both the metrics append and the
-            # counter totals come from the local rows — the old
-            # append-then-read-back shape scanned fetched twice and its
-            # fixed job latency was the worst-scaling phase in the 2→8
-            # profile (phase_efficiency 0.285, BENCH_r04)
-            lin_rows = lineage.collect()
-            c.append("metrics",
-                     self.spark.createDataFrame(
-                         lin_rows, schema=lineage.schema),
-                     meta={"round": round_no, "counters": counters})
+            # ≤ n_seen_buckets local rows → driver-local parquet append: a
+            # full Spark write job for this was pure fixed per-round latency
+            # (phase_efficiency 0.285 in the BENCH_r04 2→8 profile)
+            c.append_rows("metrics",
+                          [(r["bucket"], r["n_fetched"], r["n_ok"],
+                            r["round"]) for r in lin_rows],
+                          _METRICS_ARROW,
+                          meta={"round": round_no, "counters": counters})
             if not cfg.collect_counters:
                 counters["fetched"] = sum(r["n_fetched"] for r in lin_rows)
                 counters["fetched_ok"] = sum(r["n_ok"] for r in lin_rows)
@@ -489,11 +546,11 @@ class CrawlEngine:
         snap_ids = {t: self.catalog.current_snapshot_id(t)
                     for t in ("frontier", "seen", "seen_filter", "hosts",
                               "fetched", "crawl_log", "metrics")}
-        ckpt = self.spark.createDataFrame(
-            [(round_no, json.dumps(snap_ids), json.dumps(counters))],
-            "round int, snapshots string, counters string")
         with self._phase("metrics_checkpoint"):
-            c.append("checkpoints", ckpt, meta={"round": round_no})
+            c.append_rows("checkpoints",
+                          [(round_no, json.dumps(snap_ids),
+                            json.dumps(counters))],
+                          _CKPT_ARROW, meta={"round": round_no})
         return counters
 
     def _restore_links_accepted(self) -> int:

@@ -74,3 +74,42 @@ def test_bucketed_snapshot_roundtrip_and_no_exchange(spark, tmp_catalog):
     spark.sql(f"DROP TABLE `{tbl}`")
     again = c.read("wg")
     assert again.count() == 1000
+
+
+@pytest.mark.spark
+def test_append_rows_mixes_with_spark_written_files(spark, tmp_catalog):
+    """Driver-local pyarrow appends (catalog.append_rows) must read back
+    bit-compatibly alongside Spark-written files of the SAME table — the
+    crawl engine appends metrics/checkpoints locally while resume-era
+    snapshots may hold Spark-written files (no mergeSchema: types must
+    match exactly)."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    c = tmp_catalog
+    # Spark-written snapshot with the engine's metric types
+    # (int64 agg columns + int32 round)
+    df = (spark.range(3).groupBy((F.col("id") % 2).alias("bucket"))
+          .agg(F.count("*").alias("n_fetched"),
+               F.sum(F.lit(1)).alias("n_ok"))
+          .withColumn("round", F.lit(0)))
+    c.append("m", df)
+    arrow_schema = pa.schema([("bucket", pa.int64()),
+                              ("n_fetched", pa.int64()),
+                              ("n_ok", pa.int64()),
+                              ("round", pa.int32())])
+    sid = c.append_rows("m", [(7, 10, 9, 1), (8, 4, 4, 1)], arrow_schema,
+                        meta={"round": 1})
+    back = c.read("m")
+    assert [f.dataType.simpleString() for f in back.schema.fields] == \
+        ["bigint", "bigint", "bigint", "int"]
+    assert back.count() == 4
+    got = {r["bucket"]: (r["n_fetched"], r["n_ok"], r["round"])
+           for r in back.filter(F.col("round") == 1).collect()}
+    assert got == {7: (10, 9, 1), 8: (4, 4, 1)}
+    # snapshot semantics intact: isolation + incremental read + meta
+    assert c.read("m", snapshot_id=0).count() == 2
+    inc = c.read_incremental("m", after_snapshot_id=0)
+    assert inc.count() == 2
+    assert c.snapshots("m")[-1].meta == {"round": 1}
+    assert sid == 1
