@@ -318,6 +318,25 @@ def probe_image(data: bytes) -> dict:
     if data[:2] == b"BM":
         w, h = struct.unpack("<ii", data[18:26])
         return {"format": "bmp", "width": w, "height": abs(h)}
+    if data[:4] in (b"II*\x00", b"MM\x00*"):   # TIFF: first-IFD dims walk
+        e = "<" if data[:2] == b"II" else ">"
+        (ifd,) = struct.unpack_from(e + "I", data, 4)
+        if ifd + 2 > len(data):
+            raise ValueError("tiff: truncated IFD")
+        (n,) = struct.unpack_from(e + "H", data, ifd)
+        dims = {}
+        for i in range(n):
+            p = ifd + 2 + 12 * i
+            if p + 12 > len(data):
+                break
+            tag, typ = struct.unpack_from(e + "HH", data, p)
+            if tag in (256, 257):
+                dims[tag] = struct.unpack_from(
+                    e + ("H" if typ == 3 else "I"), data, p + 8)[0]
+        if 256 in dims and 257 in dims:
+            return {"format": "tiff", "width": dims[256],
+                    "height": dims[257]}
+        raise ValueError("tiff: no dimension tags")
     raise ValueError("unrecognized image container")
 
 

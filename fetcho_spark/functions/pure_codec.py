@@ -27,6 +27,9 @@ Scope (honest):
   color cache, LZ77 with the 2D distance mapping, and all four
   transforms; a minimal spec-valid lossless writer for round-trips.
   Lossy VP8 genuinely needs a video intra decoder and raises.
+- BMP + baseline TIFF via functions/bmp_tiff.py — BMP palette/24/32-bit,
+  RLE8/RLE4, bitfields, top-down/bottom-up; TIFF both byte orders,
+  gray/RGB/palette, none/LZW/deflate/PackBits strips, predictor 2.
 - Throughput: huffman entropy coding is sequential Python — fine for
   correctness tests and modest corpora; a production cluster flips the
   same seam to PILCodec (libjpeg) the day the library exists. The bench
@@ -1142,6 +1145,12 @@ class PureCodec:
         if fmt == "webp":
             from .webp import webp_encode_lossless
             return webp_encode_lossless(pixels)
+        if fmt == "bmp":
+            from .bmp_tiff import bmp_encode
+            return bmp_encode(pixels)
+        if fmt == "tiff":
+            from .bmp_tiff import tiff_encode
+            return tiff_encode(pixels)
         raise NotImplementedError(f"format {fmt!r}")
 
     @staticmethod
@@ -1155,7 +1164,13 @@ class PureCodec:
         if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
             from .webp import webp_decode
             return webp_decode(data), "webp"
-        raise ValueError("not a PNG/JPEG/GIF/WebP payload")
+        if data[:2] == b"BM":
+            from .bmp_tiff import bmp_decode
+            return bmp_decode(data), "bmp"
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            from .bmp_tiff import tiff_decode
+            return tiff_decode(data), "tiff"
+        raise ValueError("not a PNG/JPEG/GIF/WebP/BMP/TIFF payload")
 
     # same pixel-space phash as every other codec (codec.phash64)
     @staticmethod

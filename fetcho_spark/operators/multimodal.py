@@ -8,9 +8,10 @@ Arrow-batched ``mapInPandas`` / pandas UDFs — the Spark-side plumbing
   deterministic stand-in by default, the REAL from-scratch PNG/JPEG/GIF
   codec with ``FETCHO_SPARK_CODEC=pure``, PIL when available; the UDF
   signatures don't change.
-- **audio**: REAL for uncompressed WAV/PCM (stdlib ``wave`` + numpy);
-  compressed formats (mp3/ogg/flac) raise — they genuinely need
-  ffmpeg/libsndfile.
+- **audio**: REAL for uncompressed WAV/PCM (stdlib ``wave`` + numpy),
+  G.711/float32/IMA-ADPCM WAVE, and FLAC (from-scratch RFC 9639 decoder,
+  functions/flac.py); mp3/ogg decode genuinely needs ffmpeg/libsndfile
+  (container metadata still extracts).
 - **video**: REAL RIFF/AVI container demux (stdlib chunk walk; an MJPEG
   AVI yields standalone JPEG payloads per frame) plus the FSVD test
   container; inter-frame codec *decode* (H.264 …) raises — it genuinely
@@ -343,10 +344,33 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("err", T.StringType()),   # null = decoded; else reason
 ])
 
-# magic prefixes of compressed audio containers the stdlib cannot decode —
-# these raise (honest stub for the compressed path) instead of nulling
+# magic prefixes of compressed audio containers we cannot FULLY decode —
+# mp3/ogg genuinely need ffmpeg/libsndfile; FLAC is handled BEFORE this
+# check by the repo's own from-scratch decoder (functions/flac.py) and only
+# falls through here if its stream uses something the decoder rejects
 _COMPRESSED_AUDIO_MAGIC = (b"ID3", b"\xff\xfb", b"\xff\xf3", b"\xff\xf2",
                            b"OggS", b"fLaC")
+
+
+def _flac_features(data: bytes) -> tuple[float, float, float, int, int]:
+    """REAL FLAC decode (functions/flac.decode_flac — from-scratch RFC 9639
+    implementation, CRC + STREAMINFO-MD5 verified) → the same feature
+    contract as :func:`_wav_features`."""
+    from ..functions.flac import decode_flac
+    samples, rate, bps = decode_flac(data)
+    x = samples.astype(np.float64) / float(1 << (bps - 1))
+    nch = x.shape[1]
+    x = x.mean(axis=1)
+    dur = len(x) / rate if rate else 0.0
+    if len(x) == 0:
+        return dur, 0.0, 0.0, rate, nch
+    rms = float(np.sqrt(np.mean(x * x)))
+    if len(x) < 2:
+        zcr = 0.0
+    else:
+        neg = x < 0
+        zcr = float(np.mean(neg[1:] != neg[:-1]))
+    return dur, rms, zcr, rate, nch
 
 
 def _g711_luts():
@@ -501,11 +525,13 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
     """Audio feature extraction over an opaque binary column.
 
     Uncompressed WAV/PCM decodes for real (stdlib ``wave`` + numpy — see
-    :func:`_wav_features`). Every undecodable row yields a NULL feature row
-    with a per-row ``err`` reason instead of failing the job (ADVICE r3:
-    one stray mp3 in a 100 TB corpus must not abort the extraction):
-    ``err='needs-ffmpeg'`` for compressed formats (mp3/ogg/flac magic —
-    that decode genuinely needs ffmpeg/libsndfile, absent here),
+    :func:`_wav_features`), as do G.711/float32/IMA-ADPCM WAVE
+    (:func:`_wav_features_ext`) and FLAC (:func:`_flac_features` — the
+    repo's own RFC 9639 decoder, CRC- and MD5-verified). Every
+    undecodable row yields a NULL feature row with a per-row ``err``
+    reason instead of failing the job (ADVICE r3: one stray mp3 in a
+    100 TB corpus must not abort the extraction): ``err='needs-ffmpeg'``
+    for formats whose decode genuinely needs ffmpeg/libsndfile (mp3/ogg),
     ``err='unparseable'`` for garbage bytes, null ``err`` on success.
     ``strict=True`` restores the fail-fast contract: compressed magic
     raises ``NotImplementedError`` mid-job (the honest-stub behavior, for
@@ -520,6 +546,14 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
             rows = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
                 b = bytes(data)
+                if b[:4] == b"fLaC":
+                    # full decode via the from-scratch FLAC codec; only a
+                    # rejected stream falls through to metadata-only
+                    try:
+                        rows.append((aid, *_flac_features(b), None))
+                        continue
+                    except Exception:
+                        pass
                 if any(b.startswith(m) for m in _COMPRESSED_AUDIO_MAGIC):
                     if strict:
                         raise NotImplementedError(
