@@ -259,6 +259,117 @@ class Catalog:
             return None
         return self.spark.read.parquet(*new)
 
+    # -------------------------------------------------------- maintenance
+    # Iceberg's table-maintenance actions — without these a perpetual crawl
+    # leaks: every round appends to `seen`/`fetched` and overwrites
+    # `frontier`, so snapshot history and small data files grow without
+    # bound at 10^10-URL scale. expireSnapshots / rollback_to_snapshot /
+    # rewriteDataFiles are the three actions Iceberg itself ships for this.
+
+    def file_count(self, name: str, snapshot_id: int | None = None) -> int:
+        """Data files in a snapshot — the rewriteDataFiles trigger metric
+        (manifest-stat analog; no scan)."""
+        snaps = self._load(name)
+        if not snaps:
+            return 0
+        snap = snaps[-1] if snapshot_id is None else \
+            next(s for s in snaps if s.id == snapshot_id)
+        n = 0
+        for d in snap.dirs:
+            for root, _dirs, files in os.walk(d):
+                n += sum(1 for f in files
+                         if not f.startswith(("_", ".")))
+        return n
+
+    def _gc_orphans(self, name: str, before: list[Snapshot],
+                    after: list[Snapshot]) -> tuple[int, int]:
+        """Delete data dirs referenced by ``before`` but by no retained
+        snapshot in ``after`` (append snapshots share dirs with their
+        ancestors, so shared history survives). Bucketed snapshots whose
+        dir dies also drop their metastore registration."""
+        live = {d for s in after for d in s.dirs}
+        deleted, freed = 0, 0
+        dead: dict[str, None] = {}          # ordered de-dup
+        for s in before:
+            for d in s.dirs:
+                if d not in live:
+                    dead[d] = None
+        for d in dead:
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    freed += os.path.getsize(os.path.join(root, f))
+            shutil.rmtree(d, ignore_errors=True)
+            deleted += 1
+        for s in before:
+            tbl = s.meta.get("bucket", {}).get("table")
+            if tbl and all(d in dead for d in s.dirs):
+                self.spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        return deleted, freed
+
+    def expire_snapshots(self, name: str, *, keep_last: int = 1,
+                         protect_ids: "tuple | set | frozenset" = ()) -> dict:
+        """Iceberg ``expireSnapshots``: forget all but the newest
+        ``keep_last`` snapshots (plus any in ``protect_ids`` — e.g. ids a
+        resume checkpoint still references) and delete data dirs no retained
+        snapshot uses. Time travel to expired ids stops working — that is
+        the point: bounded metadata + storage for an unbounded crawl."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self._load(name)
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "deleted_dirs": 0, "freed_bytes": 0}
+        protect = set(protect_ids)
+        cut = len(snaps) - keep_last
+        retained = [s for i, s in enumerate(snaps)
+                    if i >= cut or s.id in protect]
+        expired = [s for s in snaps if s.id not in {r.id for r in retained}]
+        deleted, freed = self._gc_orphans(name, expired, retained)
+        self._store(name, retained)
+        return {"expired": len(expired), "deleted_dirs": deleted,
+                "freed_bytes": freed}
+
+    def rollback(self, name: str, snapshot_id: int) -> None:
+        """Iceberg ``rollback_to_snapshot``: make ``snapshot_id`` current by
+        truncating the manifest — metadata-only, so crash recovery is O(1)
+        in table size. Data dirs only the dropped snapshots referenced are
+        deleted (they are the torn writes being rolled back)."""
+        snaps = self._load(name)
+        if not any(s.id == snapshot_id for s in snaps):
+            raise KeyError(f"{name}: no snapshot {snapshot_id}")
+        retained = [s for s in snaps if s.id <= snapshot_id]
+        dropped = [s for s in snaps if s.id > snapshot_id]
+        self._gc_orphans(name, dropped, retained)
+        self._store(name, retained)
+
+    def rewrite_data_files(self, name: str, *,
+                           target_file_bytes: int = 128 << 20,
+                           meta: dict | None = None) -> int:
+        """Iceberg ``rewriteDataFiles`` (bin-pack): commit a new snapshot
+        with the same rows compacted toward ``target_file_bytes`` files.
+        Append-heavy tables (seen, fetched, crawl_log) accrete one small
+        file set per round; their scans then pay per-file open cost and
+        lose row-group pruning. ``coalesce`` merges scan partitions without
+        a shuffle — pure IO rewrite, exactly Iceberg's binpack strategy.
+        History stays time-travelable until ``expire_snapshots``."""
+        import math
+        snaps = self._load(name)
+        if not snaps:
+            raise FileNotFoundError(f"no such table: {name}")
+        if snaps[-1].meta.get("bucket"):
+            raise ValueError(
+                "bucketed snapshots already fix their file layout; "
+                "rewrite via overwrite_bucketed instead")
+        before = self.file_count(name)
+        n_files = max(1, math.ceil(self.table_bytes(name) / target_file_bytes))
+        df = self.read(name).coalesce(n_files)
+        d = self._write_files(name, df, None)
+        m = dict(meta or {})
+        m["rewrite"] = {"files_before": before, "target_files": n_files}
+        sid = snaps[-1].id + 1
+        snaps.append(Snapshot(sid, "rewrite", [d], m))
+        self._store(name, snaps)
+        return sid
+
     def drop(self, name: str) -> None:
         if os.path.isdir(self._tdir(name)):
             shutil.rmtree(self._tdir(name))

@@ -128,6 +128,20 @@ class CrawlConfig:
                                          # corpus answers 304 Not Modified —
                                          # no payload/body/links
                                          # (HttpResourceFetcher.cs:250)
+    snapshot_keep_last: int | None = None  # table maintenance: after each
+                                         # round's checkpoint, expire all but
+                                         # the newest K snapshots of every
+                                         # state table (Iceberg
+                                         # expireSnapshots). None = keep full
+                                         # history (tests/time travel); a
+                                         # perpetual 10^10-URL crawl MUST set
+                                         # this or snapshot metadata + dead
+                                         # frontier overwrites grow without
+                                         # bound. Resume safety: expiry runs
+                                         # only after the checkpoint commit,
+                                         # so the ids the latest checkpoint
+                                         # references are always the newest —
+                                         # always retained.
     assign_global_seq: bool = True       # off for throughput benches
     collect_counters: bool = True        # off for throughput benches: skips
                                          # the per-stage count() jobs and the
@@ -191,6 +205,17 @@ class CrawlEngine:
             seed_rows = [(u, None, 0) for u in seeds]
             seed_df = self.spark.createDataFrame(seed_rows, FRONTIER_SCHEMA)
         c.overwrite("frontier", seed_df)
+        # round -1 "init" checkpoint: without it a crash DURING round 0
+        # (torn seen/frontier writes, no checkpoint row yet) would be
+        # indistinguishable from a clean fresh start, and resume would build
+        # on the torn state. Tables the first round creates are recorded as
+        # None — rollback drops them if a torn round materialized them.
+        snap_ids = {t: c.current_snapshot_id(t) if c.exists(t) else None
+                    for t in ("frontier", "seen", "seen_filter", "hosts",
+                              "fetched", "crawl_log", "metrics")}
+        c.append_rows("checkpoints",
+                      [(-1, json.dumps(snap_ids), json.dumps({}))],
+                      _CKPT_ARROW, meta={"round": -1})
 
     def last_completed_round(self) -> int | None:
         if not self.catalog.exists("checkpoints"):
@@ -551,6 +576,12 @@ class CrawlEngine:
                           [(round_no, json.dumps(snap_ids),
                             json.dumps(counters))],
                           _CKPT_ARROW, meta={"round": round_no})
+        if cfg.snapshot_keep_last is not None:
+            with self._phase("maintenance"):
+                for t in (*snap_ids, "checkpoints"):
+                    if c.exists(t):
+                        c.expire_snapshots(
+                            t, keep_last=cfg.snapshot_keep_last)
         return counters
 
     def _restore_links_accepted(self) -> int:
@@ -565,7 +596,42 @@ class CrawlEngine:
         counters = json.loads(rows[0]["counters"])
         return int(counters.get("links_accepted_total", 0))
 
+    def rollback_to_last_checkpoint(self) -> dict[str, int]:
+        """Crash recovery: a round is complete iff its checkpoint row exists
+        (the checkpoint is committed LAST), so any table snapshot NEWER than
+        the ids the latest checkpoint records is a torn write from a round
+        that never finished. Roll those tables back (Catalog.rollback —
+        metadata-only manifest truncation, O(1) in table size) so resume
+        re-runs the torn round from clean state instead of building on it
+        (e.g. double-appended seen rows would mis-drop that round's URLs).
+        Returns {table: snapshot_id rolled back to}; empty when clean."""
+        if not self.catalog.exists("checkpoints"):
+            return {}
+        rows = (self.catalog.read("checkpoints")
+                .orderBy(F.col("round").desc()).limit(1).collect())
+        if not rows:
+            return {}
+        snap_ids = json.loads(rows[0]["snapshots"])
+        rolled: dict[str, int] = {}
+        for t, sid in snap_ids.items():
+            if not self.catalog.exists(t):
+                continue
+            if sid is None:              # table created by the torn round
+                self.catalog.drop(t)
+                rolled[t] = -1
+                continue
+            cur = self.catalog.current_snapshot_id(t)
+            if cur is not None and cur > sid:
+                self.catalog.rollback(t, sid)
+                rolled[t] = sid
+        if rolled:
+            # torn-round quota state must not leak into the re-run; the
+            # robots memo is untouched (robots is static — never in snap_ids)
+            self._links_accepted = None
+        return rolled
+
     def run(self, n_rounds: int) -> list[dict]:
+        self.rollback_to_last_checkpoint()
         start = (self.last_completed_round() + 1
                  if self.last_completed_round() is not None else 0)
         return [self.run_round(r) for r in range(start, start + n_rounds)]

@@ -113,3 +113,103 @@ def test_append_rows_mixes_with_spark_written_files(spark, tmp_catalog):
     assert inc.count() == 2
     assert c.snapshots("m")[-1].meta == {"round": 1}
     assert sid == 1
+
+
+# ------------------------------------------------- maintenance (Iceberg
+# expireSnapshots / rollback_to_snapshot / rewriteDataFiles analogs — the
+# actions that bound metadata + storage for a perpetual crawl)
+
+@pytest.mark.spark
+def test_expire_snapshots_overwrite_table(spark, tmp_catalog):
+    """Overwrite history is the real space leak (dead frontier rounds):
+    expiry must free the old dirs and keep the current read identical."""
+    import os
+    c = tmp_catalog
+    for i in range(4):
+        c.overwrite("t", spark.range(i * 10, i * 10 + 5))
+    old_dirs = [d for s in c.snapshots("t")[:-1] for d in s.dirs]
+    before = sorted(r["id"] for r in c.read("t").collect())
+    stats = c.expire_snapshots("t", keep_last=1)
+    assert stats["expired"] == 3 and stats["deleted_dirs"] == 3
+    assert stats["freed_bytes"] > 0
+    assert all(not os.path.isdir(d) for d in old_dirs)
+    assert sorted(r["id"] for r in c.read("t").collect()) == before
+    assert [s.id for s in c.snapshots("t")] == [3]
+    with pytest.raises(KeyError):
+        c.read("t", snapshot_id=0)          # time travel ends at expiry
+
+
+@pytest.mark.spark
+def test_expire_snapshots_append_history_shares_dirs(spark, tmp_catalog):
+    """Append snapshots reference their ancestors' dirs: expiring old
+    append entries shrinks METADATA only — no live data dir may die."""
+    c = tmp_catalog
+    for i in range(3):
+        c.append("t", spark.range(i * 10, i * 10 + 4))
+    stats = c.expire_snapshots("t", keep_last=1)
+    assert stats["expired"] == 2 and stats["deleted_dirs"] == 0
+    assert c.read("t").count() == 12        # all rows still there
+
+
+@pytest.mark.spark
+def test_expire_snapshots_protect_ids(spark, tmp_catalog):
+    c = tmp_catalog
+    for i in range(3):
+        c.overwrite("t", spark.range(i, i + 2))
+    c.expire_snapshots("t", keep_last=1, protect_ids={0})
+    assert [s.id for s in c.snapshots("t")] == [0, 2]
+    assert c.read("t", snapshot_id=0).count() == 2   # protected + readable
+    with pytest.raises(ValueError):
+        c.expire_snapshots("t", keep_last=0)
+
+
+@pytest.mark.spark
+def test_incremental_read_survives_expiry(spark, tmp_catalog):
+    """The engine's per-round pattern: append at id k, expire keeping k,
+    append k+1, incremental-read after k → exactly the new rows."""
+    c = tmp_catalog
+    k = c.append("t", spark.range(3))
+    c.expire_snapshots("t", keep_last=1)
+    c.append("t", spark.range(10, 12))
+    inc = c.read_incremental("t", after_snapshot_id=k)
+    assert sorted(r["id"] for r in inc.collect()) == [10, 11]
+
+
+@pytest.mark.spark
+def test_rollback_truncates_and_gcs(spark, tmp_catalog):
+    import os
+    c = tmp_catalog
+    c.overwrite("t", spark.range(5))            # id 0
+    c.append("t", spark.range(100, 103))        # id 1
+    torn = c.overwrite("t", spark.range(9))     # id 2 (the "torn" write)
+    torn_dir = c.snapshots("t")[-1].dirs[0]
+    c.rollback("t", 1)
+    assert c.current_snapshot_id("t") == 1
+    assert c.read("t").count() == 8             # state as of id 1
+    assert not os.path.isdir(torn_dir)          # torn files deleted
+    assert torn == 2
+    with pytest.raises(KeyError):
+        c.rollback("t", 99)
+
+
+@pytest.mark.spark
+def test_rewrite_data_files_compacts(spark, tmp_catalog):
+    """Bin-pack: same rows, fewer files, history intact until expiry."""
+    c = tmp_catalog
+    for i in range(6):                          # 6 appends → ≥6 files
+        c.append("t", spark.range(i * 10, i * 10 + 5).repartition(2))
+    before_files = c.file_count("t")
+    before_rows = sorted(r["id"] for r in c.read("t").collect())
+    pre_rewrite_id = c.current_snapshot_id("t")
+    sid = c.rewrite_data_files("t", target_file_bytes=1 << 30)
+    assert c.file_count("t") == 1               # one fat file
+    assert c.file_count("t") < before_files
+    assert sorted(r["id"] for r in c.read("t").collect()) == before_rows
+    assert c.snapshots("t")[-1].op == "rewrite"
+    # time travel to the pre-rewrite layout still works…
+    assert c.read("t", snapshot_id=pre_rewrite_id).count() == 30
+    # …until expiry reclaims the small files
+    stats = c.expire_snapshots("t", keep_last=1)
+    assert stats["deleted_dirs"] > 0 and stats["freed_bytes"] > 0
+    assert sorted(r["id"] for r in c.read("t").collect()) == before_rows
+    assert sid == pre_rewrite_id + 1

@@ -536,3 +536,98 @@ def test_order_invariant_to_parallelism(spark, crawl_run):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_crash_recovery_rollback_matches_clean_run(spark, crawl_run):
+    """Torn round: after K-1 clean rounds, a crash mid-round leaves partial
+    commits (seen double-append, frontier overwrite, fetched append) and NO
+    checkpoint row. run() must roll the torn writes back so the resumed
+    crawl is byte-identical to the uninterrupted K-round run — without
+    rollback the double-appended seen rows would mis-drop URLs."""
+    cat_full, _ = crawl_run
+    d = tempfile.mkdtemp(prefix="crash-")
+    try:
+        cat, eng = _engine(spark, d, n_rounds=N_ROUNDS - 1)
+        # simulate the torn round: schema-conformant partial writes
+        cat.append("seen", cat.read("seen").limit(2))
+        cat.append("fetched", cat.read("fetched").limit(1))
+        cat.overwrite("frontier", cat.read("frontier").limit(1))
+        eng2 = CrawlEngine(spark, Catalog(spark, d), CFG)
+        assert eng2.last_completed_round() == N_ROUNDS - 2
+        eng2.run(1)
+        cat2 = Catalog(spark, d)
+        assert _log_rows(cat2) == _log_rows(cat_full)
+        full_seen = {r["url_hash64"] for r in
+                     cat_full.read("seen").select("url_hash64").collect()}
+        got_seen = {r["url_hash64"] for r in
+                    cat2.read("seen").select("url_hash64").collect()}
+        assert got_seen == full_seen
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_crash_recovery_torn_first_round(spark, crawl_run):
+    """A crash DURING round 0 (no round-0 checkpoint yet) must also recover:
+    the init checkpoint (round -1) records the seeded state, tables the torn
+    round created are dropped, the frontier rolls back to the seed list."""
+    cat_full, _ = crawl_run
+    d = tempfile.mkdtemp(prefix="crash0-")
+    try:
+        wg, rb, hs, seeds = _universe()
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, CFG)
+        eng.init(seeds, fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        # torn round 0: frontier already overwritten, fetched created
+        cat.overwrite("frontier", cat.read("frontier").limit(1))
+        cat.append("fetched", cat.read("frontier"))
+        eng2 = CrawlEngine(spark, Catalog(spark, d), CFG)
+        rolled = eng2.rollback_to_last_checkpoint()
+        assert rolled.get("frontier") == 0      # back to the seed snapshot
+        assert rolled.get("fetched") == -1      # created table dropped
+        assert not Catalog(spark, d).exists("fetched")
+        eng2.run(N_ROUNDS)
+        assert _log_rows(Catalog(spark, d)) == _log_rows(cat_full)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_snapshot_expiry_preserves_crawl_and_bounds_history(spark, crawl_run):
+    """snapshot_keep_last=1 (the perpetual-crawl maintenance mode): crawl
+    output byte-identical, snapshot history actually bounded, old frontier
+    dirs physically gone, and the table still resumes a further round."""
+    import dataclasses
+    import os
+    cat_full, _ = crawl_run
+    d = tempfile.mkdtemp(prefix="expire-")
+    try:
+        cfg = dataclasses.replace(CFG, snapshot_keep_last=1)
+        wg, rb, hs, seeds = _universe()
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, cfg)
+        eng.init(seeds, fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        eng.run(N_ROUNDS)
+        assert _log_rows(cat) == _log_rows(cat_full)
+        assert len(cat.snapshots("frontier")) == 1     # history bounded
+        assert len(cat.snapshots("seen")) == 1
+        # dead frontier rounds physically reclaimed: exactly one data dir
+        tdir = os.path.join(cat.root, "frontier")
+        dirs = [x for x in os.listdir(tdir) if x.startswith("data-")]
+        assert len(dirs) == 1
+        # still resumable after expiry
+        eng2 = CrawlEngine(spark, Catalog(spark, d), cfg)
+        assert eng2.last_completed_round() == N_ROUNDS - 1
+        n_before = len(_log_rows(cat))
+        eng2.run(1)
+        assert len(_log_rows(Catalog(spark, d))) >= n_before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
