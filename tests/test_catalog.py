@@ -213,3 +213,77 @@ def test_rewrite_data_files_compacts(spark, tmp_catalog):
     assert stats["deleted_dirs"] > 0 and stats["freed_bytes"] > 0
     assert sorted(r["id"] for r in c.read("t").collect()) == before_rows
     assert sid == pre_rewrite_id + 1
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_catalog_maintenance_model_based(spark):
+    """Model-based sweep: random append/overwrite/rewrite/expire/rollback
+    sequences vs a pure-Python reference model of the manifest. Pins the
+    interactions the single-path units can't reach (rollback after expiry,
+    rewrite of shared append dirs, sid monotonicity across truncations).
+    derandomize=True per repo convention: the verdict never depends on RNG.
+    """
+    import shutil as _sh
+    import tempfile as _tf
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from fetcho_spark.catalog import Catalog
+
+    vals = st.lists(st.integers(0, 99), min_size=1, max_size=3)
+    op = st.one_of(
+        st.tuples(st.just("append"), vals),
+        st.tuples(st.just("overwrite"), vals),
+        st.tuples(st.just("rewrite"), st.just(None)),
+        st.tuples(st.just("expire"), st.integers(1, 3)),
+        st.tuples(st.just("rollback"), st.integers(0, 7)),
+    )
+
+    def df_of(v):
+        return spark.createDataFrame([(int(x),) for x in v], "v: bigint")
+
+    @settings(max_examples=10, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ops=st.lists(op, min_size=1, max_size=6))
+    def run(ops):
+        d = _tf.mkdtemp(prefix="fscat-model-")
+        c = Catalog(spark, d)
+        model = []                      # [(sid, sorted current rows)]
+        try:
+            for kind, arg in ops:
+                if kind == "append":
+                    prev = model[-1][1] if model else []
+                    sid = c.append("t", df_of(arg))
+                    model.append((sid, sorted(prev + list(arg))))
+                elif kind == "overwrite":
+                    sid = c.overwrite("t", df_of(arg))
+                    model.append((sid, sorted(arg)))
+                elif kind == "rewrite":
+                    if not model:
+                        continue
+                    sid = c.rewrite_data_files("t", target_file_bytes=1 << 30)
+                    model.append((sid, model[-1][1]))
+                elif kind == "expire":
+                    if not model:
+                        continue
+                    c.expire_snapshots("t", keep_last=arg)
+                    model = model[-arg:]
+                else:                   # rollback
+                    if not model:
+                        continue
+                    sid = model[arg % len(model)][0]
+                    c.rollback("t", sid)
+                    model = [m for m in model if m[0] <= sid]
+                # invariants after every op
+                if model:
+                    assert c.current_snapshot_id("t") == model[-1][0]
+                    assert [s.id for s in c.snapshots("t")] == \
+                        [m[0] for m in model]
+                    for sid_m, rows_m in model:   # historical reads
+                        got = sorted(r["v"] for r in
+                                     c.read("t", snapshot_id=sid_m).collect())
+                        assert got == rows_m, (sid_m, got, rows_m)
+        finally:
+            _sh.rmtree(d, ignore_errors=True)
+
+    run()
