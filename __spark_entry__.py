@@ -412,6 +412,12 @@ def q_doc_chunks(spark, sf):  # context-window chunking with overlap
             .orderBy("doc_id", "chunk_id"))
 
 
+def q_duplicate_spans(spark, sf):  # exact span-granular dedup (Lee et al.)
+    from fetcho_spark.operators.textops import duplicate_spans
+    return (duplicate_spans(_t(spark, sf, "documents"))
+            .orderBy("doc_id"))
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -539,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "doc_chunks": q_doc_chunks,
         "pii_scrub": q_pii_scrub,
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -1066,6 +1073,39 @@ def oracle_sql() -> dict[str, str]:
         # pii_scrub: same conservative Java/RE2-shared regexes as
         # textops.PII_PATTERNS, same synthetic injection, 'g' flag (DuckDB
         # regexp_replace is first-match-only without it)
+        # duplicate_spans: strided 20-word shingle hashes per doc; corpus
+        # frequency 2..1000 marks a span duplicated (max_df caps global
+        # boilerplate). Mirrors Spark transform+explode+two-level agg.
+        "duplicate_spans": """
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ), spans AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(0, CAST(floor((len(a) - 20) / 5.0) AS INT) + 1),
+                       i -> md5(array_to_string(a[i*5+1 : i*5+20], ' '))))
+                       AS h
+              FROM arrs
+              WHERE len(a) >= 20
+            ), per_doc AS (
+              SELECT h, doc_id, count(*) AS c FROM spans GROUP BY h, doc_id
+            ), freq AS (
+              SELECT h, sum(c) AS df FROM per_doc GROUP BY h
+            )
+            SELECT p.doc_id,
+                   CAST(sum(p.c) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN f.df BETWEEN 2 AND 1000
+                            THEN p.c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                   floor(1e6 * sum(CASE WHEN f.df BETWEEN 2 AND 1000
+                                   THEN p.c ELSE 0 END)
+                         / sum(p.c)) / 1e6 AS dup_fraction
+            FROM per_doc p JOIN freq f USING (h)
+            GROUP BY p.doc_id
+            ORDER BY p.doc_id""",
         "pii_scrub": f"""
             SELECT doc_id,
                    regexp_replace(regexp_replace(regexp_replace(synth,

@@ -292,6 +292,65 @@ PII_PATTERNS = (
 )
 
 
+def duplicate_spans(df: DataFrame, key_col: str = "doc_id",
+                    text_col: str = "text", span_tokens: int = 20,
+                    stride: int = 5, min_df: int = 2,
+                    max_df: int = 1000) -> DataFrame:
+    """Exact duplicated-SPAN detection — span-granular exact dedup (the
+    suffix-array substring-dedup result of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed for Spark:
+    doc-level exact/near dedup misses boilerplate and quotation spans
+    repeated across otherwise-distinct documents; this finds them at
+    ``span_tokens`` granularity.
+
+    Shape (scale-first): every document emits strided ``span_tokens``-word
+    shingle hashes as pure per-row array work (zero shuffle — the word
+    array is staged once, spans built with ``transform`` over ``sequence``,
+    exactly :func:`chunk_documents`' pattern); one ``groupBy(h, key)`` with
+    map-side combine collapses same-doc repeats before the wire; the
+    corpus-frequency rollup then shuffles only unique (hash, doc) rows, and
+    the frequency join back is co-partitioned on ``h`` (no third exchange).
+    Never all-pairs. ``max_df`` drops boilerplate mega-spans (every page's
+    header) exactly like ``jaccard_pairs``' hot-shingle cap — a span in
+    more than ``max_df`` docs is a global-template signal, not a dedup
+    pair candidate.
+
+    Returns ``(key, n_spans, n_dup_spans, dup_fraction)`` per document with
+    at least one span (docs shorter than ``span_tokens`` words emit none);
+    ``dup_fraction`` is floor-quantized to 6dp for cross-engine parity.
+    """
+    staged = df.select(F.col(key_col),
+                       words_arr(F.col(text_col)).alias("_wa"))
+    wa, nw = F.col("_wa"), F.size(F.col("_wa"))
+    n_spans = (F.floor((nw - span_tokens) / F.lit(float(stride)))
+               .cast("int") + 1)
+    spans = F.when(nw >= span_tokens, F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.md5(F.array_join(
+            F.slice(wa, i * stride + 1, span_tokens), " ")))) \
+        .otherwise(F.expr("array()").cast("array<string>"))
+    exploded = staged.select(F.col(key_col), F.explode(spans).alias("_h"))
+    per_doc = exploded.groupBy("_h", key_col).agg(
+        F.count("*").alias("_c"))
+    # corpus frequency as a window over the span hash, not a self-join: a
+    # join formulation re-computes the (expensive) span-explosion subtree
+    # on both sides — the window keeps ONE scan lineage, and its exchange
+    # carries only the already-collapsed unique (hash, doc) rows
+    dfreq = F.sum("_c").over(Window.partitionBy("_h"))
+    dup_flag = F.when((F.col("_df") >= min_df) & (F.col("_df") <= max_df),
+                      F.col("_c")).otherwise(F.lit(0))
+    return (per_doc.withColumn("_df", dfreq)
+            .groupBy(key_col)
+            .agg(F.sum("_c").alias("n_spans"),
+                 F.sum(dup_flag).alias("n_dup_spans"))
+            .select(F.col(key_col),
+                    F.col("n_spans").cast("long"),
+                    F.col("n_dup_spans").cast("long"),
+                    (F.floor(F.lit(1e6) * F.col("n_dup_spans")
+                             / F.col("n_spans")) / F.lit(1e6))
+                    .alias("dup_fraction")))
+
+
 def scrub_pii(df: DataFrame, key_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Mask emails / IPv4s / phone numbers →

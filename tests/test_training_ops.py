@@ -591,3 +591,39 @@ def test_hamming_band_cap_observation_metric(spark):
                          "doc_id", 60, 3, max_band_df=10,
                          observation=obs2).collect()
     assert obs2.get == {"hot_buckets_dropped": 0, "hot_bucket_rows": 0}
+
+
+@pytest.mark.spark
+def test_duplicate_spans(spark):
+    """Span-granular exact dedup: a 20-word span shared by two docs is
+    flagged in both; unique text is not; a boilerplate span present in
+    more than max_df docs is dropped by the cap; same-doc repetition
+    counts every occurrence; short docs emit no spans."""
+    shared = " ".join(f"w{i}" for i in range(20))          # exactly one span
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    selfrep = " ".join(f"s{i}" for i in range(20))
+    boiler = " ".join(f"c{i}" for i in range(20))
+    rows = [(0, shared + " " + uniq_a),
+            (1, shared + " " + uniq_b),
+            (2, "too short to span"),
+            (3, selfrep + " " + selfrep)]                  # self-repetition
+    rows += [(10 + k, boiler) for k in range(4)]           # df=4 > max_df=3
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_fraction"])
+           for r in TX.duplicate_spans(
+               df, span_tokens=20, stride=20, max_df=3).collect()}
+    assert 2 not in got                       # no span emitted
+    # docs 0/1: spans [shared, uniq_*] — only the shared one duplicated
+    assert got[0] == (2, 1, 0.5)
+    assert got[1] == (2, 1, 0.5)
+    # doc 3: same-doc repetition counts every occurrence (df=2 within it)
+    assert got[3] == (2, 2, 1.0)
+    # boilerplate docs: df=4 > max_df → not counted as dup
+    for k in range(4):
+        assert got[10 + k] == (1, 0, 0.0)
+    # with the cap lifted, the boilerplate spans count too
+    got2 = {r["doc_id"]: r["n_dup_spans"]
+            for r in TX.duplicate_spans(
+                df, span_tokens=20, stride=20, max_df=10**6).collect()}
+    assert got2[0] == 1 and got2[3] == 2 and got2[10] == 1
