@@ -142,6 +142,18 @@ class CrawlConfig:
                                          # so the ids the latest checkpoint
                                          # references are always the newest —
                                          # always retained.
+    compact_every: int | None = None     # table maintenance: every N rounds,
+                                         # fold the append-only seen table
+                                         # (max next_fetch per hash — the
+                                         # MERGE the reference's upsert does
+                                         # continuously) and bin-pack
+                                         # crawl_log's per-round small files
+                                         # (Catalog.rewrite_data_files).
+                                         # Runs INSIDE the round, before its
+                                         # checkpoint, so the checkpoint
+                                         # references the compacted snapshots
+                                         # and resume never undoes the work.
+                                         # None = off.
     assign_global_seq: bool = True       # off for throughput benches
     collect_counters: bool = True        # off for throughput benches: skips
                                          # the per-stage count() jobs and the
@@ -212,7 +224,8 @@ class CrawlEngine:
         # None — rollback drops them if a torn round materialized them.
         snap_ids = {t: c.current_snapshot_id(t) if c.exists(t) else None
                     for t in ("frontier", "seen", "seen_filter", "hosts",
-                              "fetched", "crawl_log", "metrics")}
+                              "fetched", "crawl_log", "metrics",
+                              "recent_ips")}
         c.append_rows("checkpoints",
                       [(-1, json.dumps(snap_ids), json.dumps({}))],
                       _CKPT_ARROW, meta={"round": -1})
@@ -549,6 +562,15 @@ class CrawlEngine:
         if bg_errors:
             raise bg_errors[0]
 
+        if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
+            # BEFORE the checkpoint (unlike expiry): the checkpoint must
+            # reference the compacted snapshots, or the next resume's
+            # rollback would discard the compaction as a torn write
+            with self._phase("maintenance"):
+                self.seen.compact()
+                if cfg.collect_counters and c.exists("crawl_log"):
+                    c.rewrite_data_files("crawl_log")
+
         with self._phase("metrics_checkpoint"):
             # ≤ n_seen_buckets local rows → driver-local parquet append: a
             # full Spark write job for this was pure fixed per-round latency
@@ -568,9 +590,11 @@ class CrawlEngine:
             quota_df.unpersist()
 
         # checkpoint LAST → a round is complete iff its checkpoint row exists
-        snap_ids = {t: self.catalog.current_snapshot_id(t)
+        snap_ids = {t: (self.catalog.current_snapshot_id(t)
+                        if self.catalog.exists(t) else None)
                     for t in ("frontier", "seen", "seen_filter", "hosts",
-                              "fetched", "crawl_log", "metrics")}
+                              "fetched", "crawl_log", "metrics",
+                              "recent_ips")}
         with self._phase("metrics_checkpoint"):
             c.append_rows("checkpoints",
                           [(round_no, json.dumps(snap_ids),

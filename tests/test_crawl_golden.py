@@ -631,3 +631,42 @@ def test_snapshot_expiry_preserves_crawl_and_bounds_history(spark, crawl_run):
         assert len(_log_rows(Catalog(spark, d))) >= n_before
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_compaction_preserves_crawl(spark, crawl_run):
+    """compact_every=1 + snapshot_keep_last=1 (full maintenance mode): the
+    seen fold + crawl_log bin-pack must not change one byte of crawl order
+    or the seen-hash set, the checkpoint must reference the compacted
+    snapshots (resume does NOT undo compaction), and crawl_log really is
+    one file afterwards."""
+    import dataclasses
+    cat_full, _ = crawl_run
+    d = tempfile.mkdtemp(prefix="compact-")
+    try:
+        cfg = dataclasses.replace(CFG, compact_every=1, snapshot_keep_last=1)
+        wg, rb, hs, seeds = _universe()
+        cat = Catalog(spark, d)
+        eng = CrawlEngine(spark, cat, cfg)
+        eng.init(seeds, fx.webgraph_df(spark, N_PAGES, N_HOSTS, N_IMAGES),
+                 fx.images_df(spark, N_IMAGES), fx.robots_df(spark, N_HOSTS),
+                 fx.hosts_df(spark, N_HOSTS))
+        eng.run(N_ROUNDS)
+        assert _log_rows(cat) == _log_rows(cat_full)
+        full_seen = {r["url_hash64"] for r in
+                     cat_full.read("seen").select("url_hash64").collect()}
+        got_seen = {r["url_hash64"] for r in
+                    cat.read("seen").select("url_hash64").collect()}
+        assert got_seen == full_seen
+        # folded: one row per hash; bin-packed: one crawl_log file
+        assert cat.read("seen").count() == len(full_seen)
+        assert cat.file_count("crawl_log") == 1
+        # resume on a fresh engine must not roll the compaction back
+        seen_sid = cat.current_snapshot_id("seen")
+        eng2 = CrawlEngine(spark, Catalog(spark, d), cfg)
+        assert eng2.rollback_to_last_checkpoint() == {}
+        assert Catalog(spark, d).current_snapshot_id("seen") == seen_sid
+        eng2.run(1)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
