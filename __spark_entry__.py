@@ -418,6 +418,41 @@ def q_duplicate_spans(spark, sf):  # exact span-granular dedup (Lee et al.)
             .orderBy("doc_id"))
 
 
+def q_bpe_train(spark, sf):
+    # distributed BPE subword-vocab trainer (operators/bpe.py) over the sf
+    # documents corpus — iterative argmax-per-step over data-dependent
+    # state, not SQL-expressible: rows-only check by design
+    from fetcho_spark.operators.bpe import merges_df, train_bpe
+    m = train_bpe(_t(spark, sf, "documents"), n_merges=20)
+    return merges_df(spark, m).orderBy("merge_rank")
+
+
+def q_bpe_train_fixture(spark, sf):
+    # same trainer on the deterministic fixture corpus; the oracle twin is
+    # a VALUES literal generated by the in-memory reference trainer
+    # (train_bpe_local) on the same words — a gate-level hash match proves
+    # distributed fit == in-memory fit (the ml_train_classify pattern)
+    from fetcho_spark.operators.bpe import fixture_corpus, merges_df, train_bpe
+    corpus = spark.createDataFrame(
+        list(enumerate(fixture_corpus())), "doc_id: int, text: string")
+    return merges_df(spark, train_bpe(corpus, n_merges=16)) \
+        .orderBy("merge_rank")
+
+
+def _bpe_fixture_sql() -> str:
+    import re as _re
+    from collections import Counter as _Counter
+    from fetcho_spark.operators.bpe import fixture_corpus, train_bpe_local
+    wf = _Counter()
+    for t in fixture_corpus():
+        wf.update(w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w)
+    merges = train_bpe_local(dict(wf), n_merges=16)
+    rows = ", ".join(f"({r}, '{a}', '{b}', {c})" for r, a, b, c in merges)
+    return (f"SELECT CAST(v.r AS INT) AS merge_rank, v.a AS lhs, "
+            f"v.b AS rhs, CAST(v.c AS BIGINT) AS pair_count "
+            f"FROM (VALUES {rows}) AS v(r, a, b, c) ORDER BY merge_rank")
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -546,6 +581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pii_scrub": q_pii_scrub,
         "duplicate_spans": q_duplicate_spans,
+        "bpe_train": q_bpe_train,
+        "bpe_train_fixture": q_bpe_train_fixture,
     }
 
 
@@ -923,6 +960,10 @@ def oracle_sql() -> dict[str, str]:
         # in-memory train_nb on the same fixture rows — the hash match IS
         # the distributed≡in-memory trainer proof at gate level
         "ml_train_classify": _ml_sql(),
+        # bpe_train_fixture: VALUES literal from the in-memory reference
+        # trainer — hash match == distributed fit ≡ local fit. The
+        # corpus-scale `bpe_train` stays rows-only (iterative, by design).
+        "bpe_train_fixture": _bpe_fixture_sql(),
         # gopher_quality / decontaminate: fractions are floor-quantized to
         # 6dp (floor of identical doubles is engine-independent; ROUND's
         # HALF_UP-vs-HALF_EVEN boundary is not)
