@@ -453,6 +453,132 @@ def _bpe_fixture_sql() -> str:
             f"FROM (VALUES {rows}) AS v(r, a, b, c) ORDER BY merge_rank")
 
 
+def _multiline(docs):
+    # deterministic multi-line view of the word-soup corpus (6-word lines,
+    # position-dependent terminal punctuation, injected boilerplate /
+    # javascript / lorem-ipsum / brace lines) so every line_dedup and
+    # c4_filter rule fires non-vacuously; mirrored by _ML_SQL
+    w = F.split(F.col("text"), " ")
+    nl = F.greatest(F.ceil(F.size(w) / F.lit(6.0)).cast("int"), F.lit(1))
+    d = F.col("doc_id")
+
+    def punct(k):
+        r = k % 4
+        return (F.when(r == 1, F.lit(".")).when(r == 2, F.lit("!"))
+                .when(r == 3, F.lit("?")).otherwise(F.lit("")))
+
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(F.array_join(F.slice(w, i * 6 + 1, 6), " "),
+                           punct(d + i)))
+    out = F.array_join(lines, "\n")
+    for m, s in _ML_EXTRA:
+        out = F.concat(out, F.when(d % m == 0, F.lit("\n" + s))
+                            .otherwise(F.lit("")))
+    return docs.select("doc_id", out.alias("text"))
+
+
+_ML_EXTRA = [
+    (3, "All rights reserved."),
+    (5, "subscribe now"),
+    (7, "please enable javascript to continue."),
+    (11, "lorem ipsum dolor sit amet."),
+    (13, "var cfg = { a: 1 };"),
+]
+
+_ML_SQL = """
+    arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), ml AS (
+      SELECT doc_id,
+        array_to_string(
+          list_transform(
+            range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)),
+            i -> array_to_string(w[i*6+1 : i*6+6], ' ') ||
+                 CASE (doc_id + i) % 4 WHEN 1 THEN '.' WHEN 2 THEN '!'
+                      WHEN 3 THEN '?' ELSE '' END),
+          chr(10))""" + "".join(
+    f"""
+        || CASE WHEN doc_id % {m} = 0 THEN chr(10) || '{s}'
+                ELSE '' END""" for m, s in _ML_EXTRA) + """
+        AS text
+      FROM arrs
+    )"""
+
+
+def q_line_dedup(spark, sf):  # RefinedWeb-style cross-doc line dedup
+    from fetcho_spark.operators.lines import line_dedup
+    return (line_dedup(_multiline(_t(spark, sf, "documents")), min_df=2)
+            .orderBy("doc_id"))
+
+
+def q_c4_filter(spark, sf):  # C4 line/document cleaning rules
+    from fetcho_spark.operators.lines import c4_filter
+    return (c4_filter(_multiline(_t(spark, sf, "documents")))
+            .orderBy("doc_id"))
+
+
+def _lines_sql() -> str:
+    return f"""
+        WITH {_ML_SQL},
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM ml),
+        ln AS (
+          SELECT doc_id, u.pos, u.line, lower(trim(u.line)) AS norm
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(l) + 1),
+                    i -> struct_pack(pos := i, line := l[i]))) AS u
+                FROM ls) t
+          WHERE lower(trim(u.line)) <> ''
+        ), freq AS (
+          SELECT norm FROM ln GROUP BY norm
+          HAVING count(DISTINCT doc_id) >= 2
+        ), tagged AS (
+          SELECT ln.*, (f.norm IS NOT NULL) AS dup
+          FROM ln LEFT JOIN freq f USING (norm)
+        )
+        SELECT m.doc_id,
+               COALESCE(a.text, '') AS text,
+               COALESCE(a.n_lines, 0) AS n_lines,
+               COALESCE(a.n_removed, 0) AS n_removed
+        FROM ml m LEFT JOIN (
+          SELECT doc_id,
+                 COALESCE(string_agg(CASE WHEN NOT dup THEN line END,
+                                     chr(10) ORDER BY pos), '') AS text,
+                 count(*) AS n_lines,
+                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed
+          FROM tagged GROUP BY doc_id) a USING (doc_id)
+        ORDER BY m.doc_id"""
+
+
+def _c4_sql() -> str:
+    from fetcho_spark.operators.lines import (BAD_DOC_RE, BAD_LINE_RE,
+                                              TERMINAL_RE)
+    keep = (f"len(string_split_regex(trim(x), '\\s+')) >= 3"
+            f" AND regexp_matches(trim(x), '{TERMINAL_RE}')"
+            f" AND NOT regexp_matches(lower(trim(x)), '{BAD_LINE_RE}')")
+    return f"""
+        WITH {_ML_SQL},
+        ls AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, chr(10)),
+                             x -> trim(x) <> '') AS l
+          FROM ml
+        ), k AS (
+          SELECT doc_id, text, l,
+                 list_filter(l, x -> {keep}) AS kept
+          FROM ls
+        )
+        SELECT doc_id,
+               array_to_string(list_transform(kept, x -> trim(x)),
+                               chr(10)) AS text,
+               CAST(len(kept) AS INT) AS n_kept,
+               CAST(len(l) - len(kept) AS INT) AS n_dropped,
+               (NOT regexp_matches(lower(text), '{BAD_DOC_RE}')
+                AND len(kept) >= 3) AS keep_doc
+        FROM k ORDER BY doc_id"""
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -583,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "bpe_train": q_bpe_train,
         "bpe_train_fixture": q_bpe_train_fixture,
+        "line_dedup": q_line_dedup,
+        "c4_filter": q_c4_filter,
     }
 
 
@@ -964,6 +1092,11 @@ def oracle_sql() -> dict[str, str]:
         # trainer — hash match == distributed fit ≡ local fit. The
         # corpus-scale `bpe_train` stays rows-only (iterative, by design).
         "bpe_train_fixture": _bpe_fixture_sql(),
+        # line_dedup / c4_filter: shared _ML_SQL CTE mirrors _multiline's
+        # deterministic line synthesis; dedup groups by the norm string
+        # where Spark groups by xxhash64(norm) — same equivalence classes
+        "line_dedup": _lines_sql(),
+        "c4_filter": _c4_sql(),
         # gopher_quality / decontaminate: fractions are floor-quantized to
         # 6dp (floor of identical doubles is engine-independent; ROUND's
         # HALF_UP-vs-HALF_EVEN boundary is not)
