@@ -579,6 +579,51 @@ def _c4_sql() -> str:
         FROM k ORDER BY doc_id"""
 
 
+_PR_EDGE_GENS = ((2, 1), (3, 7), (7, 13))  # dst = (a*doc_id + b) % n
+
+
+def q_pagerank(spark, sf):
+    # integer-quantized PageRank (operators/graph.py) over a deterministic
+    # 3-out-regular synthetic link graph on the documents ids; the SQL
+    # twin unrolls the identical 10 integer power iterations as CTEs
+    from fetcho_spark.operators.graph import pagerank
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()          # single scalar to the driver, deterministic
+    d = F.col("doc_id")
+    e = None
+    for a, b in _PR_EDGE_GENS:
+        part = docs.select(d.alias("src"), ((d * a + b) % n).alias("dst"))
+        e = part if e is None else e.union(part)
+    return pagerank(e, n_iter=10).orderBy("node_id")
+
+
+def _pagerank_sql(n_iter: int = 10) -> str:
+    from fetcho_spark.operators.graph import DEFAULT_SCALE
+    teleport = 15 * DEFAULT_SCALE // 100
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % "
+        f"(SELECT count(*) FROM documents) AS dst FROM documents"
+        for a, b in _PR_EDGE_GENS)
+    iters = "".join(f""",
+        r{k + 1} AS (
+          SELECT n.v, CAST({teleport} + COALESCE(s.s, 0) AS BIGINT) AS q
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS v,
+                   sum((85 * r{k}.q) // (100 * od.outdeg)) AS s
+            FROM e JOIN r{k} ON r{k}.v = e.src
+                   JOIN od ON od.src = e.src
+            GROUP BY e.dst) s ON s.v = n.v
+        )""" for k in range(n_iter))
+    return f"""
+        WITH e0 AS ({gens}),
+        e AS (SELECT DISTINCT src, dst FROM e0),
+        nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT v, CAST({DEFAULT_SCALE} AS BIGINT) AS q
+               FROM nodes){iters}
+        SELECT v AS node_id, q AS rank_q FROM r{n_iter} ORDER BY node_id"""
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -711,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_fixture": q_bpe_train_fixture,
         "line_dedup": q_line_dedup,
         "c4_filter": q_c4_filter,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1097,6 +1143,9 @@ def oracle_sql() -> dict[str, str]:
         # where Spark groups by xxhash64(norm) — same equivalence classes
         "line_dedup": _lines_sql(),
         "c4_filter": _c4_sql(),
+        # pagerank: all-integer power iteration — bit-identical across
+        # engines, so the hash check covers the full 10-iteration fixpoint
+        "pagerank": _pagerank_sql(),
         # gopher_quality / decontaminate: fractions are floor-quantized to
         # 6dp (floor of identical doubles is engine-independent; ROUND's
         # HALF_UP-vs-HALF_EVEN boundary is not)
