@@ -624,6 +624,55 @@ def _pagerank_sql(n_iter: int = 10) -> str:
         SELECT v AS node_id, q AS rank_q FROM r{n_iter} ORDER BY node_id"""
 
 
+def q_bigram_quality(spark, sf):
+    # CCNet-style quality bucketing: self-trained bigram LM coherence +
+    # corpus-mean head/tail split (operators/ngram_lm.py) — all integer
+    from fetcho_spark.operators.ngram_lm import (bigram_coherence,
+                                                 quality_buckets,
+                                                 train_bigram_lm)
+    docs = _t(spark, sf, "documents")
+    bg, hist = train_bigram_lm(docs)
+    return (quality_buckets(bigram_coherence(docs, bg, hist))
+            .orderBy("doc_id"))
+
+
+def _bigram_sql() -> str:
+    from fetcho_spark.operators.ngram_lm import DEFAULT_Q
+    return f"""
+        WITH arrs AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS a
+          FROM documents
+        ), pe AS (
+          SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(a)),
+                    i -> struct_pack(w1 := a[i], w2 := a[i+1]))) AS u
+                FROM arrs WHERE len(a) >= 2) t
+        ), b AS (
+          SELECT w1, w2, count(*) AS c12 FROM pe GROUP BY w1, w2
+        ), h AS (
+          SELECT w1, count(*) AS c1 FROM pe GROUP BY w1
+        ), scored AS (
+          SELECT pe.doc_id, sum(({DEFAULT_Q} * b.c12) // h.c1) AS sq,
+                 count(*) AS np
+          FROM pe JOIN b USING (w1, w2) JOIN h USING (w1)
+          GROUP BY pe.doc_id
+        ), ds AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(s.np, 0) AS BIGINT) AS n_pairs,
+                 CAST(COALESCE(s.sq // s.np, 0) AS BIGINT) AS coherence_q
+          FROM documents d LEFT JOIN scored s USING (doc_id)
+        ), m AS (
+          SELECT sum(coherence_q) AS tot, count(*) AS nd FROM ds
+        )
+        SELECT doc_id, n_pairs, coherence_q,
+               CASE WHEN coherence_q * m.nd >= m.tot
+                    THEN 'head' ELSE 'tail' END AS bucket
+        FROM ds, m ORDER BY doc_id"""
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -757,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "c4_filter": q_c4_filter,
         "pagerank": q_pagerank,
+        "bigram_quality": q_bigram_quality,
     }
 
 
@@ -1146,6 +1196,9 @@ def oracle_sql() -> dict[str, str]:
         # pagerank: all-integer power iteration — bit-identical across
         # engines, so the hash check covers the full 10-iteration fixpoint
         "pagerank": _pagerank_sql(),
+        # bigram_quality: integer conditional-probability coherence — the
+        # whole train+score+bucket pipeline is exact in both engines
+        "bigram_quality": _bigram_sql(),
         # gopher_quality / decontaminate: fractions are floor-quantized to
         # 6dp (floor of identical doubles is engine-independent; ROUND's
         # HALF_UP-vs-HALF_EVEN boundary is not)

@@ -1,0 +1,98 @@
+"""Distributed bigram language model + quality bucketing (CCNet-style).
+
+CCNet (Wenzek et al. 2020) buckets web documents into head/middle/tail
+by language-model perplexity and keeps the head for training corpora.
+This module re-expresses the idea Spark-first, trained from the corpus
+itself: bigram/history counts via one groupBy shuffle each, then a
+per-document coherence score = mean quantized conditional probability
+of its adjacent word pairs, and a corpus-mean bucket split.
+
+Integer-exact by construction: the score is
+``floor(Q * c(w1,w2) / c(w1·))`` summed and integer-averaged, where
+``c(w1·)`` is the pair-left (history) count, so every value is a pure
+function of the corpus — bit-identical across engines and partition
+layouts, which is what lets the correctness gate hash-check the full
+pipeline (true log-perplexity would hinge on libm ``log`` bit-parity
+across engines; the monotone rational transform sidesteps that while
+ranking documents the same way for a fixed history).
+
+Scale shape (100 TB): counts are vocabulary²-bounded aggregates (one
+partial-agg shuffle each, corpus never re-scanned); scoring is an
+explode + two equi-joins against those count tables (broadcastable
+when the vocab is small — AQE decides; never forced) + one per-doc
+aggregation. Nothing driver-side, no windows over the corpus.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import words_arr
+
+DEFAULT_Q = 10**6
+
+
+def _pairs(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    a = words_arr(F.col(text_col))
+    n = F.size(a)
+    ps = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(a, i).alias("w1"),
+                           F.element_at(a, i + 1).alias("w2")))) \
+        .otherwise(F.expr("array()")
+                   .cast("array<struct<w1:string,w2:string>>"))
+    return (df.select(F.col(key_col), F.explode(ps).alias("p"))
+            .select(key_col, "p.w1", "p.w2"))
+
+
+def train_bigram_lm(df: DataFrame, key_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Fit ``(bigrams, histories)`` count tables from a corpus:
+    ``(w1, w2, c12)`` and ``(w1, c1)`` where c1 is the pair-left count
+    (so c12 sums to c1 per history, and conditionals are proper)."""
+    pe = _pairs(df, key_col, text_col)
+    bigrams = pe.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    histories = pe.groupBy("w1").agg(F.count("*").alias("c1"))
+    return bigrams, histories
+
+
+def bigram_coherence(df: DataFrame, bigrams: DataFrame,
+                     histories: DataFrame, key_col: str = "doc_id",
+                     text_col: str = "text",
+                     q: int = DEFAULT_Q) -> DataFrame:
+    """Score documents with a fitted bigram LM.
+
+    Returns ``(key, n_pairs, coherence_q)`` — coherence_q is the
+    integer mean of ``floor(q * c12 / c1)`` over the document's
+    adjacent pairs; pairs unseen by the model contribute 0 (instead of
+    the unbounded penalty true perplexity assigns), and documents with
+    fewer than two words score 0 with n_pairs = 0.
+    """
+    pe = _pairs(df, key_col, text_col)
+    scored = (pe.join(bigrams, ["w1", "w2"], "left")
+              .join(histories, ["w1"], "left")
+              .select(F.col(key_col),
+                      F.coalesce(
+                          F.expr(f"({q} * c12) div c1"),
+                          F.lit(0)).alias("pq"))
+              .groupBy(key_col)
+              .agg(F.sum("pq").alias("sq"), F.count("*").alias("np")))
+    return (df.select(key_col).join(scored, key_col, "left")
+            .select(key_col,
+                    F.coalesce("np", F.lit(0)).alias("n_pairs"),
+                    F.coalesce(F.expr("sq div np"), F.lit(0))
+                    .alias("coherence_q")))
+
+
+def quality_buckets(scored: DataFrame,
+                    score_col: str = "coherence_q") -> DataFrame:
+    """Corpus-mean bucket split: 'head' iff score >= corpus mean —
+    compared as ``score * n_docs >= sum(scores)`` so the cut stays
+    integer-exact (one broadcast single-row aggregate, no quantiles)."""
+    m = scored.agg(F.sum(score_col).alias("_tot"),
+                   F.count("*").alias("_nd"))
+    return (scored.crossJoin(F.broadcast(m))
+            .withColumn("bucket",
+                        F.when(F.col(score_col) * F.col("_nd")
+                               >= F.col("_tot"), F.lit("head"))
+                        .otherwise(F.lit("tail")))
+            .drop("_tot", "_nd"))
