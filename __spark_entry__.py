@@ -673,6 +673,35 @@ def _bigram_sql() -> str:
         FROM ds, m ORDER BY doc_id"""
 
 
+def q_pack_sequences(spark, sf):
+    # GPT-style concat-and-chunk packing layout (two-phase global cumsum)
+    from fetcho_spark.operators.textops import pack_sequences
+    return (pack_sequences(_t(spark, sf, "documents"), window=256)
+            .orderBy("doc_id"))
+
+
+def q_split_assign(spark, sf):
+    # hash-stable train/val/test assignment
+    from fetcho_spark.operators.textops import split_assign
+    return split_assign(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+_SPLIT_FRACTIONS = (("train", 90), ("val", 5), ("test", 5))
+
+
+def _split_sql() -> str:
+    clauses, cum = [], 0
+    for name, pct in _SPLIT_FRACTIONS[:-1]:
+        cum += pct
+        clauses.append(f"WHEN ('0x' || substr(md5(doc_id || ':42'), 1, 4))"
+                       f"::BIGINT < {65536 * cum // 100} THEN '{name}'")
+    return f"""
+        SELECT doc_id,
+               CASE {' '.join(clauses)}
+                    ELSE '{_SPLIT_FRACTIONS[-1][0]}' END AS split
+        FROM documents ORDER BY doc_id"""
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -807,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "pagerank": q_pagerank,
         "bigram_quality": q_bigram_quality,
+        "pack_sequences": q_pack_sequences,
+        "split_assign": q_split_assign,
     }
 
 
@@ -1199,6 +1230,29 @@ def oracle_sql() -> dict[str, str]:
         # bigram_quality: integer conditional-probability coherence — the
         # whole train+score+bucket pipeline is exact in both engines
         "bigram_quality": _bigram_sql(),
+        # pack_sequences: identical md5 layout order + integer cumsum —
+        # the global window here is the oracle-side stand-in for the
+        # engine's two-phase range-partitioned cumsum
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, CAST({n_tokens} AS BIGINT) AS n_tokens,
+                     md5(doc_id || ':42') AS rk
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY rk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+                   CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+                   CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_offset,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                        ELSE ((cum - 1) // 256) - ((cum - n_tokens) // 256)
+                             + 1 END AS BIGINT) AS n_packs
+            FROM c ORDER BY doc_id""",
+        "split_assign": _split_sql(),
         # gopher_quality / decontaminate: fractions are floor-quantized to
         # 6dp (floor of identical doubles is engine-independent; ROUND's
         # HALF_UP-vs-HALF_EVEN boundary is not)

@@ -425,6 +425,91 @@ def token_budget_sample(df: DataFrame, key_col: str = "doc_id",
                     "selected"))
 
 
+def pack_sequences(df: DataFrame, key_col: str = "doc_id",
+                   text_col: str = "text", window: int = 1024,
+                   seed: int = 42) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    out in a deterministic seeded order and the token stream is cut
+    every ``window`` tokens (documents may straddle pack boundaries —
+    the standard pretraining loader layout, not no-split bin packing,
+    whose greedy state is inherently sequential).
+
+    Returns ``(key, n_tokens, tok_offset, pack_id, pack_offset,
+    n_packs)``: the document's global token offset, the pack its first
+    token lands in, the offset within that pack, and how many packs it
+    spans (0 for empty documents).
+
+    Scale shape: the layout order is ``md5(key ':' seed)`` (the
+    cross-engine seeded-ordering trick of ``token_budget_sample``), and
+    the global running token sum uses the same two-phase
+    range-partitioned cumsum — no single-task global window, identical
+    result at any parallelism. A document's placement depends only on
+    the hash order, so the layout is reproducible end-to-end.
+    """
+    rk = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                           F.lit(str(seed))))
+    base = df.select(F.col(key_col),
+                     token_count(F.col(text_col)).cast("long")
+                     .alias("n_tokens"),
+                     rk.alias("_rk"))
+    ranged = (base.repartitionByRange(F.col("_rk"), F.col(key_col))
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))   # pin _pid (see token_budget)
+    w_local = (Window.partitionBy("_pid").orderBy("_rk", key_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranged = ranged.withColumn("_loc", F.sum("n_tokens").over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_t"))
+    # single-task window, but over <= shuffle.partitions rows
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"))
+    cum = (F.col("_off") + F.col("_loc")).cast("long")
+    staged = (ranged.join(F.broadcast(offsets), "_pid")
+              .withColumn("_cum", cum)
+              .withColumn("tok_offset", F.col("_cum") - F.col("n_tokens")))
+    return staged.select(
+        key_col, "n_tokens", "tok_offset",
+        F.expr(f"tok_offset div {window}").alias("pack_id"),
+        (F.col("tok_offset") % window).alias("pack_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"((_cum - 1) div {window}) - "
+                          f"(tok_offset div {window}) + 1"))
+        .alias("n_packs"))
+
+
+def split_assign(df: DataFrame, key_col: str = "doc_id",
+                 fractions: tuple = (("train", 90), ("val", 5),
+                                     ("test", 5)),
+                 seed: int = 42) -> DataFrame:
+    """Deterministic hash-based train/val/test split →
+    ``(key, split)``. Percentages map to slots of the 16-bit integer
+    value of the first 4 hex chars of ``md5(key ':' seed)``.
+
+    The assignment is a pure function of (key, seed): a document keeps
+    its split when the corpus grows or is re-partitioned — the property
+    that prevents train/test leakage across dataset versions. Fractions
+    hold in expectation (hash-uniform), not exactly per group; one
+    zero-shuffle projection.
+    """
+    pcts = [p for _, p in fractions]
+    if sum(pcts) != 100:
+        raise ValueError(f"fractions must total 100, got {sum(pcts)}")
+    slot = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                          F.lit(str(seed)))), 1, 4), 16, 10).cast("long")
+    expr, cum = None, 0
+    for name, pct in fractions[:-1]:
+        cum += pct
+        bound = (65536 * cum) // 100
+        cond = slot < F.lit(bound)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    expr = (expr.otherwise(F.lit(fractions[-1][0])) if expr is not None
+            else F.lit(fractions[-1][0]))
+    return df.select(F.col(key_col), expr.alias("split"))
+
+
 def keyword_counts(df: DataFrame, text_col: str = "text",
                    min_len: int = 3) -> DataFrame:
     """A5: term frequencies across the corpus (ExtractKeywordsConsumer)."""
