@@ -11,21 +11,22 @@ lines ending in terminal punctuation with >= 3 words, drop javascript
 lines, drop lorem-ipsum/brace documents, require >= 3 kept sentences).
 
 Scale shape (100 TB):
-- one explode over documents -> per-(doc, line-hash) distinct -> ONE
-  partial-aggregated groupBy(hash) shuffle builds the line-frequency
-  table; document frequency, not occurrence count, so in-doc repetition
-  never promotes a line to boilerplate;
-- the frequency table joins back by hash (shuffle join — the hot-line
-  set is corpus-dependent and unbounded, so no forced broadcast; AQE may
-  still choose one when it fits);
-- reassembly is a groupBy(doc) of (pos, line) structs — sort_array inside
-  the row, so document text never funnels through a driver or a window
-  over the whole corpus;
+- ONE explode pass over documents collapses to (doc, line-hash) groups
+  carrying their (pos, line) occurrences; document frequency is then a
+  window count over the hash on those already-collapsed rows — the same
+  single-scan-lineage choice as ``textops.duplicate_spans`` (a join
+  formulation re-computes the explode subtree on both sides of the
+  join, doubling the corpus scan);
+- document frequency, not occurrence count: in-doc repetition never
+  promotes a line to boilerplate;
+- reassembly flattens the surviving occurrence lists per doc and
+  sort_arrays inside the row — document text never funnels through a
+  driver or a corpus-wide window;
 - the C4 filters are pure per-row projections (zero shuffle) except the
   final doc-level sentence count, which rides the same reassembly agg.
 """
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # C4's sentence-end heuristic: terminal punctuation, optionally followed
@@ -60,23 +61,23 @@ def line_dedup(df: DataFrame, key_col: str = "doc_id",
     fate; rows never silently disappear here.
     """
     ln = _lines_with_pos(df, key_col, text_col)
-    h = F.xxhash64("norm")
-    per_doc = ln.select(F.col(key_col), h.alias("h")).distinct()
-    freq = (per_doc.groupBy("h").agg(F.count("*").alias("df"))
-            .filter(F.col("df") >= min_df))
-    tagged = (ln.withColumn("h", h)
-                .join(freq, "h", "left")
-                .withColumn("dup", F.col("df").isNotNull()))
+    per = (ln.groupBy(key_col, F.xxhash64("norm").alias("h"))
+           .agg(F.collect_list(F.struct("pos", "line")).alias("occs")))
+    # corpus document-frequency as a window over the hash on the
+    # collapsed (doc, hash) rows — one scan lineage, no join recompute
+    tagged = per.withColumn(
+        "dup", F.count("*").over(Window.partitionBy("h")) >= min_df)
+    n_occ = F.size("occs").cast("long")
     agg = (tagged.groupBy(key_col)
            .agg(F.array_join(
                     F.transform(
-                        F.array_sort(F.collect_list(
-                            F.when(~F.col("dup"),
-                                   F.struct("pos", "line")))),
+                        F.array_sort(F.flatten(F.collect_list(
+                            F.when(~F.col("dup"), F.col("occs"))))),
                         lambda s: s["line"]),
                     "\n").alias("text"),
-                F.count("*").alias("n_lines"),
-                F.sum(F.col("dup").cast("long")).alias("n_removed")))
+                F.sum(n_occ).alias("n_lines"),
+                F.sum(F.when(F.col("dup"), n_occ).otherwise(F.lit(0)))
+                .alias("n_removed")))
     # all-blank documents have no line rows at all — restore them so the
     # operator is total over its input keys
     return (df.select(key_col).join(agg, key_col, "left")

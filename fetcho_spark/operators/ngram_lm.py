@@ -51,7 +51,9 @@ def train_bigram_lm(df: DataFrame, key_col: str = "doc_id",
     (so c12 sums to c1 per history, and conditionals are proper)."""
     pe = _pairs(df, key_col, text_col)
     bigrams = pe.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    histories = pe.groupBy("w1").agg(F.count("*").alias("c1"))
+    # history counts roll up from the (vocab-sized) bigram table — the
+    # corpus is exploded exactly once for training
+    histories = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return bigrams, histories
 
 
