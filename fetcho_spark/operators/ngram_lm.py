@@ -50,10 +50,16 @@ def train_bigram_lm(df: DataFrame, key_col: str = "doc_id",
     ``(w1, w2, c12)`` and ``(w1, c1)`` where c1 is the pair-left count
     (so c12 sums to c1 per history, and conditionals are proper)."""
     pe = _pairs(df, key_col, text_col)
-    bigrams = pe.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    # history counts roll up from the (vocab-sized) bigram table — the
-    # corpus is exploded exactly once for training
-    histories = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # a fitted model is a materialized artifact: localCheckpoint pins the
+    # (vocab-sized) tables so downstream scoring plans treat them as
+    # leaves instead of re-exploding the corpus per reference (the same
+    # lineage-vs-fault-tolerance trade documented at priority.py:95)
+    bigrams = (pe.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+               .localCheckpoint(eager=False))
+    # history counts roll up from the bigram table — the corpus is
+    # exploded exactly once for training
+    histories = (bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+                 .localCheckpoint(eager=False))
     return bigrams, histories
 
 
@@ -90,6 +96,9 @@ def quality_buckets(scored: DataFrame,
     """Corpus-mean bucket split: 'head' iff score >= corpus mean —
     compared as ``score * n_docs >= sum(scores)`` so the cut stays
     integer-exact (one broadcast single-row aggregate, no quantiles)."""
+    # pin the scored frame: the mean aggregate and the row output must
+    # read ONE computation, not re-derive the scoring subtree twice
+    scored = scored.localCheckpoint(eager=False)
     m = scored.agg(F.sum(score_col).alias("_tot"),
                    F.count("*").alias("_nd"))
     return (scored.crossJoin(F.broadcast(m))
