@@ -702,6 +702,16 @@ def _split_sql() -> str:
         FROM documents ORDER BY doc_id"""
 
 
+def q_inverted_index(spark, sf):
+    # blocked posting lists (operators/invindex.py); postings rendered to
+    # the canonical string for cross-engine value comparison
+    from fetcho_spark.operators.invindex import inverted_index, postings_str
+    return (inverted_index(_t(spark, sf, "documents"))
+            .withColumn("postings", postings_str())
+            .select("term", "block_id", "postings", "block_df", "df")
+            .orderBy("term", "block_id"))
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -838,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_quality": q_bigram_quality,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -1253,6 +1264,30 @@ def oracle_sql() -> dict[str, str]:
                              + 1 END AS BIGINT) AS n_packs
             FROM c ORDER BY doc_id""",
         "split_assign": _split_sql(),
+        # inverted_index: blocked posting lists; string_agg ORDER BY doc_id
+        # == Spark's array_sort over (doc, tf) structs
+        "inverted_index": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM t WHERE len(term) >= 3 GROUP BY term, doc_id
+            ), idx AS (
+              SELECT term, doc_id // 1024 AS block_id,
+                     string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)
+                       AS postings,
+                     count(*) AS block_df
+              FROM tf GROUP BY term, doc_id // 1024
+            )
+            SELECT term, CAST(block_id AS BIGINT) AS block_id, postings,
+                   CAST(block_df AS BIGINT) AS block_df,
+                   CAST(sum(block_df) OVER (PARTITION BY term) AS BIGINT)
+                     AS df
+            FROM idx ORDER BY term, block_id""",
         # gopher_quality / decontaminate: fractions are floor-quantized to
         # 6dp (floor of identical doubles is engine-independent; ROUND's
         # HALF_UP-vs-HALF_EVEN boundary is not)
