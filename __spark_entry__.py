@@ -712,6 +712,43 @@ def q_inverted_index(spark, sf):
             .orderBy("term", "block_id"))
 
 
+def q_bpe_encode_fixture(spark, sf):
+    # rank-greedy encoder with the fixture-trained merge table; tokens
+    # joined to one string for cross-engine value comparison
+    from fetcho_spark.operators.bpe import (apply_bpe, fixture_corpus,
+                                            train_bpe)
+    corpus = spark.createDataFrame(
+        list(enumerate(fixture_corpus())), "doc_id: int, text: string")
+    merges = train_bpe(corpus, n_merges=16)
+    return (apply_bpe(corpus, merges)
+            .select("doc_id", F.array_join("bpe_tokens", " ")
+                    .alias("tokens"), "n_bpe")
+            .orderBy("doc_id"))
+
+
+def _bpe_encode_sql() -> str:
+    import re as _re
+    from collections import Counter as _Counter
+    from fetcho_spark.operators.bpe import (encode_word, fixture_corpus,
+                                            train_bpe_local)
+    texts = fixture_corpus()
+    wf = _Counter()
+    for t in texts:
+        wf.update(w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w)
+    ranks = {(a, b): r for r, a, b, _ in train_bpe_local(dict(wf), 16)}
+    rows = []
+    for i, t in enumerate(texts):
+        toks = []
+        for w in _re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                toks.extend(encode_word(w, ranks))
+        rows.append(f"({i}, '{' '.join(toks)}', {len(toks)})")
+    return (f"SELECT CAST(v.i AS INT) AS doc_id, v.t AS tokens, "
+            f"CAST(v.n AS INT) AS n_bpe "
+            f"FROM (VALUES {', '.join(rows)}) AS v(i, t, n) "
+            f"ORDER BY doc_id")
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -849,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
         "inverted_index": q_inverted_index,
+        "bpe_encode_fixture": q_bpe_encode_fixture,
     }
 
 
@@ -1233,6 +1271,9 @@ def oracle_sql() -> dict[str, str]:
         # line_dedup / c4_filter: shared _ML_SQL CTE mirrors _multiline's
         # deterministic line synthesis; dedup groups by the norm string
         # where Spark groups by xxhash64(norm) — same equivalence classes
+        # bpe_encode_fixture: VALUES from the SHARED encode_word reference
+        # (one encoder definition on both sides of the parity check)
+        "bpe_encode_fixture": _bpe_encode_sql(),
         "line_dedup": _lines_sql(),
         "c4_filter": _c4_sql(),
         # pagerank: all-integer power iteration — bit-identical across

@@ -175,6 +175,33 @@ def fixture_corpus() -> list[str]:
     return out
 
 
+def encode_word(word: str, ranks: dict) -> list:
+    """Rank-greedy BPE encoding of one word (the standard encoder:
+    repeatedly merge the lowest-rank adjacent pair present). Shared by
+    the Spark UDF and the oracle-side reference so encoder parity is a
+    single definition."""
+    seq = list(word) + [END]
+    while len(seq) >= 2:
+        best = None
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, seq[i], seq[i + 1])
+        if best is None:
+            break
+        _, a, b = best
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
 def apply_bpe(df: DataFrame, merges: list[tuple], key_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Tokenize with a learned merge table → ``(key, bpe_tokens, n_bpe)``.
@@ -187,26 +214,7 @@ def apply_bpe(df: DataFrame, merges: list[tuple], key_col: str = "doc_id",
     ranks = {(m[1], m[2]): m[0] for m in merges}
 
     def encode(word: str) -> list:
-        seq = list(word) + [END]
-        while len(seq) >= 2:
-            best = None
-            for i in range(len(seq) - 1):
-                r = ranks.get((seq[i], seq[i + 1]))
-                if r is not None and (best is None or r < best[0]):
-                    best = (r, seq[i], seq[i + 1])
-            if best is None:
-                break
-            _, a, b = best
-            out, i = [], 0
-            while i < len(seq):
-                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(seq[i])
-                    i += 1
-            seq = out
-        return seq
+        return encode_word(word, ranks)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def bpe_udf(words: pd.Series) -> pd.Series:
