@@ -749,6 +749,19 @@ def _bpe_encode_sql() -> str:
             f"ORDER BY doc_id")
 
 
+def q_exact_quantiles(spark, sf):
+    # exact order statistics via the two-phase global rank (no global
+    # single-task sort); raw parquet doubles pass through untouched
+    from fetcho_spark.operators.stats import exact_quantiles
+    return exact_quantiles(_t(spark, sf, "events"), "value", "event_id")
+
+
+def q_histogram(spark, sf):
+    from fetcho_spark.operators.stats import histogram
+    return (histogram(_t(spark, sf, "events"), "value", 0.0, 400.0, 16)
+            .orderBy("bin"))
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -887,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "inverted_index": q_inverted_index,
         "bpe_encode_fixture": q_bpe_encode_fixture,
+        "exact_quantiles": q_exact_quantiles,
+        "histogram": q_histogram,
     }
 
 
@@ -1274,6 +1289,27 @@ def oracle_sql() -> dict[str, str]:
         # bpe_encode_fixture: VALUES from the SHARED encode_word reference
         # (one encoder definition on both sides of the parity check)
         "bpe_encode_fixture": _bpe_encode_sql(),
+        # exact_quantiles: rank formula is integer; the selected doubles
+        # are raw parquet values (no arithmetic), so they hash bit-equal
+        "exact_quantiles": """
+            WITH r AS (
+              SELECT value,
+                     row_number() OVER (ORDER BY value, event_id) AS rn
+              FROM events
+            ), n AS (SELECT count(*) AS n FROM events),
+            k AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99))
+                  AS v(pct))
+            SELECT CAST(k.pct AS INT) AS pct, r.value
+            FROM k, n, r
+            WHERE r.rn = (k.pct * (n.n - 1)) // 100 + 1
+            ORDER BY pct""",
+        # histogram: (v - lo) / width is two correctly-rounded IEEE ops —
+        # identical doubles, identical floor, identical counts
+        "histogram": """
+            SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), -1),
+                              16) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY bin""",
         "line_dedup": _lines_sql(),
         "c4_filter": _c4_sql(),
         # pagerank: all-integer power iteration — bit-identical across
