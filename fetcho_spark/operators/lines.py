@@ -105,14 +105,21 @@ def c4_filter(df: DataFrame, key_col: str = "doc_id",
     kept lines; dropped documents are returned flagged, not filtered, so
     callers can audit the cut (filter on keep_doc for the C4 corpus).
     """
-    lines = F.filter(F.split(F.col(text_col), "\n"),
-                     lambda l: F.trim(l) != "")
-    kept = F.filter(lines, _kept_line)
-    bad_doc = F.lower(F.col(text_col)).rlike(BAD_DOC_RE)
-    return df.select(
+    # stage the arrays: each bare-expression reference re-runs the split
+    # and filters per use (textops staged-array discipline)
+    staged = df.select(
+        F.col(key_col),
+        F.filter(F.split(F.col(text_col), "\n"),
+                 lambda l: F.trim(l) != "").alias("_ls"),
+        F.lower(F.col(text_col)).rlike(BAD_DOC_RE).alias("_bad"))
+    staged = staged.select(
+        F.col(key_col), "_ls", "_bad",
+        F.filter(F.col("_ls"), _kept_line).alias("_kept"))
+    kept = F.col("_kept")
+    return staged.select(
         F.col(key_col),
         F.array_join(F.transform(kept, F.trim), "\n").alias("text"),
         F.size(kept).alias("n_kept"),
-        (F.size(lines) - F.size(kept)).alias("n_dropped"),
-        (~bad_doc & (F.size(kept) >= MIN_SENTENCES_PER_DOC))
+        (F.size("_ls") - F.size(kept)).alias("n_dropped"),
+        (~F.col("_bad") & (F.size(kept) >= MIN_SENTENCES_PER_DOC))
         .alias("keep_doc"))
