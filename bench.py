@@ -66,6 +66,28 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+# round-4 additions, kept OUT of the headline list so the headline metric
+# stays comparable across rounds; timed once each (warm JVM) and reported
+# under "extras"
+EXTRAS = [
+    "line_dedup", "c4_filter", "pagerank", "bigram_quality",
+    "pack_sequences", "split_assign", "inverted_index",
+    "exact_quantiles", "histogram", "bpe_train_fixture",
+    "bpe_encode_fixture",
+]
+
+
+def run_extras(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in EXTRAS:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
 def run_crawl(spark, n_pages: int = CRAWL_PAGES, n_hosts: int = CRAWL_HOSTS,
               n_images: int = CRAWL_IMAGES,
               n_frontier: int = CRAWL_FRONTIER, reps: int = 2) -> dict:
@@ -212,6 +234,7 @@ def main() -> None:
 
     spark = _spark(f"local[{args.cpus}]", args.cpus)
     queries = run_headline(spark, sf_dir)
+    extras = run_extras(spark, sf_dir)
 
     crawl: dict = {}
     if os.environ.get("FETCHO_BENCH_SKIP_SCALING") != "1":
@@ -342,6 +365,7 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "extras": extras,
         "sf": sf,
         "crawl": crawl,
     }))
