@@ -762,6 +762,21 @@ def q_histogram(spark, sf):
             .orderBy("bin"))
 
 
+def q_dedup_against(spark, sf):
+    # incremental cross-corpus near-dup: odd doc_ids are the "daily
+    # batch", even ids the archived reference; the archive participates
+    # only through its signature/band index
+    from fetcho_spark.operators.dedup import (dedup_against,
+                                              minhash_signatures)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    ref = minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0),
+                             n_hashes=8)
+    new = minhash_signatures(docs.filter(F.col("doc_id") % 2 == 1),
+                             n_hashes=8)
+    return (dedup_against(new, ref, n_hashes=8)
+            .orderBy("new_id", "ref_id"))
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -902,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_fixture": q_bpe_encode_fixture,
         "exact_quantiles": q_exact_quantiles,
         "histogram": q_histogram,
+        "dedup_against": q_dedup_against,
     }
 
 
@@ -1101,6 +1117,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
             FROM (SELECT doc_id, {fp} AS fp FROM documents)
             GROUP BY fp ORDER BY fp""",
+        # dedup_against: same signature/band arithmetic as minhash_sig;
+        # string_agg ORDER BY the 'i:mh' string == Spark's array_sort
+        "dedup_against": f"""
+            WITH w AS ({words_cte}),
+            sh AS (SELECT doc_id, unnest({shingle}) AS shingle
+                   FROM w WHERE doc_id < 400),
+            ix AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS i
+                   FROM sh),
+            sig AS (SELECT doc_id, i,
+                           min(md5(shingle || ':' || i)) AS mh
+                    FROM ix GROUP BY doc_id, i),
+            bnd AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+                           md5(string_agg(i || ':' || mh, '|'
+                                          ORDER BY i || ':' || mh))
+                             AS band_hash
+                    FROM sig GROUP BY doc_id, i // 2),
+            cand AS (SELECT DISTINCT n.doc_id AS new_id,
+                            r.doc_id AS ref_id
+                     FROM bnd n JOIN bnd r USING (band, band_hash)
+                     WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+            ag AS (SELECT c.new_id, c.ref_id,
+                          CAST(sum(CASE WHEN sn.mh = sr.mh
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_agree
+                   FROM cand c
+                   JOIN sig sn ON sn.doc_id = c.new_id
+                   JOIN sig sr ON sr.doc_id = c.ref_id AND sr.i = sn.i
+                   GROUP BY c.new_id, c.ref_id)
+            SELECT new_id, ref_id, n_agree,
+                   CAST((100 * n_agree) // 8 AS BIGINT) AS agree_pct
+            FROM ag WHERE n_agree * 100 >= 50 * 8
+            ORDER BY new_id, ref_id""",
         "minhash_sig": f"""
             WITH w AS ({words_cte}),
             sh AS (SELECT doc_id, unnest({shingle}) AS shingle

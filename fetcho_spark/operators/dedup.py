@@ -64,22 +64,71 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             .groupBy(id_col, "i").agg(F.min("h").alias("minhash")))
 
 
+def band_index(sigs: DataFrame, id_col: str = "doc_id",
+               n_bands: int = 4, n_hashes: int = 12) -> DataFrame:
+    """Signature rows → the LSH band index ``(id, band, band_hash)``
+    (rows_per_band = n_hashes/n_bands). This IS the persistable dedup
+    artifact: write it partitioned by ``band`` and an incremental batch
+    joins against it without ever re-scanning the archived corpus
+    (:func:`dedup_against`)."""
+    rows_per_band = n_hashes // n_bands
+    return (sigs.withColumn("band",
+                            (F.col("i") / rows_per_band).cast("int"))
+            .groupBy(id_col, "band")
+            .agg(F.md5(F.concat_ws("|", F.array_sort(
+                F.collect_list(F.concat_ws(":", F.col("i"),
+                                           F.col("minhash"))))))
+                 .alias("band_hash")))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         n_bands: int = 4, n_hashes: int = 12) -> DataFrame:
     """Band the signature (rows_per_band = n_hashes/n_bands), bucket-join on
     (band, band_hash) → candidate pairs (id_a < id_b). The join is an
     equi-join on the band hash — shuffle, no broadcast, no O(n²)."""
-    rows_per_band = n_hashes // n_bands
-    banded = (sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-              .groupBy(id_col, "band")
-              .agg(F.md5(F.concat_ws("|", F.array_sort(
-                  F.collect_list(F.concat_ws(":", F.col("i"), F.col("minhash"))))))
-                   .alias("band_hash")))
+    banded = band_index(sigs, id_col, n_bands, n_hashes)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (a.join(b, ["band", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+
+
+def dedup_against(new_sigs: DataFrame, ref_sigs: DataFrame,
+                  id_col: str = "doc_id", n_bands: int = 4,
+                  n_hashes: int = 12,
+                  threshold_pct: int = 50) -> DataFrame:
+    """Incremental cross-corpus near-dup: flag documents of a NEW batch
+    that near-duplicate an archived REFERENCE corpus →
+    ``(new_id, ref_id, n_agree, agree_pct)`` for pairs whose signature
+    agreement reaches ``threshold_pct`` (agreement fraction is the
+    MinHash Jaccard estimate; all-integer, engine-exact).
+
+    Scale shape: the archive participates ONLY through its (tiny,
+    persistable) signature + band index — the daily increment dedups
+    against a 100 TB archive without re-reading archive text. Bands
+    equi-join new×ref (never ref×ref, never all-pairs); verification
+    joins signatures only for banded candidates, ≤ n_hashes rows per
+    candidate pair.
+    """
+    nb = (band_index(new_sigs, id_col, n_bands, n_hashes)
+          .select(F.col(id_col).alias("new_id"), "band", "band_hash"))
+    rb = (band_index(ref_sigs, id_col, n_bands, n_hashes)
+          .select(F.col(id_col).alias("ref_id"), "band", "band_hash"))
+    cand = (nb.join(rb, ["band", "band_hash"])
+            .select("new_id", "ref_id").distinct())
+    ns = new_sigs.select(F.col(id_col).alias("new_id"), "i",
+                         F.col("minhash").alias("_hn"))
+    rs = ref_sigs.select(F.col(id_col).alias("ref_id"), "i",
+                         F.col("minhash").alias("_hr"))
+    agree = (cand.join(ns, "new_id").join(rs, ["ref_id", "i"])
+             .groupBy("new_id", "ref_id")
+             .agg(F.sum((F.col("_hn") == F.col("_hr")).cast("long"))
+                  .alias("n_agree")))
+    return (agree
+            .withColumn("agree_pct",
+                        F.expr(f"(100 * n_agree) div {n_hashes}"))
+            .filter(F.col("n_agree") * 100 >= threshold_pct * n_hashes))
 
 
 def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
