@@ -777,6 +777,67 @@ def q_dedup_against(spark, sf):
             .orderBy("new_id", "ref_id"))
 
 
+def q_hits(spark, sf):
+    # HITS over the same synthetic 3-out-regular graph as q_pagerank
+    from fetcho_spark.operators.graph import hits
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    e = None
+    for a, b in _PR_EDGE_GENS:
+        part = docs.select(d.alias("src"), ((d * a + b) % n).alias("dst"))
+        e = part if e is None else e.union(part)
+    return hits(e, n_iter=6).orderBy("node_id")
+
+
+def _hits_sql(n_iter: int = 6) -> str:
+    from fetcho_spark.operators.graph import DEFAULT_SCALE
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % "
+        f"(SELECT count(*) FROM documents) AS dst FROM documents"
+        for a, b in _PR_EDGE_GENS)
+
+    # every CTE is MATERIALIZED: each half-step is referenced twice (the
+    # next push + its own max-normalizer subquery), and DuckDB re-inlines
+    # plain CTEs per reference — the 12-step chain would re-evaluate
+    # exponentially (observed as a too-many-open-files parquet storm)
+    def norm(src_cte, out_cte):
+        return f""",
+        {out_cte} AS MATERIALIZED (
+          SELECT v, CAST(CASE WHEN m._m > 0
+                         THEN ({DEFAULT_SCALE} * q) // m._m
+                         ELSE 0 END AS BIGINT) AS q
+          FROM {src_cte}, (SELECT max(q) AS _m FROM {src_cte}) m)"""
+
+    steps = ""
+    for k in range(1, n_iter + 1):
+        prev_h = "h0" if k == 1 else f"hn{k - 1}"
+        steps += f""",
+        a{k} AS MATERIALIZED (
+          SELECT nodes.v, CAST(COALESCE(sum(p.q), 0) AS BIGINT) AS q
+          FROM nodes LEFT JOIN e ON e.dst = nodes.v
+               LEFT JOIN {prev_h} p ON p.v = e.src
+          GROUP BY nodes.v)"""
+        steps += norm(f"a{k}", f"an{k}")
+        steps += f""",
+        h{k} AS MATERIALIZED (
+          SELECT nodes.v, CAST(COALESCE(sum(p.q), 0) AS BIGINT) AS q
+          FROM nodes LEFT JOIN e ON e.src = nodes.v
+               LEFT JOIN an{k} p ON p.v = e.dst
+          GROUP BY nodes.v)"""
+        steps += norm(f"h{k}", f"hn{k}")
+    return f"""
+        WITH e0 AS MATERIALIZED ({gens}),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+        nodes AS MATERIALIZED (SELECT src AS v FROM e
+                               UNION SELECT dst FROM e),
+        h0 AS MATERIALIZED (SELECT v, CAST({DEFAULT_SCALE} AS BIGINT) AS q
+               FROM nodes){steps}
+        SELECT h.v AS node_id, h.q AS hub_q, a.q AS auth_q
+        FROM hn{n_iter} h JOIN an{n_iter} a ON a.v = h.v
+        ORDER BY node_id"""
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -918,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "histogram": q_histogram,
         "dedup_against": q_dedup_against,
+        "hits": q_hits,
     }
 
 
@@ -1363,6 +1425,9 @@ def oracle_sql() -> dict[str, str]:
         # pagerank: all-integer power iteration — bit-identical across
         # engines, so the hash check covers the full 10-iteration fixpoint
         "pagerank": _pagerank_sql(),
+        # hits: 6 unrolled authority/hub half-steps, each with its own
+        # integer max-normalizer scalar subquery
+        "hits": _hits_sql(),
         # bigram_quality: integer conditional-probability coherence — the
         # whole train+score+bucket pipeline is exact in both engines
         "bigram_quality": _bigram_sql(),

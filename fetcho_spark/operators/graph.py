@@ -72,6 +72,78 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping_pct: int = 85,
                     F.col("q").alias("rank_q"))
 
 
+def hits(edges: DataFrame, n_iter: int = 6,
+         scale: int = DEFAULT_SCALE) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg) → ``(node_id, hub_q, auth_q)``.
+
+    Each iteration: authority = sum of in-neighbor hub scores, hub = sum
+    of out-neighbor NEW authority scores, each max-normalized back to
+    ``scale`` — floor(scale * x / max(x)) is all-integer, so the scores
+    are engine- and partition-exact like :func:`pagerank`. The
+    normalizer is a single-row max aggregate broadcast back per
+    half-step (the scalar-per-iteration pattern PageRank's teleport
+    constant avoids needing).
+
+    Overflow bound: pre-normalization sums are < max_degree * scale;
+    keep ``max_in_degree * scale < 2^63`` (default scale 1e9 → safe to
+    ~9e9-degree hubs).
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    nodes = (e.select(F.col("src").alias("v"))
+             .union(e.select(F.col("dst").alias("v")))
+             .distinct().localCheckpoint(eager=False))
+
+    def _norm(df, col):
+        m = df.agg(F.max(col).alias("_m"))
+        return (df.crossJoin(F.broadcast(m))
+                .select("v", F.when(F.col("_m") > 0,
+                                    F.expr(f"({scale} * {col}) div _m"))
+                        .otherwise(F.lit(0)).cast("long").alias(col)))
+
+    def _push(scores, score_col, key, out, out_col):
+        # sum scores of `key`-side endpoints onto the `out` endpoint
+        s = (e.join(scores.withColumnRenamed("v", key), key)
+             .groupBy(F.col(out).alias("v"))
+             .agg(F.sum(score_col).alias(out_col)))
+        return (nodes.join(s, "v", "left")
+                .select("v", F.coalesce(out_col, F.lit(0)).cast("long")
+                        .alias(out_col)))
+
+    hub = nodes.select("v", F.lit(scale).cast("long").alias("hub_q"))
+    auth = None
+    for _ in range(n_iter):
+        auth = _norm(_push(hub, "hub_q", "src", "dst", "auth_q"),
+                     "auth_q").localCheckpoint(eager=False)
+        hub = _norm(_push(auth, "auth_q", "dst", "src", "hub_q"),
+                    "hub_q").localCheckpoint(eager=False)
+    return (hub.join(auth, "v")
+            .select(F.col("v").alias("node_id"), "hub_q", "auth_q"))
+
+
+def hits_local(edge_list: list[tuple], n_iter: int = 6,
+               scale: int = DEFAULT_SCALE) -> dict:
+    """In-memory HITS with the identical integer arithmetic."""
+    e = sorted(set(edge_list))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    hub = {v: scale for v in nodes}
+    auth = {v: 0 for v in nodes}
+
+    def norm(d):
+        m = max(d.values())
+        return {v: (scale * x) // m if m > 0 else 0 for v, x in d.items()}
+
+    for _ in range(n_iter):
+        auth = {v: 0 for v in nodes}
+        for s, d in e:
+            auth[d] += hub[s]
+        auth = norm(auth)
+        hub = {v: 0 for v in nodes}
+        for s, d in e:
+            hub[s] += auth[d]
+        hub = norm(hub)
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
 def pagerank_local(edge_list: list[tuple], n_iter: int = 10,
                    damping_pct: int = 85,
                    scale: int = DEFAULT_SCALE) -> dict:
