@@ -838,6 +838,39 @@ def _hits_sql(n_iter: int = 6) -> str:
         ORDER BY node_id"""
 
 
+_RANK_QUERY = ["hash", "merge", "window"]
+
+
+def q_rank_docs(spark, sf):
+    # TF-IDF ranked retrieval (reado/FetchoAPI word search, ranked)
+    from fetcho_spark.operators.invindex import rank_docs
+    return rank_docs(_t(spark, sf, "documents"), _RANK_QUERY, top_k=20)
+
+
+def _rank_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _RANK_QUERY)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM t WHERE len(term) >= 3 AND term IN ({terms})
+          GROUP BY term, doc_id
+        ), dfreq AS (
+          SELECT term, (1000000 * (SELECT count(*) FROM documents))
+                         // count(*) AS idf_q
+          FROM tf GROUP BY term
+        )
+        SELECT doc_id, CAST(sum(tf.tf * dfreq.idf_q) AS BIGINT) AS score_q
+        FROM tf JOIN dfreq USING (term)
+        GROUP BY doc_id
+        ORDER BY score_q DESC, doc_id LIMIT 20"""
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -980,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "dedup_against": q_dedup_against,
         "hits": q_hits,
+        "rank_docs": q_rank_docs,
     }
 
 
@@ -1428,6 +1462,9 @@ def oracle_sql() -> dict[str, str]:
         # hits: 6 unrolled authority/hub half-steps, each with its own
         # integer max-normalizer scalar subquery
         "hits": _hits_sql(),
+        # rank_docs: integer-quantized idf (q*N // df) — monotone in true
+        # log idf, engine-exact; tf*idf sums are pure int64
+        "rank_docs": _rank_sql(),
         # bigram_quality: integer conditional-probability coherence — the
         # whole train+score+bucket pipeline is exact in both engines
         "bigram_quality": _bigram_sql(),

@@ -49,6 +49,40 @@ def inverted_index(df: DataFrame, key_col: str = "doc_id",
         "df", F.sum("block_df").over(Window.partitionBy("term")))
 
 
+def rank_docs(df: DataFrame, query_terms: list, top_k: int = 20,
+              key_col: str = "doc_id", text_col: str = "text",
+              min_len: int = 3, q: int = 10**6) -> DataFrame:
+    """TF-IDF ranked retrieval → top ``top_k`` ``(key, score_q)`` for a
+    bag-of-terms query (the reado/FetchoAPI word-search direction,
+    ranked instead of boolean).
+
+    idf is integer-quantized as ``(q * N) // df`` — a monotone rational
+    transform of the true log idf for any fixed df ordering, engine-
+    exact — and ``score_q = sum(tf * idf_q)`` over the query terms.
+
+    Scale shape: the term filter lands BEFORE the tf aggregation, so
+    only postings of query terms shuffle (query-sized, not
+    corpus-vocabulary-sized); df for those terms is a second bounded
+    agg; final top-k is TakeOrderedAndProject. Ties break on key for
+    determinism.
+    """
+    n = df.count()
+    toks = (df.select(F.col(key_col),
+                      F.explode(words_arr(F.col(text_col))).alias("term"))
+            .filter(F.length("term") >= min_len)
+            .filter(F.col("term").isin([t.lower() for t in query_terms])))
+    tf = toks.groupBy("term", key_col).agg(F.count("*").alias("tf"))
+    # L-suffixed literals: bare ints parse as 32-bit and q * N overflows
+    # under ANSI for corpora past ~2k docs
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .withColumn("idf_q", F.expr(f"({q}L * {n}L) div df")))
+    return (tf.join(dfreq, "term")
+            .groupBy(key_col)
+            .agg(F.sum(F.col("tf") * F.col("idf_q")).alias("score_q"))
+            .orderBy(F.desc("score_q"), F.col(key_col))
+            .limit(top_k))
+
+
 def postings_str(key_col: str = "doc_id"):
     """Canonical 'doc:tf doc:tf …' rendering of a postings array (for
     cross-engine comparison and text dumps)."""
