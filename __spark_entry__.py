@@ -871,6 +871,14 @@ def _rank_sql() -> str:
         ORDER BY score_q DESC, doc_id LIMIT 20"""
 
 
+def q_hll_sketch(spark, sf):
+    # mergeable distinct-count sketch AS DATA over events.user_id —
+    # the register table itself is hash-checked, not the estimate
+    from fetcho_spark.operators.stats import hll_registers
+    return (hll_registers(_t(spark, sf, "events"), "user_id")
+            .orderBy("register"))
+
+
 def _pii_synth(docs):
     # deterministic synthetic PII appended so the scrub oracle is
     # non-vacuous on the word-soup corpus
@@ -1014,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "hits": q_hits,
         "rank_docs": q_rank_docs,
+        "hll_sketch": q_hll_sketch,
     }
 
 
@@ -1465,6 +1474,22 @@ def oracle_sql() -> dict[str, str]:
         # rank_docs: integer-quantized idf (q*N // df) — monotone in true
         # log idf, engine-exact; tf*idf sums are pure int64
         "rank_docs": _rank_sql(),
+        # hll_sketch: 48 md5 bits → top-10 register, next-32-bit word;
+        # floor(log2) as binary-digit count (exact string op both engines)
+        "hll_sketch": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                       ::BIGINT AS h
+              FROM events
+            ), r AS (
+              SELECT h >> 38 AS register,
+                     (h >> 6) & 4294967295 AS w
+              FROM h)
+            SELECT register,
+                   CAST(max(CASE WHEN w = 0 THEN 33
+                            ELSE 33 - length(bin(w)) END) AS INT)
+                     AS max_rho
+            FROM r GROUP BY register ORDER BY register""",
         # bigram_quality: integer conditional-probability coherence — the
         # whole train+score+bucket pipeline is exact in both engines
         "bigram_quality": _bigram_sql(),

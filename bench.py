@@ -73,7 +73,7 @@ EXTRAS = [
     "line_dedup", "c4_filter", "pagerank", "bigram_quality",
     "pack_sequences", "split_assign", "inverted_index",
     "exact_quantiles", "histogram", "bpe_train_fixture",
-    "bpe_encode_fixture", "dedup_against", "hits", "rank_docs",
+    "bpe_encode_fixture", "dedup_against", "hits", "rank_docs", "hll_sketch",
 ]
 
 

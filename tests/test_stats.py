@@ -1,10 +1,12 @@
-"""Exact quantiles + deterministic histogram."""
+"""Exact quantiles, deterministic histogram, HLL register sketch."""
 
+import hashlib
 import math
 
 import pytest
 
-from fetcho_spark.operators.stats import exact_quantiles, histogram
+from fetcho_spark.operators.stats import (exact_quantiles, histogram,
+                                          hll_estimate, hll_registers)
 
 VALS = [7.5, -2.0, 3.25, 3.25, 11.0, 0.5, 99.0, 3.25, -8.75, 42.0]
 ROWS = [(i, v) for i, v in enumerate(VALS)]
@@ -49,3 +51,40 @@ def test_histogram_bins_and_overflow(spark):
     assert got == ref
     assert got[-1] == 2 and got[5] == 3       # under/overflow populated
     assert sum(got.values()) == len(VALS)
+
+
+def _ref_registers(keys, p=10):
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+        reg = h >> (48 - p)
+        w = (h >> (48 - p - 32)) & 0xFFFFFFFF
+        rho = 33 if w == 0 else 33 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+@pytest.mark.spark
+def test_hll_registers_match_reference_and_merge(spark):
+    a = [f"u{i}" for i in range(3000)]
+    b = [f"u{i}" for i in range(1500, 4500)]      # overlaps a
+    da = spark.createDataFrame([(k,) for k in a], ["k"])
+    db = spark.createDataFrame([(k,) for k in b], ["k"])
+    ra = {r["register"]: r["max_rho"]
+          for r in hll_registers(da, "k").collect()}
+    assert ra == _ref_registers(a)
+    # duplicates never change the sketch
+    rd = {r["register"]: r["max_rho"]
+          for r in hll_registers(da.union(da), "k").collect()}
+    assert rd == ra
+    # merge = max per register == sketch of the union
+    rb = {r["register"]: r["max_rho"]
+          for r in hll_registers(db, "k").collect()}
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0))
+              for k in set(ra) | set(rb)}
+    ru = {r["register"]: r["max_rho"]
+          for r in hll_registers(da.union(db), "k").collect()}
+    assert merged == ru
+    # estimate lands within ~5% at p=10 for 4500 distinct
+    est = hll_estimate(list(ru.items()))
+    assert abs(est - 4500) / 4500 < 0.05
