@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -258,6 +259,34 @@ class Catalog:
         if not new:
             return None
         return self.spark.read.parquet(*new)
+
+    def snapshot_diff(self, name: str, from_id: int, to_id: int,
+                      key: str) -> DataFrame:
+        """Row-level diff between two snapshots →
+        ``(change ∈ {added, removed, changed}, …to-side row columns)``
+        (for ``removed``, the from-side row). The Iceberg
+        changelog-read analog over the time-travel shim.
+
+        Scale shape: two ``exceptAll``s (hash-aggregate anti-joins on
+        full rows) shrink both sides to actually-differing rows FIRST;
+        classification then joins only those differences by key — no
+        full-table key join, so an almost-unchanged 10^10-row table
+        diffs at the cost of its churn, not its size.
+        """
+        a = self.read(name, from_id)
+        b = self.read(name, to_id)
+        a = a.select(b.columns)
+        gone = a.exceptAll(b)          # removed or pre-change version
+        new = b.exceptAll(a)           # added or post-change version
+        gk = gone.select(key).distinct()
+        nk = new.select(key).distinct()
+        added = (new.join(gk, key, "left_anti")
+                 .withColumn("change", F.lit("added")))
+        removed = (gone.join(nk, key, "left_anti")
+                   .withColumn("change", F.lit("removed")))
+        changed = (new.join(gk, key, "left_semi")
+                   .withColumn("change", F.lit("changed")))
+        return added.unionByName(removed).unionByName(changed)
 
     # -------------------------------------------------------- maintenance
     # Iceberg's table-maintenance actions — without these a perpetual crawl

@@ -287,3 +287,21 @@ def test_catalog_maintenance_model_based(spark):
             _sh.rmtree(d, ignore_errors=True)
 
     run()
+
+
+@pytest.mark.spark
+def test_snapshot_diff_changelog(spark, tmp_catalog):
+    c = tmp_catalog
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    v2 = spark.createDataFrame(
+        [(1, "a"), (3, "C"), (4, "d"), (4, "d")], ["k", "v"])  # dup row
+    s1 = c.overwrite("t", v1)
+    s2 = c.overwrite("t", v2)
+    rows = {(r["change"], r["k"], r["v"])
+            for r in c.snapshot_diff("t", s1, s2, key="k").collect()}
+    assert rows == {("removed", 2, "b"), ("changed", 3, "C"),
+                    ("added", 4, "d")}
+    # identical snapshots diff to nothing
+    s3 = c.overwrite("t", v2)
+    assert c.snapshot_diff("t", s2, s3, key="k").count() == 0
