@@ -30,6 +30,13 @@ CHECKS = {
     "gopher_quality": ["HashAggregate"],
     "token_budget": ["Window"],
     "simhash_pairs": ["HashAggregate"],
+    # round-4 additions
+    "rank_docs": ["TakeOrderedAndProject"],   # top-k never global-sorts
+    "histogram": ["HashAggregate"],           # <= nbins+2 groups
+    "hll_sketch": ["HashAggregate"],          # <= 2^p groups
+    # pack_sequences' RangePartitioning is hidden behind the pinning
+    # localCheckpoint (LogicalRDD leaf) — asserted structurally by its
+    # partition-invariance unit test instead
 }
 
 
