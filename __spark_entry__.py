@@ -70,6 +70,60 @@ def q_anti_join_seen(spark, sf):  # J1/P8 — seen-set anti-join shape
             .orderBy("c_custkey"))
 
 
+def q_seen_route_cuckoo(spark, sf):
+    """S4 seen-set router with the CUCKOO filter backend (north star:
+    "bloom/cuckoo-filter URL-seen set"; operators/cuckoo.py): seen keys →
+    per-bucket cuckoo blobs (applyInPandas, blobs never leave their bucket)
+    → frontier rows probe their bucket's blob → "maybe" rows pay the exact
+    anti-join, "definitely unseen" rows skip it. Output == plain anti-join
+    (the filter is a router; false positives cost only the join, false
+    negatives are impossible for inserted keys) — the oracle hash-checks
+    exactly that on real data."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from fetcho_spark.operators.cuckoo import CuckooCore
+
+    core, size_bits, n_buckets = CuckooCore(), 1 << 20, 8
+    cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    seen = (orders.select(F.col("o_custkey").alias("key")).distinct()
+            .withColumn("bucket", F.pmod("key", F.lit(n_buckets))))
+    blob_schema = T.StructType([T.StructField("bucket", T.LongType()),
+                                T.StructField("bits", T.BinaryType())])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = core.insert(core.empty(size_bits), size_bits,
+                          pdf["key"].to_numpy())
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "bits": [buf.tobytes()]})
+
+    blobs = seen.groupBy("bucket").applyInPandas(build, blob_schema)
+    frontier = cust.select("c_custkey", "c_name").withColumn(
+        "bucket", F.pmod("c_custkey", F.lit(n_buckets)))
+    probe_schema = T.StructType(frontier.schema.fields +
+                                [T.StructField("_maybe", T.BooleanType())])
+
+    def probe(keys_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        if keys_pdf.empty:
+            keys_pdf["_maybe"] = pd.Series([], dtype=bool)
+            return keys_pdf
+        if blob_pdf.empty:
+            keys_pdf["_maybe"] = False
+            return keys_pdf
+        bits = np.frombuffer(blob_pdf["bits"].iloc[0], dtype=np.uint8)
+        keys_pdf["_maybe"] = core.contains(
+            bits, size_bits, keys_pdf["c_custkey"].to_numpy())
+        return keys_pdf
+
+    routed = (frontier.groupBy("bucket").cogroup(blobs.groupBy("bucket"))
+              .applyInPandas(probe, probe_schema))
+    clean = routed.filter(~F.col("_maybe"))
+    maybe = routed.filter(F.col("_maybe")).join(
+        seen.select("key"), F.col("c_custkey") == F.col("key"), "left_anti")
+    return (clean.unionByName(maybe).select("c_custkey", "c_name")
+            .orderBy("c_custkey"))
+
+
 def q_window_chunk_seq(spark, sf):  # O2/P13 — per-host chunk sequencing
     orders = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -962,6 +1016,7 @@ def q_embedding_norms(spark, sf):  # zip_with/aggregate JVM-side vector math
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "anti_join_seen": q_anti_join_seen,
+        "seen_route_cuckoo": q_seen_route_cuckoo,
         "window_chunk_seq": q_window_chunk_seq,
         "politeness_budget": q_politeness_budget,
         "priority_semantics": q_priority_semantics,
@@ -1073,6 +1128,13 @@ def oracle_sql() -> dict[str, str]:
         f"THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)" for b in range(60))
     return {
         "anti_join_seen": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey""",
+        # cuckoo routing is exact BY CONTRACT (filter = router): same oracle
+        # as the plain anti-join — the hash match proves no-false-negative
+        "seen_route_cuckoo": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey)

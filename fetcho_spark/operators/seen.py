@@ -8,10 +8,15 @@ state in tables, not executors (resumability):
 - ``seen``        — exact set: ``(url_hash binary(16), url_hash64 long,
                     next_fetch timestamp)``, bucketed by ``pmod(url_hash64,
                     n_buckets)`` (Iceberg ``bucket()`` transform in prod).
-- ``seen_filter`` — one Bloom filter **per bucket** as a binary blob row:
-                    ``(bucket, bits, n_items, n_bits)``; rebuilt
-                    *incrementally* (new keys OR-ed into the blob) each round
-                    and snapshot-versioned with everything else.
+- ``seen_filter`` — one approximate filter **per bucket** as a binary blob
+                    row: ``(bucket, bits, n_items, n_bits)``; rebuilt
+                    *incrementally* (new keys folded into the blob) each round
+                    and snapshot-versioned with everything else. The blob
+                    format is a pluggable core (operators/cuckoo.py): the
+                    default bloom, or a cuckoo filter whose deletion support
+                    lets :meth:`SeenSet.expire` shed TTL-expired keys without
+                    a full rebuild (north star names "bloom/cuckoo" — both
+                    ship, golden-tested to identical crawl output).
 
 Probe = bloom pre-filter → exact left-anti join for the "maybe seen" subset
 only. The bloom is ONLY a router: false positives just pay the exact join;
@@ -76,11 +81,13 @@ class SeenSet:
     def __init__(self, catalog: Catalog, n_buckets: int = 64,
                  bits_per_bucket: int = 1 << 20, n_hashes: int = 7,
                  table: str = "seen", filter_table: str = "seen_filter",
-                 bloom_min_seen: int = 0):
+                 bloom_min_seen: int = 0, core=None):
+        from .cuckoo import BloomCore
         self.catalog = catalog
         self.n_buckets = n_buckets
         self.bits_per_bucket = bits_per_bucket
         self.k = n_hashes
+        self.core = core if core is not None else BloomCore(n_hashes)
         self.table = table
         self.filter_table = filter_table
         # below this seen-set size the bloom route costs more than it saves
@@ -132,7 +139,7 @@ class SeenSet:
                                   int(r["n_bits"]))
                for r in self.catalog.read(self.filter_table).collect()}
         bc = spark.sparkContext.broadcast(flt)
-        k, nb = self.k, self.n_buckets
+        core, nb = self.core, self.n_buckets
 
         @F.pandas_udf(T.BooleanType())
         def maybe_seen(url_hash64: pd.Series) -> pd.Series:
@@ -146,7 +153,7 @@ class SeenSet:
                     continue
                 bits, n_bits = ent
                 m = buckets == b
-                out[m] = _test_bits(bits, _positions(keys[m], k, n_bits))
+                out[m] = core.contains(bits, n_bits, keys[m])
             return pd.Series(out)
 
         return frontier.withColumn("_maybe_seen",
@@ -157,7 +164,7 @@ class SeenSet:
         out_schema = T.StructType(
             [f for f in frontier.schema.fields] +
             [T.StructField("_maybe_seen", T.BooleanType())])
-        k = self.k
+        core = self.core
 
         def probe(keys_pdf: pd.DataFrame, flt_pdf: pd.DataFrame) -> pd.DataFrame:
             if keys_pdf.empty:
@@ -168,8 +175,8 @@ class SeenSet:
                 return keys_pdf
             bits = np.frombuffer(flt_pdf["bits"].iloc[0], dtype=np.uint8)
             n_bits = int(flt_pdf["n_bits"].iloc[0])
-            pos = _positions(keys_pdf["url_hash64"].to_numpy(), k, n_bits)
-            keys_pdf["_maybe_seen"] = _test_bits(bits, pos)
+            keys_pdf["_maybe_seen"] = core.contains(
+                bits, n_bits, keys_pdf["url_hash64"].to_numpy())
             return keys_pdf
 
         return (frontier.groupBy("_bucket")
@@ -202,6 +209,84 @@ class SeenSet:
                                folded.select("url_hash", "url_hash64",
                                              "next_fetch"))
 
+    def expire(self, logical_now) -> None:
+        """Drop TTL-expired hashes from BOTH the exact table and the blobs.
+
+        Long-crawl maintenance (the reference ages rows out of Postgres via
+        ``next_fetch``; an approximate filter has no such luxury): without
+        this, expired keys accumulate in the blobs until the false-positive
+        rate sends every frontier row to the exact join. Cost profile is the
+        point of the cuckoo backend:
+
+        - **cuckoo** (``core.supports_delete``): delete the expired
+          fingerprints in place, then re-probe the survivors and re-insert
+          any that a fingerprint-collision delete took out (restores the
+          no-false-negative invariant exactly — the standard cuckoo deletion
+          caveat, handled, not ignored). O(expired) mutation + one
+          vectorized survivor probe.
+        - **bloom**: bits cannot be unset; the blob is rebuilt from the
+          survivors. O(survivors) k-hash inserts every time.
+
+        Both run per bucket inside the same cogrouped ``applyInPandas`` as
+        the round updates — blobs never leave their bucket, nothing funnels
+        through the driver. The exact table is folded (compact) and the
+        expired rows dropped in the same pass. Like ``compact``, call this
+        only AFTER a round checkpoint (CLAUDE.md maintenance rule)."""
+        if not self.catalog.exists(self.table):
+            return
+        folded = (self.catalog.read(self.table)
+                  .groupBy("url_hash64")
+                  .agg(F.max_by("url_hash", "next_fetch").alias("url_hash"),
+                       F.max("next_fetch").alias("next_fetch"))
+                  .withColumn("bucket", bucket_col(n_buckets=self.n_buckets))
+                  .withColumn("_expired",
+                              F.col("next_fetch") <= F.lit(logical_now)))
+        core, n_bits = self.core, self.bits_per_bucket
+        if self.catalog.exists(self.filter_table):
+            existing = self.catalog.read(self.filter_table)
+        else:
+            existing = folded.sparkSession.createDataFrame([], FILTER_SCHEMA)
+
+        def rebuild(keys_pdf: pd.DataFrame,
+                    flt_pdf: pd.DataFrame) -> pd.DataFrame:
+            if keys_pdf.empty and flt_pdf.empty:
+                return pd.DataFrame(
+                    columns=["bucket", "bits", "n_items", "n_bits"])
+            nb = int(flt_pdf["n_bits"].iloc[0]) if not flt_pdf.empty else n_bits
+            bucket = int(flt_pdf["bucket"].iloc[0]) if not flt_pdf.empty \
+                else int(keys_pdf["bucket"].iloc[0])
+            kept = keys_pdf.loc[~keys_pdf["_expired"],
+                                "url_hash64"].to_numpy()
+            blob = np.frombuffer(flt_pdf["bits"].iloc[0],
+                                 dtype=np.uint8) if not flt_pdf.empty \
+                else None
+            if (core.supports_delete and blob is not None
+                    and not core.is_saturated(blob)):
+                bits = blob.copy()
+                gone = keys_pdf.loc[keys_pdf["_expired"],
+                                    "url_hash64"].to_numpy()
+                core.delete(bits, nb, gone)
+                missing = kept[~core.contains(bits, nb, kept)]
+                core.insert(bits, nb, missing)
+            else:
+                # bloom (bits can't be unset) or a saturated cuckoo blob
+                # (its contents are unreachable — expiry may bring the key
+                # count back under capacity): rebuild from the survivors
+                bits = core.empty(nb)
+                core.insert(bits, nb, kept)
+            return pd.DataFrame({"bucket": [bucket], "bits": [bits.tobytes()],
+                                 "n_items": [len(kept)], "n_bits": [nb]})
+
+        merged = (folded.select("bucket", "url_hash64", "_expired")
+                  .groupBy("bucket")
+                  .cogroup(existing.groupBy("bucket"))
+                  .applyInPandas(rebuild, FILTER_SCHEMA))
+        self.catalog.overwrite(self.filter_table, merged)
+        self.catalog.overwrite(
+            self.table,
+            folded.filter(~F.col("_expired"))
+                  .select("url_hash", "url_hash64", "next_fetch"))
+
     def _update_filters(self, rows: DataFrame) -> None:
         spark = rows.sparkSession
         keyed = rows.select("url_hash64").withColumn(
@@ -210,13 +295,13 @@ class SeenSet:
             existing = self.catalog.read(self.filter_table)
         else:
             existing = spark.createDataFrame([], FILTER_SCHEMA)
-        n_bits, k = self.bits_per_bucket, self.k
+        n_bits, core = self.bits_per_bucket, self.core
 
         def merge(new_pdf: pd.DataFrame, flt_pdf: pd.DataFrame) -> pd.DataFrame:
             if new_pdf.empty and flt_pdf.empty:
                 return pd.DataFrame(columns=["bucket", "bits", "n_items", "n_bits"])
             if flt_pdf.empty:
-                bits = np.zeros(n_bits // 8, dtype=np.uint8)
+                bits = core.empty(n_bits)
                 n_items, nb = 0, n_bits
                 bucket = int(new_pdf["bucket"].iloc[0])
             else:
@@ -225,8 +310,7 @@ class SeenSet:
                 nb = int(flt_pdf["n_bits"].iloc[0])
                 bucket = int(flt_pdf["bucket"].iloc[0])
             if not new_pdf.empty:
-                pos = _positions(new_pdf["url_hash64"].to_numpy(), k, nb)
-                _set_bits(bits, pos)
+                core.insert(bits, nb, new_pdf["url_hash64"].to_numpy())
                 n_items += len(new_pdf)
             return pd.DataFrame({"bucket": [bucket], "bits": [bits.tobytes()],
                                  "n_items": [n_items], "n_bits": [nb]})
