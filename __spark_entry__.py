@@ -1013,6 +1013,155 @@ def q_embedding_norms(spark, sf):  # zip_with/aggregate JVM-side vector math
     return emb.select("vec_id", F.round(_norm(vd), 6).alias("l2"))
 
 
+def q_kmeans_centroids(spark, sf):
+    """Distributed quantized-Lloyd's k-means (SemDeDup's clustering stage):
+    the FINAL update step stays an uncollected Spark plan, so the hash
+    match against the fully-unrolled SQL twin proves the distributed fit —
+    seeded md5 init, exact integer dots, floor-quantized means — computes
+    the identical function end to end."""
+    from fetcho_spark.operators.semdedup import kmeans_fit
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_fit(emb, k=8, iters=2, return_frame=True) \
+        .orderBy("cid", "pos")
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup: k-means blocking + within-cluster cosine pruning
+    (lowest-id survivor). All comparisons run on exact integer-grid
+    vectors so the >= tau threshold is bit-stable across engines.
+
+    The raw embeddings table has no semantic near-dups (max within-cluster
+    cosine ~0.49 at sf0.01), so — same non-vacuousness trick as pii_scrub —
+    both engines union in derived clones (vec_id+100000, embedding × 1.0001
+    in DOUBLE) whose cosine vs their base is ~1: the tau=0.95 pruning path
+    is exercised for real, not trivially empty."""
+    from fetcho_spark.operators.semdedup import kmeans_fit, semdedup
+    emb = _t(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    clones = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x.cast("double") * F.lit(1.0001))
+        .alias("embedding"))
+    df = base.unionByName(clones)
+    cents = kmeans_fit(df, k=8, iters=2)
+    return semdedup(df, cents, tau=0.95).orderBy("vec_id")
+
+
+def _kmeans_cte(k: int = 8, iters: int = 2, seed: int = 42,
+                src: str = "embeddings") -> str:
+    """Fully-unrolled SQL twin of fetcho_spark.operators.semdedup.kmeans_fit:
+    q = 1e-6-grid quantization (floor(x*1e6+0.5) — branchless, identical
+    IEEE ops in both engines), c0 = md5-seeded init, then per iteration an
+    assignment (argmax of dot/sqrt(norm2) over exact integers; ties to the
+    lowest cid) and a floor-quantized integer-mean update with empty-cluster
+    backfill. Ends defining c{iters} (cid, cv) and a{iters-1}'s successor
+    assignment inputs."""
+    parts = [f"""
+        q AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+              FROM {src}),
+        r0 AS (SELECT vec_id, qv,
+                      row_number() OVER (ORDER BY md5(vec_id || ':km:{seed}'),
+                                         vec_id) - 1 AS cid
+               FROM q),
+        c0 AS (SELECT cid, qv AS cv FROM r0 WHERE cid < {k})"""]
+    for i in range(iters):
+        parts.append(f"""
+        s{i + 1} AS (SELECT v.vec_id, v.qv, c.cid,
+                   CASE WHEN c.n2 = 0 THEN -1e308
+                        ELSE CAST(list_sum(list_transform(
+                               range(1, len(v.qv) + 1),
+                               j -> v.qv[j] * c.cv[j])) AS DOUBLE)
+                             / sqrt(CAST(c.n2 AS DOUBLE)) END AS score
+            FROM q v CROSS JOIN
+                 (SELECT cid, cv,
+                         list_sum(list_transform(cv, x -> x * x)) AS n2
+                  FROM c{i}) c),
+        a{i + 1} AS (SELECT vec_id, qv, cid AS cluster FROM
+                  (SELECT vec_id, qv, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cid ASC) AS rn
+                   FROM s{i + 1})
+                WHERE rn = 1),
+        m{i + 1} AS (SELECT cluster AS cid, u.pos AS pos,
+                   CAST(floor(CAST(sum(u.val) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS val
+            FROM (SELECT cluster,
+                         unnest(list_transform(range(1, len(qv) + 1),
+                           j -> {{'pos': j - 1, 'val': qv[j]}})) AS u
+                  FROM a{i + 1}) GROUP BY cluster, u.pos),
+        c{i + 1} AS (SELECT c{i}.cid, coalesce(n.cv, c{i}.cv) AS cv
+                FROM c{i} LEFT JOIN
+                     (SELECT cid, list(val ORDER BY pos) AS cv
+                      FROM m{i + 1} GROUP BY cid) n
+                ON c{i}.cid = n.cid)""")
+    return "WITH " + ",".join(parts)
+
+
+def _kmeans_centroids_sql(k: int = 8, iters: int = 2) -> str:
+    return f"""{_kmeans_cte(k, iters)}
+        SELECT CAST(cid AS INTEGER) AS cid, CAST(u.pos AS INTEGER) AS pos,
+               u.val AS val
+        FROM (SELECT cid,
+                     unnest(list_transform(range(1, len(cv) + 1),
+                       j -> {{'pos': j - 1, 'val': cv[j]}})) AS u
+              FROM c{iters})
+        ORDER BY cid, pos"""
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, tau: float = 0.95) -> str:
+    # final assignment against c{iters}, then within-cluster pair pruning:
+    # drop vec j iff some i<j in the same cluster has cosine >= tau; the
+    # pair cosine is dot/(sqrt(n1)*sqrt(n2)) over exact integers — the same
+    # three correctly-rounded IEEE ops the Spark side runs. The source
+    # unions in the same ×1.0001 DOUBLE clones as q_semdedup (non-vacuous
+    # pruning — see its docstring).
+    src = """(SELECT vec_id, embedding::DOUBLE[] AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding::DOUBLE[], x -> x * 1.0001)
+                       AS embedding
+              FROM embeddings WHERE vec_id < 50)"""
+    return f"""{_kmeans_cte(k, iters, src=src)},
+        sF AS (SELECT v.vec_id, v.qv, c.cid,
+                   CASE WHEN c.n2 = 0 THEN -1e308
+                        ELSE CAST(list_sum(list_transform(
+                               range(1, len(v.qv) + 1),
+                               j -> v.qv[j] * c.cv[j])) AS DOUBLE)
+                             / sqrt(CAST(c.n2 AS DOUBLE)) END AS score
+            FROM q v CROSS JOIN
+                 (SELECT cid, cv,
+                         list_sum(list_transform(cv, x -> x * x)) AS n2
+                  FROM c{iters}) c),
+        aF AS (SELECT vec_id, qv, cid AS cluster FROM
+                  (SELECT vec_id, qv, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cid ASC) AS rn
+                   FROM sF)
+               WHERE rn = 1),
+        p AS (SELECT vec_id, cluster, qv,
+                     CAST(list_sum(list_transform(qv, x -> x * x))
+                          AS BIGINT) AS n2
+              FROM aF),
+        d AS (SELECT DISTINCT p2.vec_id
+              FROM p p1 JOIN p p2 ON p1.cluster = p2.cluster
+              WHERE p1.vec_id < p2.vec_id AND p1.n2 > 0 AND p2.n2 > 0
+                AND CAST(list_sum(list_transform(range(1, len(p1.qv) + 1),
+                      j -> p1.qv[j] * p2.qv[j])) AS DOUBLE)
+                    / (sqrt(CAST(p1.n2 AS DOUBLE))
+                       * sqrt(CAST(p2.n2 AS DOUBLE))) >= {tau!r})
+        SELECT p.vec_id, CAST(p.cluster AS INTEGER) AS cluster
+        FROM p LEFT JOIN d ON p.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+        ORDER BY p.vec_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "anti_join_seen": q_anti_join_seen,
@@ -1078,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "rank_docs": q_rank_docs,
         "hll_sketch": q_hll_sketch,
+        "kmeans_centroids": q_kmeans_centroids,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1805,4 +1956,13 @@ def oracle_sql() -> dict[str, str]:
                       AS synth
                   FROM documents)
             ORDER BY doc_id""",
+        # kmeans_centroids / semdedup: the Lloyd iterations are UNROLLED
+        # into CTEs (init = md5 seeded order; dots/norms = exact BIGINT
+        # sums over 1e-6-grid quantized vectors; the only doubles are
+        # single correctly-rounded IEEE ops, so argmax ties and the >= tau
+        # threshold are bit-stable cross-engine). The Spark side runs the
+        # distributed fit — the hash match IS the distributed ≡ declarative
+        # trainer proof at gate level.
+        "kmeans_centroids": _kmeans_centroids_sql(),
+        "semdedup": _semdedup_sql(),
     }

@@ -1,0 +1,249 @@
+"""SemDeDup-style semantic deduplication: distributed k-means over the
+embedding column, then cosine near-dup pruning *within* each cluster
+(Abbas et al. 2023, "SemDeDup" — the clustering bounds the candidate set
+so the quadratic compare never runs over the whole corpus).
+
+The reference engine has no embedding ops at all (its nearest analog is
+the data-hash equi-join, fetcho/Queueo.cs duplicate culling); this module
+is part of the LLM-training-data axis the north rule adds on top.
+
+Cross-engine exactness (the DuckDB oracle must hash-match bit-for-bit):
+
+- Vectors quantize ONCE to an integer grid: ``Q(x) = floor(x*1e6 + 0.5)``
+  (branchless, identical IEEE ops in Spark / DuckDB / pure Python — no
+  engine's round() semantics involved).
+- Every dot product and squared norm is then an exact BIGINT sum —
+  order-independent, so partitioning can never perturb it (64-dim,
+  |q| ≤ ~2e6 ⇒ |dot| ≤ 3e14, far inside int64).
+- The only floats are single correctly-rounded IEEE ops over those exact
+  integers (``dot / sqrt(n)``, ``dot / (sqrt(n1) * sqrt(n2))``) — bit
+  identical in any IEEE-754 engine, so comparisons and thresholds agree
+  without any rounding epsilon.
+- Centroid updates are floor-quantized integer means
+  (``floor(double(sum)/count)``) — exact while ``sum`` < 2^53 (true up to
+  ~10^9 members per cluster at this grid; growth path: split the mean
+  into exact integer div + remainder).
+- Seeded init is the md5 total-order trick (rank by ``md5(id ':km:' seed)``)
+  — the same portable seeded ordering as token_budget / minhash_sig.
+
+Scale shape: assignment is a pure JVM projection against k broadcast
+literal centroids (no shuffle); the update is one partial-agg shuffle of
+(cluster, pos) cells — k*dim rows to the driver per iteration (the same
+bounded-driver-transfer contract as MLlib's KMeans); the dedup self-join
+shuffles on the cluster id, never all-pairs. k is the knob that holds
+E[cluster size] constant as the corpus grows — SemDeDup's own recipe
+(50k clusters for LAION-440M).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GRID = 1_000_000  # quantization grid (1e-6 resolution)
+
+
+def quantize_vec(col: Column) -> Column:
+    """array<float> → array<bigint> on the 1e-6 grid: floor(x*1e6 + 0.5).
+    Branchless and engine-agnostic (both engines do the same three IEEE
+    double ops), unlike round() whose half-case semantics differ."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(float(GRID))
+                               + F.lit(0.5)).cast("long"))
+
+
+def _q(x: float) -> int:
+    """Pure-Python twin of :func:`quantize_vec` (same IEEE ops)."""
+    return int(math.floor(float(x) * float(GRID) + 0.5))
+
+
+def _dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _lit_vec(qv: list[int]) -> Column:
+    return F.array(*[F.lit(int(v)).cast("long") for v in qv])
+
+
+def _norm2(qv: list[int]) -> int:
+    return sum(v * v for v in qv)
+
+
+def _nearest(qvec: Column, cents: list[list[int]]) -> Column:
+    """argmax-cosine cluster id over k literal quantized centroids, as one
+    JVM expression. Per centroid the key is ``dot / sqrt(norm2_c)`` (the
+    vector's own norm is a common positive factor — dropping it keeps the
+    argmax and saves a sqrt per row); both operands are exact integers so
+    the double is bit-identical in every engine. Ties break to the LOWEST
+    cluster id (–cid inside the struct max); zero centroids sort last."""
+    scored = []
+    for cid, cv in enumerate(cents):
+        n2 = _norm2(cv)
+        if n2 == 0:
+            score = F.lit(-1e308)
+        else:
+            score = (_dot_q(qvec, _lit_vec(cv)).cast("double")
+                     / F.sqrt(F.lit(n2).cast("double")))
+        scored.append(F.struct(score.alias("s"),
+                               F.lit(-cid).cast("long").alias("nid")))
+    return (-F.array_max(F.array(*scored))["nid"]).cast("int")
+
+
+def _init_rank_key(id_col: str, seed: int) -> Column:
+    return F.md5(F.concat(F.col(id_col).cast("string"),
+                          F.lit(f":km:{seed}")))
+
+
+def _staged(corpus: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return corpus.select(F.col(id_col),
+                         quantize_vec(F.col(vec_col)).alias("_qv"))
+
+
+def _update(assigned: DataFrame, k: int,
+            prev: list[list[int]]) -> DataFrame:
+    """One Lloyd update as a DataFrame: floor-quantized integer mean per
+    (cluster, pos) cell. Returns (cid, pos, val) with empty clusters
+    backfilled from ``prev`` — k*dim rows total."""
+    spark = assigned.sparkSession
+    cells = (assigned
+             .select("cluster", F.posexplode("_qv").alias("pos", "val"))
+             .groupBy("cluster", "pos")
+             .agg(F.sum("val").alias("_s"), F.count("*").alias("_n")))
+    means = cells.select(
+        F.col("cluster").alias("cid"), F.col("pos"),
+        F.floor(F.col("_s").cast("double") / F.col("_n").cast("double"))
+        .cast("long").alias("val"))
+    fallback = spark.createDataFrame(
+        [(cid, pos, int(v)) for cid, cv in enumerate(prev)
+         for pos, v in enumerate(cv)], "cid INT, pos INT, val LONG")
+    keep = fallback.join(means.select("cid").distinct(), "cid", "left_anti")
+    return means.unionByName(keep)
+
+
+def kmeans_fit(corpus: DataFrame, k: int = 8, iters: int = 2,
+               seed: int = 42, vec_col: str = "embedding",
+               id_col: str = "vec_id",
+               return_frame: bool = False):
+    """Distributed quantized-Lloyd's fit. Init = the k corpus vectors with
+    the lowest seeded md5 rank (cid in rank order); each iteration assigns
+    via :func:`_nearest` (JVM projection, centroids broadcast as literals)
+    and recomputes floor-quantized integer means (one partial-agg shuffle,
+    k*dim rows to the driver — the MLlib KMeans driver contract).
+
+    Returns the final centroids as ``list[list[int]]`` — or, with
+    ``return_frame=True``, the LAST update as an uncollected
+    ``(cid, pos, val)`` DataFrame (the correctness-gate form: the final
+    step's lineage stays in Spark so the oracle compares a real plan, not
+    an echoed literal)."""
+    staged = _staged(corpus, vec_col, id_col)
+    init_rows = (staged
+                 .withColumn("_rk", _init_rank_key(id_col, seed))
+                 .orderBy("_rk", id_col)
+                 .limit(k)
+                 .select("_qv")
+                 .collect())
+    cents = [[int(v) for v in r["_qv"]] for r in init_rows]
+    for it in range(iters):
+        assigned = staged.withColumn("cluster", _nearest(F.col("_qv"), cents))
+        upd = _update(assigned, k, cents)
+        if return_frame and it == iters - 1:
+            return upd.select("cid", "pos", "val")
+        rows = upd.collect()
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["val"]
+        cents = [[by_cid[cid][p] for p in range(len(cents[cid]))]
+                 if cid in by_cid else cents[cid]
+                 for cid in range(k)]
+    return cents
+
+
+def kmeans_fit_local(rows: list[tuple], k: int = 8, iters: int = 2,
+                     seed: int = 42) -> list[list[int]]:
+    """Pure-Python reference with IDENTICAL semantics (md5 init, exact
+    integer dots, floor-quantized means) — the unit-test twin proving the
+    distributed fit computes the same function. ``rows`` = [(id, [float])].
+    """
+    qrows = [(i, [_q(x) for x in v]) for i, v in rows]
+    ranked = sorted(qrows, key=lambda r: (
+        hashlib.md5(f"{r[0]}:km:{seed}".encode()).hexdigest(), r[0]))
+    cents = [list(r[1]) for r in ranked[:k]]
+    for _ in range(iters):
+        members: dict[int, list[list[int]]] = {}
+        for _id, qv in qrows:
+            best, best_key = None, None
+            for cid, cv in enumerate(cents):
+                n2 = _norm2(cv)
+                if n2 == 0:
+                    s = -1e308
+                else:
+                    s = float(sum(a * b for a, b in zip(qv, cv))) \
+                        / math.sqrt(float(n2))
+                key = (s, -cid)
+                if best_key is None or key > best_key:
+                    best, best_key = cid, key
+            members.setdefault(best, []).append(qv)
+        new = []
+        for cid, cv in enumerate(cents):
+            mem = members.get(cid)
+            if not mem:
+                new.append(list(cv))
+                continue
+            n = len(mem)
+            new.append([int(math.floor(float(sum(col)) / float(n)))
+                        for col in zip(*mem)])
+        cents = new
+    return cents
+
+
+def kmeans_assign(corpus: DataFrame, cents: list[list[int]],
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(id, cluster) — zero-shuffle JVM projection against the broadcast
+    literal centroids."""
+    return (_staged(corpus, vec_col, id_col)
+            .select(F.col(id_col),
+                    _nearest(F.col("_qv"), cents).alias("cluster")))
+
+
+def semdedup(corpus: DataFrame, cents: list[list[int]],
+             tau: float = 0.95, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Survivors after semantic dedup: a row is DROPPED iff some lower-id
+    row in the SAME cluster has cosine ≥ tau with it (deterministic
+    lowest-id survivor per near-dup group — the same survivor rule as
+    exact_dedup). Returns ``(id, cluster)``.
+
+    The pair join shuffles both sides on the cluster id only — the k-means
+    blocking is exactly what keeps this from being the all-pairs O(n²)
+    join (SemDeDup's point); within a cluster the compare runs as a
+    hash-join self-pair with ``id < id2``. Pair cosine is
+    ``dot / (sqrt(n1)·sqrt(n2))`` over exact integer inputs — bit-stable,
+    so ``>= tau`` needs no epsilon."""
+    staged = (_staged(corpus, vec_col, id_col)
+              .withColumn("cluster", _nearest(F.col("_qv"), cents))
+              .withColumn("_n2", _dot_q(F.col("_qv"), F.col("_qv"))))
+    left = staged.select(F.col(id_col).alias("_id1"),
+                         F.col("cluster"),
+                         F.col("_qv").alias("_v1"),
+                         F.col("_n2").alias("_n21"))
+    right = staged.select(F.col(id_col).alias("_id2"),
+                          F.col("cluster"),
+                          F.col("_qv").alias("_v2"),
+                          F.col("_n2").alias("_n22"))
+    cos = (_dot_q(F.col("_v1"), F.col("_v2")).cast("double")
+           / (F.sqrt(F.col("_n21").cast("double"))
+              * F.sqrt(F.col("_n22").cast("double"))))
+    dups = (left.join(right, "cluster")
+            .filter(F.col("_id1") < F.col("_id2"))
+            .filter((F.col("_n21") > 0) & (F.col("_n22") > 0))
+            .filter(cos >= F.lit(float(tau)))
+            .select(F.col("_id2").alias(id_col))
+            .distinct())
+    return (staged.join(dups, id_col, "left_anti")
+            .select(id_col, "cluster"))
