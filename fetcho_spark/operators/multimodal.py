@@ -406,33 +406,51 @@ _IMA_STEPS = np.array([
 _IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
 
 
-def _ima_decode_block(block: bytes) -> np.ndarray:
-    """One mono IMA-ADPCM block (4-byte header + 4-bit nibbles) → int16
-    samples, per the public DVI/IMA algorithm."""
-    pred = int(np.frombuffer(block[:2], "<i2")[0])
-    index = min(max(block[2], 0), 88)
-    out = [pred]
-    for byte in block[4:]:
-        for nib in (byte & 0x0F, byte >> 4):
-            step = int(_IMA_STEPS[index])
-            diff = step >> 3
-            if nib & 1:
-                diff += step >> 2
-            if nib & 2:
-                diff += step >> 1
-            if nib & 4:
-                diff += step
-            pred = pred - diff if nib & 8 else pred + diff
-            pred = max(-32768, min(32767, pred))
-            index = min(max(index + int(_IMA_INDEX[nib]), 0), 88)
-            out.append(pred)
-    return np.array(out, dtype=np.int16)
+def _ima_decode_block(block: bytes, nch: int = 1) -> np.ndarray:
+    """One IMA-ADPCM block → flat channel-interleaved int16 samples, per
+    the public DVI/IMA algorithm. WAVE multichannel layout (Microsoft
+    IMAADPCM spec): one 4-byte state header per channel (pred:int16,
+    index:u8, reserved), then 4-byte nibble words round-robin across
+    channels — word *w* carries 8 consecutive samples of channel
+    ``w % nch``; per-channel quantizer state is independent."""
+    preds, idxs = [], []
+    for c in range(nch):
+        h = block[4 * c:4 * c + 4]
+        preds.append(int(np.frombuffer(h[:2], "<i2")[0]))
+        idxs.append(min(max(h[2], 0), 88))
+    chans = [[preds[c]] for c in range(nch)]
+    data = block[4 * nch:]
+    for w in range(len(data) // 4 + (1 if len(data) % 4 else 0)):
+        c = w % nch
+        pred, index, out = preds[c], idxs[c], chans[c]
+        for byte in data[4 * w:4 * w + 4]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEPS[index])
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = min(max(index + int(_IMA_INDEX[nib]), 0), 88)
+                out.append(pred)
+        preds[c], idxs[c] = pred, index
+    if nch == 1:
+        return np.array(chans[0], dtype=np.int16)
+    frames = min(len(ch) for ch in chans)
+    arr = np.empty((frames, nch), dtype=np.int16)
+    for c in range(nch):
+        arr[:, c] = chans[c][:frames]
+    return arr.reshape(-1)
 
 
 def _wav_features_ext(data: bytes) -> tuple[float, float, float, int, int]:
     """Non-PCM WAVE formats the stdlib ``wave`` module rejects: G.711
-    μ-law (tag 7) / A-law (tag 6) via LUT, IEEE float32 (tag 3), mono IMA
-    ADPCM (tag 0x11) via the DVI block algorithm. Same feature contract
+    μ-law (tag 7) / A-law (tag 6) via LUT, IEEE float32 (tag 3), mono/multichannel
+    IMA ADPCM (tag 0x11) via the DVI block algorithm. Same feature contract
     as :func:`_wav_features`."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAVE file")
@@ -460,10 +478,14 @@ def _wav_features_ext(data: bytes) -> tuple[float, float, float, int, int]:
         x = np.frombuffer(payload[: len(payload) // 4 * 4],
                           "<f4").astype(np.float64)
     elif wtag == 0x11:
-        if nch != 1:
-            raise NotImplementedError("wav: stereo IMA ADPCM")
-        blocks = [_ima_decode_block(payload[o:o + block_align])
-                  for o in range(0, len(payload) - 4, block_align)]
+        if nch < 1 or block_align <= 4 * nch:
+            raise ValueError("wav: bad IMA-ADPCM block align")
+        blocks = []
+        for o in range(0, len(payload), block_align):
+            b = payload[o:o + block_align]
+            if len(b) <= 4 * nch:     # trailing fragment: headers only
+                break
+            blocks.append(_ima_decode_block(b, nch))
         x = (np.concatenate(blocks).astype(np.float64) / 32768.0
              if blocks else np.zeros(0))
     else:
@@ -580,7 +602,7 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
                 except Exception:
                     try:
                         # stdlib wave rejects non-PCM tags: decode G.711
-                        # μ/A-law, float32 and mono IMA ADPCM ourselves
+                        # μ/A-law, float32 and IMA ADPCM ourselves
                         dur, rms, zcr, rate, nch = _wav_features_ext(b)
                     except Exception:
                         rows.append((aid, None, None, None, None, None,

@@ -318,3 +318,63 @@ def test_audio_features_ima_adpcm(spark):
     assert abs(r["duration_s"] - 1.0) < 0.01
     assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.02    # ADPCM noise floor
     assert abs(r["zcr"] - 2 * 440.0 / rate) < 0.01
+
+
+def _ima_stereo_payload(left_i16, right_i16, block_samples=505):
+    """Stereo WAVE-IMA payload per the Microsoft IMAADPCM block layout:
+    one 4-byte header per channel, then 4-byte nibble words round-robin
+    (L, R, L, R, …). Built by interleaving two independently mono-encoded
+    channels — per-channel quantizer state is independent by spec."""
+    mono_align = 4 + (block_samples - 1 + 1) // 2
+    out = bytearray()
+    pl, pr = _ima_encode(left_i16, block_samples), \
+        _ima_encode(right_i16, block_samples)
+    for o in range(0, len(pl), mono_align):
+        bl, br = pl[o:o + mono_align], pr[o:o + mono_align]
+        out += bl[:4] + br[:4]
+        for w in range(4, max(len(bl), len(br)), 4):
+            out += bl[w:w + 4].ljust(4, b"\x00")
+            out += br[w:w + 4].ljust(4, b"\x00")
+    return bytes(out)
+
+
+def test_ima_stereo_block_channels_match_mono_bit_exact():
+    """Decoding a stereo block must equal decoding each channel's mono
+    block: same headers, same nibble words, independent state."""
+    rng = np.random.default_rng(7)
+    left = (rng.standard_normal(505) * 8000).astype(np.int16)
+    right = (rng.standard_normal(505) * 2500).astype(np.int16)
+    stereo = _ima_stereo_payload(left, right)
+    flat = MM._ima_decode_block(stereo, nch=2)
+    monoL = MM._ima_decode_block(_ima_encode(left))
+    monoR = MM._ima_decode_block(_ima_encode(right))
+    assert np.array_equal(flat[0::2], monoL)
+    assert np.array_equal(flat[1::2], monoR)
+
+
+@pytest.mark.spark
+def test_audio_features_ima_adpcm_stereo(spark):
+    """Stereo IMA ADPCM (formerly an honest NotImplementedError, ADVICE
+    r3): features must match the stdlib-decoded stereo PCM of the same
+    two sines within the ADPCM noise floor."""
+    rate = 8000
+    t = np.arange(2 * 505) / rate
+    left = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    right = 0.25 * np.sin(2 * np.pi * 880.0 * t)
+    payload = _ima_stereo_payload((left * 32767).astype(np.int16),
+                                  (right * 32767).astype(np.int16))
+    block_align = 8 + 2 * ((505 - 1 + 1) // 2)
+    wav = _riff_wav(0x11, 2, rate, 4, block_align, payload)
+    pcm = _wav_bytes(np.stack([left, right], axis=1), rate, nch=2)
+    df = spark.createDataFrame(
+        [("ad", bytearray(wav)), ("pcm", bytearray(pcm))],
+        "audio_id string, bytes binary")
+    got = {r["audio_id"]: r for r in MM.audio_features(df).collect()}
+    r, ref = got["ad"], got["pcm"]
+    assert r["err"] is None
+    assert r["n_channels"] == 2
+    assert abs(r["duration_s"] - ref["duration_s"]) < 1e-6
+    assert abs(r["rms"] - ref["rms"]) < 0.02
+    # zcr of a two-tone MIX flips on ADPCM noise near zero crossings —
+    # channel exactness is pinned bit-exact by the structural test above
+    assert abs(r["zcr"] - ref["zcr"]) < 0.03
