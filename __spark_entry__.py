@@ -1162,6 +1162,98 @@ def _semdedup_sql(k: int = 8, iters: int = 2, tau: float = 0.95) -> str:
         ORDER BY p.vec_id"""
 
 
+def _img_caption_df(spark, sf):
+    """The north-rule input shape (image_id, w, h, fmt, caption, phash),
+    derived deterministically from documents (md5-seeded dims/format/phash,
+    caption = text prefix) — same '0x'||md5-substring trick as geo_filter
+    so the DuckDB twin reproduces every value bit-for-bit."""
+    sid = F.col("doc_id").cast("string")
+
+    def md5mod(salt, m):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat(sid, F.lit(salt))), 1, 15),
+                   16, 10).cast("long"), F.lit(m))
+
+    return _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(64) + md5mod(":w", 1920)).alias("w"),
+        (F.lit(64) + md5mod(":h", 1080)).alias("h"),
+        F.element_at(F.array(F.lit("jpeg"), F.lit("png"), F.lit("gif")),
+                     (md5mod(":f", 3) + 1).cast("int")).alias("fmt"),
+        F.substring("text", 1, 120).alias("caption"),
+        F.conv(F.substring(F.md5(F.concat(sid, F.lit(":ph"))), 1, 15),
+               16, 10).cast("long").alias("phash"))
+
+
+def q_datacomp_filter(spark, sf):  # DataComp/LAION basic curation filters
+    from fetcho_spark.operators.curation import caption_image_filters
+    img = _img_caption_df(spark, sf)
+    blk = img.filter(F.col("image_id") % 97 == 0).select("phash")
+    out = caption_image_filters(img, blocked_phashes=blk)
+    return (out.select("image_id", "w", "h", "fmt", "keep",
+                       F.array_join("drop_reasons", ",")
+                       .alias("drop_reasons"))
+            .orderBy("image_id"))
+
+
+def q_curation_stats(spark, sf):  # the curation funnel (per-reason counts)
+    from fetcho_spark.operators.curation import (caption_image_filters,
+                                                 curation_stats)
+    img = _img_caption_df(spark, sf)
+    blk = img.filter(F.col("image_id") % 97 == 0).select("phash")
+    return curation_stats(caption_image_filters(img, blocked_phashes=blk))
+
+
+def _img_caption_cte() -> str:
+    """DuckDB twin of _img_caption_df + the curation reason columns
+    (fetcho_spark/operators/curation.caption_image_filters defaults)."""
+    lang_case = f"""CASE
+        WHEN {_sql_lang_score('en')} >= {_sql_lang_score('fr')}
+         AND {_sql_lang_score('en')} >= {_sql_lang_score('de')}
+         AND {_sql_lang_score('en')} >= {_sql_lang_score('es')}
+         AND {_sql_lang_score('en')} > 0 THEN 'en'
+        WHEN {_sql_lang_score('fr')} >= {_sql_lang_score('de')}
+         AND {_sql_lang_score('fr')} >= {_sql_lang_score('es')}
+         AND {_sql_lang_score('fr')} > 0 THEN 'fr'
+        WHEN {_sql_lang_score('de')} >= {_sql_lang_score('es')}
+         AND {_sql_lang_score('de')} > 0 THEN 'de'
+        WHEN {_sql_lang_score('es')} > 0 THEN 'es'
+        ELSE 'und' END"""
+    return f"""
+        img AS (
+          SELECT doc_id AS image_id,
+                 64 + ('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 15))
+                        ::BIGINT % 1920 AS w,
+                 64 + ('0x' || substr(md5(doc_id::VARCHAR || ':h'), 1, 15))
+                        ::BIGINT % 1080 AS h,
+                 (['jpeg', 'png', 'gif'])[
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':f'), 1, 15))
+                     ::BIGINT % 3)::INT + 1] AS fmt,
+                 substr(text, 1, 120) AS caption,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':ph'), 1, 15))
+                   ::BIGINT AS phash
+          FROM documents),
+        cap AS (
+          SELECT *, ' ' || lower(caption) || ' ' AS pt,
+                 CASE WHEN trim(caption) = '' THEN 0
+                      ELSE len(string_split_regex(trim(caption), '\\s+'))
+                 END AS nwords
+          FROM img),
+        rs AS (
+          SELECT image_id, w, h, fmt,
+            CASE WHEN w < 200 OR h < 200 THEN 'too_small' END AS r1,
+            CASE WHEN greatest(w, h)::DOUBLE
+                      / greatest(least(w, h), 1)::DOUBLE > 3.0
+                 THEN 'aspect' END AS r2,
+            CASE WHEN nwords < 2 OR length(trim(caption)) < 5
+                 THEN 'caption_short' END AS r3,
+            CASE WHEN nwords > 256 THEN 'caption_long' END AS r4,
+            CASE WHEN NOT (({lang_case}) = 'en') THEN 'lang' END AS r5,
+            CASE WHEN phash IN (SELECT phash FROM img WHERE image_id % 97 = 0)
+                 THEN 'phash_blocked' END AS r6
+          FROM cap)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "anti_join_seen": q_anti_join_seen,
@@ -1229,6 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sketch": q_hll_sketch,
         "kmeans_centroids": q_kmeans_centroids,
         "semdedup": q_semdedup,
+        "datacomp_filter": q_datacomp_filter,
+        "curation_stats": q_curation_stats,
     }
 
 
@@ -1965,4 +2059,26 @@ def oracle_sql() -> dict[str, str]:
         # trainer proof at gate level.
         "kmeans_centroids": _kmeans_centroids_sql(),
         "semdedup": _semdedup_sql(),
+        # curation twins: rs carries one nullable reason column per REASONS
+        # slot in fixed order, so concat_ws/list_filter reproduce Spark's
+        # array_compact(array(when...)) byte-for-byte
+        "datacomp_filter": f"""
+            WITH {_img_caption_cte()}
+            SELECT image_id, w, h, fmt,
+                   (r1 IS NULL AND r2 IS NULL AND r3 IS NULL AND r4 IS NULL
+                    AND r5 IS NULL AND r6 IS NULL) AS keep,
+                   concat_ws(',', r1, r2, r3, r4, r5, r6) AS drop_reasons
+            FROM rs ORDER BY image_id""",
+        "curation_stats": f"""
+            WITH {_img_caption_cte()},
+            rl AS (SELECT CASE WHEN r1 IS NULL AND r2 IS NULL AND r3 IS NULL
+                                AND r4 IS NULL AND r5 IS NULL AND r6 IS NULL
+                               THEN ['kept']
+                               ELSE list_filter([r1, r2, r3, r4, r5, r6],
+                                                x -> x IS NOT NULL)
+                          END AS reasons
+                   FROM rs)
+            SELECT reason, count(*) AS n_rows
+            FROM (SELECT unnest(reasons) AS reason FROM rl)
+            GROUP BY reason ORDER BY reason""",
     }
