@@ -12,7 +12,8 @@ ITU-T T.81 + JFIF 1.02) — not ported from any codebase. The reference
 Scope (honest):
 - PNG: encode 8-bit RGB truecolor; decode every legal bit depth
   (1/2/4-bit gray+palette, 8/16-bit all color types), all five scanline
-  filters, Adam7 interlace (8/16-bit), multi-IDAT, CRC-checked.
+  filters, Adam7 interlace at EVERY depth (incl. sub-byte per-pass
+  packing), multi-IDAT, CRC-checked.
 - GIF: full LZW decode (87a/89a, global/local color tables, interlace,
   animated → first frame); encode via the classic fixed-9-bit
   'uncompressed LZW' strategy for ≤256-color images.
@@ -21,7 +22,8 @@ Scope (honest):
   (jpeg_encode_progressive); decode baseline (SOF0/1) AND progressive
   (SOF2 — spectral selection, successive approximation, EOBRUN,
   interleaved DC scans) with arbitrary sampling factors, grayscale or
-  YCbCr, restart markers. Lossless/hierarchical/arithmetic raise.
+  YCbCr, restart markers, 8- AND 16-bit (Pq=1) quant tables.
+  Lossless/hierarchical/arithmetic and 12-bit precision raise.
 - WebP: full VP8L (lossless) decode via functions/webp.py — canonical
   prefix codes incl. the code-length-code bootstrap, meta prefix images,
   color cache, LZ77 with the 2D distance mapping, and all four
@@ -133,6 +135,34 @@ _ADAM7 = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
           (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
 
 
+def _png_deinterlace_subbyte(raw: np.ndarray, w: int, h: int,
+                             depth: int) -> np.ndarray:
+    """Adam7 for sub-byte depths (1/2/4-bit gray or palette): each pass is
+    an independently-filtered sub-image of PACKED rows (filters see bpp=1),
+    so unfilter per pass, unpack the MSB-first bit groups to sample values,
+    and scatter VALUES (not bytes) into the (h, w) index grid."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    pos = 0
+    for (x0, dx, y0, dy) in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * depth + 7) // 8
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            raise ValueError("PNG: IDAT length mismatch")
+        sub = _png_unfilter(raw[pos:pos + need], ph, stride, 1)
+        pos += need
+        bits = np.unpackbits(sub, axis=1)[:, :pw * depth]
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+        out[y0::dy, x0::dx] = vals.astype(np.uint8)
+    if pos != len(raw):
+        raise ValueError("PNG: IDAT length mismatch")
+    return out
+
+
 def _png_deinterlace(raw: np.ndarray, w: int, h: int, nch: int,
                      bytes_per_sample: int) -> np.ndarray:
     """Adam7: seven independently-filtered sub-images concatenated in the
@@ -197,18 +227,19 @@ def png_decode(data: bytes) -> np.ndarray:
     if depth < 8:
         # filters operate on the PACKED bytes (bpp rounds up to 1);
         # unfilter per packed row, then unpack MSB-first bit groups.
-        # Sub-byte + Adam7 would need per-pass packing — rare enough to
-        # refuse loudly rather than decode wrongly.
-        if interlace:
-            raise NotImplementedError("PNG: sub-byte Adam7 interlace")
-        row_bytes = (w * depth + 7) // 8
-        if len(raw) != h * (row_bytes + 1):
-            raise ValueError("PNG: IDAT length mismatch")
-        packed = _png_unfilter(raw, h, row_bytes, 1)
-        bits = np.unpackbits(packed, axis=1)[:, :w * depth]
-        vals = bits.reshape(h, w, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        idx = (vals * weights).sum(axis=2).astype(np.uint8)
+        if interlace == 1:
+            idx = _png_deinterlace_subbyte(raw, w, h, depth)
+        elif interlace:
+            raise ValueError(f"PNG: unknown interlace method {interlace}")
+        else:
+            row_bytes = (w * depth + 7) // 8
+            if len(raw) != h * (row_bytes + 1):
+                raise ValueError("PNG: IDAT length mismatch")
+            packed = _png_unfilter(raw, h, row_bytes, 1)
+            bits = np.unpackbits(packed, axis=1)[:, :w * depth]
+            vals = bits.reshape(h, w, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (vals * weights).sum(axis=2).astype(np.uint8)
         if ctype == 3:
             samples = idx[:, :, None]
         else:                      # gray: scale to full 8-bit range
@@ -789,13 +820,19 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("JPEG: 16-bit quant tables")
-                zz = np.frombuffer(body[i + 1:i + 65], np.uint8)
+                if pq not in (0, 1):
+                    raise ValueError(f"JPEG: bad DQT precision {pq}")
+                if pq:                         # Pq=1: 64 big-endian uint16
+                    zz = np.frombuffer(body[i + 1:i + 129], ">u2")
+                    i += 129
+                else:
+                    zz = np.frombuffer(body[i + 1:i + 65], np.uint8)
+                    i += 65
+                if zz.size != 64:
+                    raise ValueError("JPEG: truncated DQT")
                 t = np.zeros(64, np.int32)
-                t[_ZIGZAG] = zz
+                t[_ZIGZAG] = zz.astype(np.int32)
                 qts[tq] = t.reshape(8, 8)
-                i += 65
         elif marker == 0xC4:                   # DHT (possibly several)
             i = 0
             while i < len(body):

@@ -693,6 +693,179 @@ def test_png_subbyte_depths():
             == plte[pal_idx]).all()
 
 
+def _png_subbyte_interlaced(idx, depth, ctype, plte=None,
+                            filters=(0, 1, 2, 3, 4)):
+    """Forward Adam7 for sub-byte depths: pack each pass's rows MSB-first,
+    then filter the PACKED bytes (filters see bpp=1) per pass."""
+    h, w = idx.shape
+    raw = bytearray()
+    k = 0
+    for (x0, dx, y0, dy) in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape
+        packed = []
+        for y in range(ph):
+            bits = "".join(format(int(v), f"0{depth}b") for v in sub[y])
+            bits += "0" * (-len(bits) % 8)
+            packed.append(np.array([int(bits[i:i + 8], 2)
+                                    for i in range(0, len(bits), 8)],
+                                   dtype=np.int32))
+        stride = len(packed[0])
+        prev = np.zeros(stride, np.int32)
+        for y in range(ph):
+            ft = filters[k % len(filters)]
+            k += 1
+            line = packed[y]
+            out = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(line[x - 1]) if x >= 1 else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x >= 1 else 0
+                if ft == 0:
+                    out[x] = line[x]
+                elif ft == 1:
+                    out[x] = line[x] - a
+                elif ft == 2:
+                    out[x] = line[x] - b
+                elif ft == 3:
+                    out[x] = line[x] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc_) else (
+                        b if pb <= pc_ else c)
+                    out[x] = line[x] - pred
+            raw.append(ft)
+            raw += bytes((out & 0xFF).astype(np.uint8))
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+    outb = PC._PNG_SIG + PC._chunk(b"IHDR", ihdr)
+    if plte is not None:
+        outb += PC._chunk(b"PLTE", bytes(plte.flatten()))
+    return (outb + PC._chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + PC._chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("depth,scale", [(1, 255), (2, 85), (4, 17)])
+def test_png_subbyte_adam7_gray(depth, scale):
+    rng = np.random.default_rng(31 + depth)
+    idx = rng.integers(0, 1 << depth, (13, 11))
+    out = PC.png_decode(_png_subbyte_interlaced(idx, depth, 0))
+    assert (out == (idx * scale)[:, :, None].repeat(3, 2)).all()
+
+
+def test_png_subbyte_adam7_palette_and_edge_dims():
+    rng = np.random.default_rng(77)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for (h, w) in [(1, 1), (3, 2), (8, 8), (9, 16), (5, 21)]:
+        pal_idx = rng.integers(0, 16, (h, w))
+        out = PC.png_decode(_png_subbyte_interlaced(pal_idx, 4, 3, plte))
+        assert (out == plte[pal_idx]).all(), (h, w)
+
+
+# --------------------------------------------------- JPEG 16-bit DQT (Pq=1)
+
+def _rewrite_dqt_16bit(data: bytes) -> bytes:
+    """Rewrite every 8-bit DQT segment of a JFIF stream as Pq=1 16-bit
+    (same values), leaving everything else byte-identical."""
+    out = bytearray(data[:2])
+    assert data[:2] == b"\xff\xd8"
+    pos = 2
+    while pos < len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker == 0xDA:                     # SOS: copy the rest verbatim
+            out += data[pos:]
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:
+            pq, tq = body[0] >> 4, body[0] & 0x0F
+            assert pq == 0 and len(body) == 65
+            nb = (bytes([0x10 | tq])
+                  + np.frombuffer(body[1:], np.uint8).astype(">u2").tobytes())
+            out += struct.pack(">HH", 0xFFDB, len(nb) + 2) + nb
+        else:
+            out += data[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+    return bytes(out)
+
+
+def test_jpeg_16bit_dqt_decodes_identically():
+    px = _noise(9, 24, 17)
+    enc = PC.jpeg_encode(px, quality=80)
+    enc16 = _rewrite_dqt_16bit(enc)
+    assert enc16 != enc and len(enc16) == len(enc) + 128
+    assert (PC.jpeg_decode(enc16) == PC.jpeg_decode(enc)).all()
+
+
+def test_jpeg_16bit_dqt_values_over_255():
+    """A quant table that genuinely needs 16 bits (steps of 300): coarse
+    AC quantization of a smooth image must still decode close — impossible
+    if the big-endian 16-bit values were parsed wrong."""
+    px = _smooth(32, 24)
+    h, w = px.shape[:2]
+    qt = np.full((8, 8), 300, np.int32)
+    qt[0, 0] = 16
+    ycc = PC._rgb_to_ycbcr(px)
+    ycc = np.pad(ycc, ((0, -h % 8), (0, -w % 8), (0, 0)), mode="edge")
+    by, bx = ycc.shape[0] // 8, ycc.shape[1] // 8
+    comps_zz = []
+    for ci in range(3):
+        plane = ycc[:, :, ci] - 128.0
+        blocks = (plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        coeff = np.einsum("ux,nxy,vy->nuv", PC._DCT, blocks, PC._DCT)
+        qz = np.round(coeff / qt).astype(np.int32)
+        comps_zz.append(qz.reshape(-1, 64)[:, PC._ZIGZAG])
+    dc_l, ac_l = PC._build_codes(*PC._DC_LUM), PC._build_codes(*PC._AC_LUM)
+    dc_c, ac_c = PC._build_codes(*PC._DC_CHR), PC._build_codes(*PC._AC_CHR)
+    bw = PC._BitWriter()
+    preds = [0, 0, 0]
+    for n in range(by * bx):
+        for ci in range(3):
+            preds[ci] = PC._encode_block(
+                bw, comps_zz[ci][n], dc_l if ci == 0 else dc_c,
+                ac_l if ci == 0 else ac_c, preds[ci])
+
+    def dht(tc_th, spec):
+        bits, values = spec
+        return bytes([tc_th]) + bytes(bits) + bytes(values)
+
+    out = bytearray(b"\xff\xd8")
+    out += PC._seg(0xFFDB, b"\x10"                       # Pq=1, Tq=0
+                   + qt.flatten()[PC._ZIGZAG].astype(">u2").tobytes())
+    out += PC._seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                   + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += PC._seg(0xFFC4, dht(0x00, PC._DC_LUM))
+    out += PC._seg(0xFFC4, dht(0x10, PC._AC_LUM))
+    out += PC._seg(0xFFC4, dht(0x01, PC._DC_CHR))
+    out += PC._seg(0xFFC4, dht(0x11, PC._AC_CHR))
+    out += PC._seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.flush()
+    out += b"\xff\xd9"
+    dec = PC.jpeg_decode(bytes(out))
+    # exact expectation: dequantize the SAME coefficients with the SAME
+    # 16-bit table and invert — byte-for-byte equality proves the stream's
+    # big-endian uint16 values were parsed exactly (a byte-swapped or
+    # misaligned parse cannot reproduce this)
+    planes = []
+    for ci in range(3):
+        plane = np.zeros((by * 8, bx * 8))
+        for n in range(by * bx):
+            blk = np.zeros(64)
+            blk[PC._ZIGZAG] = comps_zz[ci][n] * qt.flatten()[PC._ZIGZAG]
+            yb, xb = divmod(n, bx)
+            plane[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = \
+                PC._DCT.T @ blk.reshape(8, 8) @ PC._DCT + 128.0
+        planes.append(plane[:h, :w])
+    expected = PC._ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    assert (dec == expected).all()
+    assert psnr(dec, px) > 15          # coarse but sane on a smooth image
+
+
 def test_decoders_fail_cleanly_on_every_truncation():
     """Arbitrary web bytes: truncation at ANY offset must raise
     ValueError/NotImplementedError — never IndexError/struct/zlib leaks
