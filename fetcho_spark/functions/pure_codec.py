@@ -846,14 +846,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2 prog
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError("JPEG: precision != 8")
+            if prec not in (8, 12):               # T.81 B.2.2 legal values
+                raise NotImplementedError(f"JPEG: precision {prec}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            sof = (h, w, comps)
+            sof = (h, w, comps, prec)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -888,7 +888,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
 
 def _prog_geometry(sof):
-    h, w, comps = sof
+    h, w, comps = sof[:3]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -1069,7 +1069,9 @@ def _prog_reconstruct(sof, coeffs, qts):
         nat = np.zeros((bh * bw_, 64))
         nat[:, _ZIGZAG] = arr.reshape(-1, 64) * qt[_ZIGZAG]
         blocks = nat.reshape(-1, 8, 8)
-        px = np.einsum("xu,nuv,vy->nxy", _DCT.T, blocks, _DCT) + 128.0
+        prec = sof[3]
+        px = (np.einsum("xu,nuv,vy->nxy", _DCT.T, blocks, _DCT)
+              + float(1 << (prec - 1))) / float(1 << (prec - 8))
         plane = (px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
                  .reshape(bh * 8, bw_ * 8))
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -1085,7 +1087,7 @@ def _prog_reconstruct(sof, coeffs, qts):
 
 def _decode_scan(data, pos, sof, scan_comps, qts, huff_dc, huff_ac,
                  restart_interval):
-    h, w, comps = sof
+    h, w, comps, prec = sof
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -1135,7 +1137,9 @@ def _decode_scan(data, pos, sof, scan_comps, qts, huff_dc, huff_ac,
                             k += 1
                         blk = np.zeros(64, np.float64)
                         blk[_ZIGZAG] = zz * qt.flatten()[_ZIGZAG]
-                        px = idct @ blk.reshape(8, 8) @ _DCT + 128.0
+                        px = ((idct @ blk.reshape(8, 8) @ _DCT
+                               + float(1 << (prec - 1)))
+                              / float(1 << (prec - 8)))
                         y0 = (my * c["v"] + v) * 8
                         x0 = (mx * c["h"] + hh) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px

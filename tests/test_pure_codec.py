@@ -531,7 +531,7 @@ def test_jpeg_progressive_roundtrip_equals_baseline():
         assert (PC.jpeg_decode(prog) == PC.jpeg_decode(base)).all()
 
 
-def _prog_gray(scans, h=8, w=8, ac_spec=None):
+def _prog_gray(scans, h=8, w=8, ac_spec=None, prec=8):
     """Single-component SOF2 stream from hand-built scan list:
     [(Ss, Se, Ah, Al, bits_bytes), ...], all-ones quant table. ``ac_spec``
     overrides the AC huffman table (the Annex-K baseline table lacks the
@@ -539,7 +539,7 @@ def _prog_gray(scans, h=8, w=8, ac_spec=None):
     out = bytearray(b"\xff\xd8")
     out += struct.pack(">HH", 0xFFDB, 67) + b"\x00" + bytes([1] * 64)
     out += struct.pack(">HH", 0xFFC2, 11) \
-        + struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        + struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
     bits, values = PC._DC_LUM
     out += struct.pack(">HH", 0xFFC4, 2 + 1 + 16 + len(values)) \
         + b"\x00" + bytes(bits) + bytes(values)
@@ -613,6 +613,61 @@ def test_jpeg_progressive_successive_approximation_hand_built():
                   0, 255).astype(np.uint8)
     assert (out[:, :, 0] == exp).all()
     assert (out[:, :, 0] == out[:, :, 1]).all()
+
+
+def test_jpeg_12bit_baseline_hand_built():
+    """12-bit extended-sequential (SOF1, prec=12) with a Pq=1 16-bit quant
+    table: DC-only 8x8 gray block, dc=9216 with all-ones quant gives
+    constant sample 9216/8 + 2048 = 3200, scaled to 8-bit = 200 exactly
+    (T.81 B.2.2 allows prec 12; output convention: full-range >>4)."""
+    out = bytearray(b"\xff\xd8")
+    # DQT Pq=1: 64 big-endian uint16 ones
+    out += struct.pack(">HH", 0xFFDB, 2 + 1 + 128) + b"\x10" \
+        + struct.pack(">64H", *([1] * 64))
+    # SOF1 prec=12, 8x8, 1 component
+    out += struct.pack(">HH", 0xFFC1, 11) \
+        + struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC table: single symbol, category 14 (12-bit DC range needs cats >11)
+    dc_bits = [1] + [0] * 15
+    out += struct.pack(">HH", 0xFFC4, 2 + 1 + 16 + 1) \
+        + b"\x00" + bytes(dc_bits) + bytes([14])
+    # AC table: single symbol, EOB
+    out += struct.pack(">HH", 0xFFC4, 2 + 1 + 16 + 1) \
+        + b"\x10" + bytes(dc_bits) + bytes([0x00])
+    out += struct.pack(">HH", 0xFFDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    bw = PC._BitWriter()
+    bw.write(0, 1)                      # DC huffman code "0" → category 14
+    bw.write(9216, 14)                  # positive magnitude bits
+    bw.write(0, 1)                      # AC huffman code "0" → EOB
+    out += bw.flush() + b"\xff\xd9"
+    px = PC.jpeg_decode(bytes(out))
+    assert px.shape == (8, 8, 3)
+    assert (px == 200).all()
+
+
+def test_jpeg_12bit_progressive_hand_built():
+    """12-bit progressive (SOF2 prec=12): one DC-first scan, dc=1792
+    (category 11, still within the Annex-K DC table) → constant
+    (1792/8 + 2048) / 16 = 142 exactly via _prog_reconstruct scaling."""
+    dcc = PC._build_codes(*PC._DC_LUM)
+    b1 = PC._BitWriter()
+    code, ln = dcc[11]
+    b1.write(code, ln)
+    b1.write(1792, 11)
+    data = _prog_gray([(0, 0, 0, 0, b1.flush())], prec=12)
+    px = PC.jpeg_decode(data)
+    assert px.shape == (8, 8, 3)
+    assert (px == 142).all()
+
+
+def test_jpeg_precision_rejects_illegal():
+    """prec values outside T.81 B.2.2 (8, 12) raise, not mis-decode."""
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">HH", 0xFFC0, 11) \
+        + struct.pack(">BHHB", 10, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xd9"
+    with pytest.raises(NotImplementedError):
+        PC.jpeg_decode(bytes(out))
 
 
 def test_jpeg_progressive_eobrun_spans_blocks():
