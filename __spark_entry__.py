@@ -1204,6 +1204,68 @@ def q_curation_stats(spark, sf):  # the curation funnel (per-reason counts)
     return curation_stats(caption_image_filters(img, blocked_phashes=blk))
 
 
+def q_clip_filter(spark, sf):  # cross-modal alignment (CLIP-score analog)
+    """DataComp §4 CLIP-score filtering analog over the image+caption axis:
+    cosine(img_vec, txt_vec) per pair, tau cut. No real CLIP encoder exists
+    in-sandbox, so both engines derive the caption embedding from the image
+    embedding with a per-row mixing weight alpha = (id % 5)/4 against the
+    reversed vector — alignments spread from ~random (alpha=0) to exactly
+    1.0 (alpha=1), making the tau=0.8 cut non-vacuous in both directions.
+    Scoring is integer-exact (curation.alignment_score): quantized BIGINT
+    dot/norms, three shared IEEE ops, floor-quantized score_q."""
+    from fetcho_spark.operators.curation import clip_score_filter
+    alpha = (F.col("image_id") % 5).cast("double") / F.lit(4.0)
+    df = (_t(spark, sf, "embeddings")
+          .select(F.col("vec_id").alias("image_id"),
+                  F.transform("embedding", lambda x: x.cast("double"))
+                  .alias("img_vec"))
+          .withColumn("txt_vec",
+                      F.zip_with("img_vec", F.reverse("img_vec"),
+                                 lambda x, y: alpha * x
+                                 + (F.lit(1.0) - alpha) * y)))
+    out = clip_score_filter(df, tau=0.8, id_col="image_id")
+    return out.select("image_id", "score_q", "keep").orderBy("image_id")
+
+
+_CLIP_FILTER_SQL = """
+    WITH p AS (
+      SELECT vec_id AS image_id,
+             embedding::DOUBLE[] AS iv,
+             list_reverse(embedding::DOUBLE[]) AS rv,
+             CAST(vec_id % 5 AS DOUBLE) / 4.0 AS a
+      FROM embeddings),
+    t AS (
+      SELECT image_id, iv,
+             list_transform(range(1, len(iv) + 1),
+               j -> a * iv[j] + (1.0 - a) * rv[j]) AS tv
+      FROM p),
+    q AS (
+      SELECT image_id,
+             list_transform(iv,
+               x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qi,
+             list_transform(tv,
+               x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qt
+      FROM t),
+    s AS (
+      SELECT image_id,
+             CAST(list_sum(list_transform(range(1, len(qi) + 1),
+               j -> qi[j] * qt[j])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(qi, x -> x * x)) AS BIGINT) AS n1,
+             CAST(list_sum(list_transform(qt, x -> x * x)) AS BIGINT) AS n2
+      FROM q),
+    sc AS (
+      SELECT image_id,
+             CASE WHEN n1 > 0 AND n2 > 0
+                  THEN CAST(floor(CAST(dot AS DOUBLE)
+                                  / (sqrt(CAST(n1 AS DOUBLE))
+                                     * sqrt(CAST(n2 AS DOUBLE)))
+                                  * 1000000.0) AS BIGINT)
+                  ELSE 0 END AS score_q
+      FROM s)
+    SELECT image_id, score_q, score_q >= 800000 AS keep
+    FROM sc ORDER BY image_id"""
+
+
 def _img_caption_cte() -> str:
     """DuckDB twin of _img_caption_df + the curation reason columns
     (fetcho_spark/operators/curation.caption_image_filters defaults)."""
@@ -1323,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "datacomp_filter": q_datacomp_filter,
         "curation_stats": q_curation_stats,
+        "clip_filter": q_clip_filter,
     }
 
 
@@ -2059,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         # trainer proof at gate level.
         "kmeans_centroids": _kmeans_centroids_sql(),
         "semdedup": _semdedup_sql(),
+        "clip_filter": _CLIP_FILTER_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte

@@ -74,7 +74,7 @@ EXTRAS = [
     "pack_sequences", "split_assign", "inverted_index",
     "exact_quantiles", "histogram", "bpe_train_fixture",
     "bpe_encode_fixture", "dedup_against", "hits", "rank_docs", "hll_sketch",
-    "seen_route_cuckoo",
+    "seen_route_cuckoo", "semdedup", "datacomp_filter", "clip_filter",
 ]
 
 

@@ -94,3 +94,68 @@ def test_curation_stats_partitions_single_reason_corpus(spark):
     stats = {r.reason: r.n_rows for r in curation_stats(marked).collect()}
     assert stats == {"kept": 2, "too_small": 1, "caption_short": 1}
     assert sum(stats.values()) == len(rows)  # single-reason corpus partitions
+
+
+# ------------------------------------------- cross-modal alignment (CLIP)
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "image_id bigint, img_vec array<double>, txt_vec array<double>")
+
+
+def test_alignment_score_exact_orthogonal_zero(spark):
+    from fetcho_spark.operators.curation import alignment_score
+    rows = [
+        (1, [0.5, 0.25, -0.125], [0.5, 0.25, -0.125]),   # identical → 1.0
+        (2, [1.0, 0.0], [0.0, 1.0]),                     # orthogonal → 0
+        (3, [1.0, 0.0], [-1.0, 0.0]),                    # opposite → -1.0
+        (4, [0.0, 0.0], [1.0, 1.0]),                     # zero vec → 0, no NaN
+        (5, [0.6, 0.8], [0.6, 0.8]),                     # identical → 1.0
+    ]
+    got = {r.image_id: r.score_q
+           for r in alignment_score(_pairs(spark, rows)).collect()}
+    assert got[1] == 1_000_000
+    assert got[2] == 0
+    assert got[3] == -1_000_000
+    assert got[4] == 0
+    assert got[5] == 1_000_000
+
+
+def test_clip_filter_tau_integer_cut(spark):
+    from fetcho_spark.operators.curation import clip_score_filter
+    # cos([1,0],[c,s]) = c: pick c just above/below tau=0.8
+    rows = [
+        (1, [1.0, 0.0], [0.81, 0.5]),
+        (2, [1.0, 0.0], [0.79, 0.5]),
+        (3, [1.0, 0.0], [1.0, 0.0]),
+    ]
+    out = clip_score_filter(_pairs(spark, rows), tau=0.8)
+    got = {r.image_id: r.keep for r in out.collect()}
+    import math
+    c1 = 0.81 / math.hypot(0.81, 0.5)      # ≈0.851 → keep
+    c2 = 0.79 / math.hypot(0.79, 0.5)      # ≈0.845 → keep
+    assert got[3] is True
+    assert got[1] == (c1 >= 0.8) and got[2] == (c2 >= 0.8)
+    with pytest.raises(ValueError):
+        clip_score_filter(_pairs(spark, rows))
+    with pytest.raises(ValueError):
+        clip_score_filter(_pairs(spark, rows), tau=0.5, keep_frac=0.5)
+
+
+def test_clip_filter_keep_frac_matches_brute_force(spark):
+    from fetcho_spark.operators.curation import clip_score_filter
+    import math
+    # 20 pairs with distinct alignments cos(k*4.5deg)
+    rows = []
+    for k in range(20):
+        a = math.radians(k * 4.5)
+        rows.append((k, [1.0, 0.0], [math.cos(a), math.sin(a)]))
+    df = _pairs(spark, rows)
+    out = clip_score_filter(df, keep_frac=0.25, id_col="image_id")
+    got = sorted(r.image_id for r in out.collect() if r.keep)
+    # brute force: top floor(0.25*20)=5 by (score desc, id asc) = k=0..4
+    assert got == [0, 1, 2, 3, 4]
+    # partition invariance: same verdicts at a different parallelism
+    out7 = clip_score_filter(df.repartition(7), keep_frac=0.25,
+                             id_col="image_id")
+    assert sorted(r.image_id for r in out7.collect() if r.keep) == got
