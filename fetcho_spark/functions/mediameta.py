@@ -110,6 +110,50 @@ def probe_mp3(data: bytes) -> dict:
 
 # ------------------------------------------------------------------ FLAC
 
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def is_adts(data: bytes) -> bool:
+    """ADTS syncword with layer==00 (13818-7 §6.2) — MPEG audio (mp3)
+    frames carry a nonzero layer field in the same two bits."""
+    return (len(data) >= 7 and data[0] == 0xFF
+            and (data[1] & 0xF0) == 0xF0 and (data[1] & 0x06) == 0)
+
+
+def probe_adts(data: bytes) -> dict:
+    """Raw AAC in ADTS framing: per-frame 7/9-byte headers carry the
+    profile (AOT−1), sampling-frequency index and channel configuration;
+    each frame is 1024 PCM samples, so counting frames gives the exact
+    duration at header-walk cost (no decode)."""
+    if not is_adts(data):
+        raise ValueError("adts: bad sync")
+    profile = (data[2] >> 6) & 0x03
+    sf_idx = (data[2] >> 2) & 0x0F
+    if sf_idx >= len(_ADTS_RATES):
+        raise ValueError("adts: reserved sampling-frequency index")
+    rate = _ADTS_RATES[sf_idx]
+    channels = ((data[2] & 0x01) << 2) | (data[3] >> 6)
+    frames = 0
+    pos = 0
+    while pos + 7 <= len(data):
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xF0) == 0xF0
+                and (data[pos + 1] & 0x06) == 0):
+            break
+        flen = (((data[pos + 3] & 0x03) << 11) | (data[pos + 4] << 3)
+                | (data[pos + 5] >> 5))
+        if flen < 7 or pos + flen > len(data):  # truncated tail frame
+            break
+        frames += 1
+        pos += flen
+    return {"format": "aac-adts", "sample_rate": rate,
+            "channels": channels, "aac_object_type": profile + 1,
+            "n_frames": frames,
+            "duration_s": frames * 1024 / rate if rate else None,
+            "bitrate_kbps": (round(pos * 8 * rate / (frames * 1024) / 1000)
+                             if frames else None), "vbr": None}
+
+
 def probe_flac(data: bytes) -> dict:
     """FLAC STREAMINFO (always the first metadata block): exact sample
     rate / channels / total samples → exact duration."""
@@ -241,6 +285,109 @@ def probe_mp4(data: bytes) -> dict:
     return {"format": "mp4", "brand": brand,
             "duration_s": duration / timescale if timescale else None,
             "width": width, "height": height, "codec": codec}
+
+
+def _desc_len(data: bytes, pos: int) -> tuple[int, int]:
+    """MPEG-4 descriptor expandable length (14496-1 §8.3.3): 1-4 bytes of
+    7-bit chunks, high bit = continuation. Returns (length, next_pos)."""
+    n = 0
+    for _ in range(4):
+        b = data[pos]
+        pos += 1
+        n = (n << 7) | (b & 0x7F)
+        if not b & 0x80:
+            break
+    return n, pos
+
+
+def _esds_aac_info(data: bytes, b0: int, b1: int):
+    """Walk an ``esds`` box body: ES_Descriptor(0x03) →
+    DecoderConfigDescriptor(0x04, objectTypeIndication) →
+    DecSpecificInfo(0x05) whose first 5 bits are the MPEG-4 Audio Object
+    Type (2 = AAC-LC, 5 = SBR/HE-AAC). Returns (oti, aot) — None where
+    absent."""
+    pos = b0 + 4                                # version/flags
+    oti = aot = None
+    while pos + 2 <= b1:
+        tag = data[pos]
+        ln, pos = _desc_len(data, pos + 1)
+        end = min(pos + ln, b1)
+        if tag == 0x03:                         # ES_Descriptor
+            flags = data[pos + 2]
+            pos += 3
+            if flags & 0x80:
+                pos += 2                        # dependsOn_ES_ID
+            if flags & 0x40:
+                pos += 1 + data[pos]            # URL string
+            if flags & 0x20:
+                pos += 2                        # OCR_ES_ID
+            continue                            # descend into children
+        if tag == 0x04:                         # DecoderConfigDescriptor
+            oti = data[pos]
+            pos += 13                           # oti+stream+buffer+rates
+            continue
+        if tag == 0x05:                         # DecoderSpecificInfo
+            if pos < b1:
+                aot = data[pos] >> 3
+                if aot == 31 and pos + 1 < b1:  # escape value (§1.6.2.1)
+                    aot = 32 + (((data[pos] & 0x07) << 3)
+                                | (data[pos + 1] >> 5))
+            return oti, aot
+        pos = end
+    return oti, aot
+
+
+def probe_m4a(data: bytes) -> dict:
+    """ISO-BMFF audio (m4a/mp4 audio trak): the first trak whose stsd
+    carries an AudioSampleEntry (mp4a/alac/ac-3/Opus…) yields channels +
+    sample rate from the entry fields (14496-12 §12.2.3), exact duration
+    from that trak's mdhd, and — for mp4a — the AAC object type from the
+    esds DecoderSpecificInfo. No decode: header cost only."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("m4a: no ftyp box")
+    brand = data[8:12].decode("ascii", "replace")
+    moov = _find_box(data, 0, len(data), [b"moov"])
+    if moov is None:
+        raise ValueError("m4a: no moov box")
+    for tag, b0, b1 in _walk_boxes(data, moov[0], moov[1]):
+        if tag != b"trak":
+            continue
+        stsd = _find_box(data, b0, b1, [b"mdia", b"minf", b"stbl", b"stsd"])
+        if stsd is None:
+            continue
+        for etag, e0, e1 in _walk_boxes(data, stsd[0] + 8, stsd[1]):
+            # AudioSampleEntry: 8 reserved/dref + 8 reserved, then
+            # channelcount(u16) samplesize(u16) pre_defined+reserved(u32)
+            # samplerate(u32 16.16) — offsets from the entry BODY (e0)
+            if e1 - e0 < 28:
+                continue
+            channels, sampsize = struct.unpack(">HH", data[e0 + 16:e0 + 20])
+            (rate16,) = struct.unpack(">I", data[e0 + 24:e0 + 28])
+            rate = rate16 >> 16
+            if rate == 0 or channels == 0:      # a video/hint entry
+                continue
+            duration = None
+            mdhd = _find_box(data, b0, b1, [b"mdia", b"mdhd"])
+            if mdhd is not None:
+                if data[mdhd[0]] == 1:
+                    ts, dur = struct.unpack(
+                        ">IQ", data[mdhd[0] + 20:mdhd[0] + 32])
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", data[mdhd[0] + 12:mdhd[0] + 20])
+                if ts:
+                    duration = dur / ts
+            oti = aot = None
+            if etag == b"mp4a":
+                esds = _find_box(data, e0 + 28, e1, [b"esds"])
+                if esds is not None:
+                    oti, aot = _esds_aac_info(data, esds[0], esds[1])
+            return {"format": "m4a", "brand": brand,
+                    "codec": etag.decode("ascii", "replace"),
+                    "sample_rate": rate, "channels": channels,
+                    "sample_size": sampsize, "duration_s": duration,
+                    "object_type_indication": oti, "aac_object_type": aot}
+    raise ValueError("m4a: no audio sample entry in any trak")
 
 
 # --------------------------------------------------------------- RIFF/AVI
@@ -564,12 +711,15 @@ def mp4_video_samples(data: bytes):
 # ------------------------------------------------------------- dispatch
 
 def probe_audio(data: bytes) -> dict:
-    """Magic-dispatched audio metadata probe (mp3/flac/ogg; m4a via
-    probe_mp4 has no audio rate here — use probe_video for BMFF)."""
+    """Magic-dispatched audio metadata probe (mp3/flac/ogg/m4a)."""
     if data[:4] == b"fLaC":
         return probe_flac(data)
     if data[:4] == b"OggS":
         return probe_ogg(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return probe_m4a(data)
+    if is_adts(data):
+        return probe_adts(data)
     if data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF
                               and (data[1] & 0xE0) == 0xE0):
         return probe_mp3(data)

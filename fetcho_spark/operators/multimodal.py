@@ -349,7 +349,9 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 # check by the repo's own from-scratch decoder (functions/flac.py) and only
 # falls through here if its stream uses something the decoder rejects
 _COMPRESSED_AUDIO_MAGIC = (b"ID3", b"\xff\xfb", b"\xff\xf3", b"\xff\xf2",
-                           b"OggS", b"fLaC")
+                           b"OggS", b"fLaC",
+                           # ADTS AAC: syncword + layer 00 (± CRC, MPEG-2/4)
+                           b"\xff\xf0", b"\xff\xf1", b"\xff\xf8", b"\xff\xf9")
 
 
 def _flac_features(data: bytes) -> tuple[float, float, float, int, int]:
@@ -576,7 +578,8 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
                         continue
                     except Exception:
                         pass
-                if any(b.startswith(m) for m in _COMPRESSED_AUDIO_MAGIC):
+                if (any(b.startswith(m) for m in _COMPRESSED_AUDIO_MAGIC)
+                        or (len(b) >= 12 and b[4:8] == b"ftyp")):
                     if strict:
                         raise NotImplementedError(
                             "compressed audio decode requires ffmpeg/"

@@ -366,3 +366,132 @@ def test_probe_exif_both_endians_and_embedded():
         np.zeros((8, 8, 3), np.uint8), 90)) == {}
     with pytest.raises(ValueError):
         MM.probe_exif(b"not-a-jpeg")
+
+
+# ---------------------------------------------------------- M4A / AAC
+
+def _esds(oti=0x40, asc=b"\x12\x10"):
+    dsi = bytes([0x05, len(asc)]) + asc
+    dcd = (bytes([0x04, 13 + len(dsi), oti, 0x15]) + b"\x00\x00\x00"
+           + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00" + dsi)
+    esd = bytes([0x03, 3 + len(dcd)]) + b"\x00\x01\x00" + dcd
+    return _box(b"esds", b"\x00\x00\x00\x00" + esd)
+
+
+def build_m4a(rate=44100, channels=2, timescale=44100, duration=441_000,
+              codec=b"mp4a", asc=b"\x12\x10", mdhd_v1=False,
+              lead_video_trak=False):
+    body = (b"\x00" * 6 + b"\x00\x01"            # reserved + dref idx
+            + b"\x00" * 8
+            + struct.pack(">HH", channels, 16)
+            + b"\x00\x00\x00\x00"
+            + struct.pack(">I", rate << 16))
+    if codec == b"mp4a":
+        body += _esds(asc=asc)
+    entry = _box(codec, body)
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+    if mdhd_v1:
+        mdhd = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">IQ", timescale, duration) + b"\x00" * 4)
+    else:
+        mdhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                + struct.pack(">II", timescale, duration) + b"\x00" * 4)
+    mdia = _box(b"mdia", _box(b"mdhd", mdhd)
+                + _box(b"minf", _box(b"stbl", stsd)))
+    trak = _box(b"trak", mdia)
+    mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", 1000, 10_000) + b"\x00" * 80)
+    traks = trak
+    if lead_video_trak:
+        ventry = _box(b"avc1", b"\x00" * 20)     # too short for audio
+        vstsd = _box(b"stsd", b"\x00\x00\x00\x00"
+                     + struct.pack(">I", 1) + ventry)
+        vtrak = _box(b"trak", _box(
+            b"mdia", _box(b"minf", _box(b"stbl", vstsd))))
+        traks = vtrak + trak
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + traks)
+    return _box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42") + moov
+
+
+def test_probe_m4a_aac_lc():
+    from fetcho_spark.functions.mediameta import probe_audio, probe_m4a
+    data = build_m4a()
+    m = probe_m4a(data)
+    assert m["format"] == "m4a" and m["brand"] == "M4A "
+    assert m["codec"] == "mp4a"
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["duration_s"] == pytest.approx(10.0)
+    assert m["object_type_indication"] == 0x40   # MPEG-4 audio
+    assert m["aac_object_type"] == 2             # AAC-LC
+    # dispatched through probe_audio too (ftyp at offset 4)
+    assert probe_audio(data)["codec"] == "mp4a"
+
+
+def test_probe_m4a_variants():
+    from fetcho_spark.functions.mediameta import probe_m4a
+    # 64-bit mdhd, HE-AAC (aot 5: asc byte0 = 5<<3 | freq>>1)
+    m = probe_m4a(build_m4a(mdhd_v1=True, duration=882_000,
+                            asc=bytes([0x2A, 0x10])))
+    assert m["duration_s"] == pytest.approx(20.0)
+    assert m["aac_object_type"] == 5
+    # AOT escape (31 → 32 + 6-bit ext): ext=10 → aot 42 (USAC range)
+    b0 = (31 << 3) | (10 >> 3)
+    b1 = ((10 & 0x07) << 5)
+    assert probe_m4a(build_m4a(asc=bytes([b0, b1])))["aac_object_type"] == 42
+    # ALAC entry: no esds, still rate/channels/duration
+    m = probe_m4a(build_m4a(codec=b"alac", rate=48000, channels=1,
+                            timescale=48000, duration=48000 * 3))
+    assert (m["codec"], m["sample_rate"], m["channels"]) == ("alac", 48000, 1)
+    assert m["aac_object_type"] is None
+    # audio trak found even behind a leading video trak
+    assert probe_m4a(build_m4a(lead_video_trak=True))["codec"] == "mp4a"
+    # garbage raises
+    with pytest.raises(ValueError):
+        probe_m4a(b"\x00" * 32)
+
+
+def test_audio_features_m4a_metadata_only(spark):
+    from fetcho_spark.operators.multimodal import audio_features
+    df = spark.createDataFrame([("a1", bytearray(build_m4a()))],
+                               "audio_id string, bytes binary")
+    row = audio_features(df).collect()[0]
+    assert row.err == "metadata-only"
+    assert row.sample_rate == 44100 and row.n_channels == 2
+    assert row.duration_s == pytest.approx(10.0)
+
+
+def build_adts(n_frames=10, profile=1, sf_idx=4, channels=2,
+               payload=20):
+    out = bytearray()
+    flen = 7 + payload
+    for _ in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1                              # MPEG-4, layer 00, no CRC
+        h[2] = (profile << 6) | (sf_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 0x03) << 6) | ((flen >> 11) & 0x03)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 0x07) << 5) | 0x1F
+        h[6] = 0xFC
+        out += h + bytes(payload)
+    return bytes(out)
+
+
+def test_probe_adts():
+    from fetcho_spark.functions.mediameta import (is_adts, probe_adts,
+                                                  probe_audio)
+    data = build_adts(n_frames=43, sf_idx=4)     # 44100 Hz
+    assert is_adts(data)
+    m = probe_adts(data)
+    assert m["format"] == "aac-adts"
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["aac_object_type"] == 2             # profile 1 = AAC-LC
+    assert m["n_frames"] == 43
+    assert m["duration_s"] == pytest.approx(43 * 1024 / 44100)
+    assert probe_audio(data)["format"] == "aac-adts"
+    # an MP3 frame is NOT adts (layer bits nonzero)
+    assert not is_adts(build_mp3(1))
+    # truncated tail frame stops the walk, earlier frames still counted
+    assert probe_adts(data[:len(data) - 10])["n_frames"] == 42
+    with pytest.raises(ValueError):
+        probe_adts(b"\xff\xfb\x90\x00" * 4)      # mp3 sync, not adts
