@@ -1316,6 +1316,104 @@ def _img_caption_cte() -> str:
           FROM cap)"""
 
 
+def q_robots_parse(spark, sf):
+    """Distributed raw robots.txt parse (RobotsFile.cs:120-197 semantics):
+    synthesize one deterministic robots body per document — exercising
+    comments, blank lines, pre-UA orphan rules, per-UA groups, empty
+    patterns, the one-trailing-'*' chop, sitemap collection, mixed case and
+    indentation — and parse with the zero-shuffle JVM aggregate fold."""
+    from fetcho_spark.operators.robots import parse_robots_df
+    i = F.col("doc_id")
+    s = i.cast("string")
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# synthetic robots for doc "), s),
+        F.lit(""),
+        F.when(i % 7 == 0, F.lit("Disallow: /early")),
+        F.concat(F.lit("User-agent: agent"), (i % 3).cast("string")),
+        F.concat(F.lit("Disallow: /d"), s, F.lit("/*")),
+        F.concat(F.lit("Allow: /d"), s, F.lit("/pub$")),
+        F.lit("DISALLOW:"),
+        F.concat(F.lit("disallow: /t"), s, F.lit("**")),
+        F.concat(F.lit("Sitemap: https://h"), s, F.lit(".example/sm.xml*")),
+        F.lit("User-agent: *"),
+        F.lit("  allow: /open"),
+        F.lit("crawl-delay: 5"))
+    raw = (_t(spark, sf, "documents")
+           .select(F.concat(F.lit("h"), s).alias("host"), body.alias("body")))
+    return parse_robots_df(raw).orderBy("host", "seq")
+
+
+_ROBOTS_PARSE_SQL = """
+    WITH src AS (
+      SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+             concat_ws(chr(10),
+               '# synthetic robots for doc ' || CAST(doc_id AS VARCHAR),
+               '',
+               CASE WHEN doc_id % 7 = 0 THEN 'Disallow: /early' END,
+               'User-agent: agent' || CAST(doc_id % 3 AS VARCHAR),
+               'Disallow: /d' || CAST(doc_id AS VARCHAR) || '/*',
+               'Allow: /d' || CAST(doc_id AS VARCHAR) || '/pub$',
+               'DISALLOW:',
+               'disallow: /t' || CAST(doc_id AS VARCHAR) || '**',
+               'Sitemap: https://h' || CAST(doc_id AS VARCHAR)
+                 || '.example/sm.xml*',
+               'User-agent: *',
+               '  allow: /open',
+               'crawl-delay: 5') AS body
+      FROM documents
+    ), ls AS (
+      SELECT host, string_split_regex(body, '\r\n|\r|\n') AS l FROM src
+    ), ln AS (
+      SELECT host, u.pos AS idx,
+             regexp_replace(u.line, '^[ \t]+|[ \t]+$', '', 'g') AS t
+      FROM (SELECT host,
+              unnest(list_transform(range(1, len(l) + 1),
+                i -> struct_pack(pos := i, line := l[i]))) AS u
+            FROM ls) q
+    ), grpd AS (
+      SELECT host, idx, t,
+             SUM(CASE WHEN lower(t) LIKE 'user-agent:%' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host ORDER BY idx) AS grp
+      FROM ln
+    ), ua AS (
+      SELECT host, idx, t,
+             COALESCE(MAX(CASE WHEN lower(t) LIKE 'user-agent:%' THEN
+                 regexp_replace(substr(t, 12), '^[ \t]+|[ \t]+$', '', 'g')
+               END) OVER (PARTITION BY host, grp), '') AS cur_ua
+      FROM grpd
+    ), chopped AS (
+      SELECT host, idx, cur_ua,
+             CASE WHEN t LIKE '%*' THEN substr(t, 1, len(t) - 1)
+                  ELSE t END AS c
+      FROM ua
+      WHERE t NOT LIKE '#%' AND lower(t) NOT LIKE 'user-agent:%'
+    ), classified AS (
+      SELECT host, idx,
+        CASE WHEN lower(c) LIKE 'sitemap:%' THEN NULL ELSE cur_ua END
+          AS user_agent,
+        CASE WHEN lower(c) LIKE 'disallow:%' THEN 'disallow'
+             WHEN lower(c) LIKE 'allow:%' THEN 'allow'
+             WHEN lower(c) LIKE 'sitemap:%' THEN 'sitemap' END AS directive,
+        CASE WHEN lower(c) LIKE 'disallow:%' THEN
+               regexp_replace(substr(c, 10), '^[ \t]+|[ \t]+$', '', 'g')
+             WHEN lower(c) LIKE 'allow:%' THEN
+               regexp_replace(substr(c, 7), '^[ \t]+|[ \t]+$', '', 'g')
+             WHEN lower(c) LIKE 'sitemap:%' THEN
+               regexp_replace(substr(c, 9), '^[ \t]+|[ \t]+$', '', 'g')
+        END AS pattern
+      FROM chopped
+    ), emitted AS (
+      SELECT * FROM classified
+      WHERE directive IS NOT NULL AND pattern <> ''
+    )
+    SELECT host, user_agent, directive, pattern,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY idx) - 1
+                AS INT) AS seq
+    FROM emitted
+    ORDER BY host, seq"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "anti_join_seen": q_anti_join_seen,
@@ -1386,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datacomp_filter": q_datacomp_filter,
         "curation_stats": q_curation_stats,
         "clip_filter": q_clip_filter,
+        "robots_parse": q_robots_parse,
     }
 
 
@@ -2123,6 +2222,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _kmeans_centroids_sql(),
         "semdedup": _semdedup_sql(),
         "clip_filter": _CLIP_FILTER_SQL,
+        "robots_parse": _ROBOTS_PARSE_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte

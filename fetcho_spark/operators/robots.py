@@ -31,6 +31,168 @@ from pyspark.sql import types as T
 
 DEFAULT_UA = "fetcho"
 
+# ASCII whitespace only, in all three implementations (Python reference, JVM
+# fold, DuckDB oracle twin): C# ``Trim()`` / Python ``str.strip()`` / Spark
+# ``F.trim`` each trim a DIFFERENT whitespace set, so a shared explicit class
+# is the only way the three parsers agree byte-for-byte.
+_WS = " \t\r\n\f\x0b"
+_TRIM_RE = re.compile(r"^[ \t\r\n\f\x0b]+|[ \t\r\n\f\x0b]+$")
+
+
+def parse_robots_text(body: str) -> tuple[list[tuple[str, str, str]],
+                                          list[str]]:
+    """Raw robots.txt text → ((user_agent, directive, pattern) rules,
+    sitemap list). Pure-Python reference twin of :func:`parse_robots_df`.
+
+    Semantics re-expressed from the reference's parse loop
+    (common/RobotsFile.cs:120-197):
+
+    - lines are trimmed; ``#``-prefixed lines are comments (inline ``#`` is
+      NOT stripped — reference keeps it);
+    - ``user-agent:`` (case-insensitive) sets the current group; following
+      allow/disallow lines attach to it; blank lines do NOT close a group;
+    - ONE trailing ``*`` is chopped from every non-UA directive line before
+      classification (RobotsFile.cs:166 — redundant under prefix matching);
+      this also applies to ``sitemap:`` lines, a reference quirk we keep;
+    - empty patterns are ignored (``Disallow:`` alone == allow all);
+    - ``sitemap:`` URLs are collected file-wide, not per-UA
+      (RobotsFile.cs:191-194); the reference only COLLECTS them — it never
+      fetches sitemaps — and so do we;
+    - rules before any ``user-agent:`` line: the reference throws
+      (GetState("") finds no matcher). We stay total — they are emitted
+      under user_agent ``""``, which no UA-group selection ever chooses
+      (:func:`compile_rules` matches exact UA or ``*``), so they are inert;
+      callers can filter ``user_agent == ''`` to detect malformed files
+      instead of aborting a distributed parse over one bad host.
+    """
+    rows = parse_robots_rows(body)
+    rules = [(ua, d, p) for ua, d, p in rows if d != "sitemap"]
+    sitemaps = [p for _, d, p in rows if d == "sitemap"]
+    return rules, sitemaps
+
+
+def parse_robots_rows(body: str) -> list[tuple[str | None, str, str]]:
+    """Raw robots.txt → interleaved (user_agent, directive, pattern) rows in
+    file emission order (sitemap rows carry user_agent ``None``). The exact
+    row stream :func:`parse_robots_df` emits per host — parity is tested
+    row-for-row including order."""
+    ua = ""
+    rows: list[tuple[str | None, str, str]] = []
+    for raw in re.split("\r\n|\r|\n", body):
+        line = _TRIM_RE.sub("", raw)
+        low = line.lower()
+        if low.startswith("#"):
+            continue
+        if low.startswith("user-agent:"):
+            ua = line[11:].strip(_WS)
+            continue
+        if line.endswith("*"):
+            line, low = line[:-1], low[:-1]
+        if low.startswith("disallow:"):
+            pat = line[9:].strip(_WS)
+            if pat:
+                rows.append((ua, "disallow", pat))
+        elif low.startswith("allow:"):
+            pat = line[6:].strip(_WS)
+            if pat:
+                rows.append((ua, "allow", pat))
+        elif low.startswith("sitemap:"):
+            sm = line[8:].strip(_WS)
+            if sm:
+                rows.append((None, "sitemap", sm))
+    return rows
+
+
+_PARSED_ROW = ("struct<user_agent:string,directive:string,pattern:string,"
+               "seq:int>")
+
+
+def parse_robots_df(raw: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """Distributed robots.txt text parse: (host, body) rows → one row per
+    directive ``(host, user_agent, directive, pattern, seq)``.
+
+    ``directive`` is ``allow``/``disallow`` (user_agent = current UA group)
+    or ``sitemap`` (user_agent NULL — file-wide per RobotsFile.cs:191-194).
+    ``seq`` is the 0-based emission order within the file, so downstream
+    consumers can reconstruct file order after the explode.
+
+    Spark-first shape: the stateful current-user-agent accumulation is ONE
+    zero-shuffle JVM ``aggregate`` fold over the split lines (state =
+    (current ua, emitted rows)) + an explode — whole-stage codegen, no
+    Python crossing, no window/shuffle. Parity with
+    :func:`parse_robots_text` is pinned by tests over every quirk class
+    (CRLF, tabs, trailing-``*`` chop, pre-UA rules, case, empty patterns).
+    """
+    jvm_trim = lambda c: F.regexp_replace(  # noqa: E731
+        c, r"^[ \t\r\n\f\x0b]+|[ \t\r\n\f\x0b]+$", "")
+    lines = F.split(F.col(body_col), "\r\n|\r|\n")
+    init = F.struct(
+        F.lit("").alias("ua"),
+        F.array().cast(f"array<{_PARSED_ROW}>").alias("rows"))
+
+    def step(acc, raw_line):
+        t = jvm_trim(raw_line)
+        low = F.lower(t)
+        is_comment = low.startswith("#")
+        is_ua = low.startswith("user-agent:")
+        new_ua = jvm_trim(t.substr(F.lit(12), F.length(t)))
+        # ONE trailing '*' chopped before classification (RobotsFile.cs:166)
+        chop = low.endswith("*")
+        c = F.when(chop, t.substr(F.lit(1), F.length(t) - 1)).otherwise(t)
+        lc = F.when(chop, low.substr(F.lit(1), F.length(low) - 1)) \
+              .otherwise(low)
+        pat_dis = jvm_trim(c.substr(F.lit(10), F.length(c)))
+        pat_alw = jvm_trim(c.substr(F.lit(7), F.length(c)))
+        pat_smp = jvm_trim(c.substr(F.lit(9), F.length(c)))
+        seq = F.size(acc["rows"])
+        rule = (
+            F.when(is_comment | is_ua,
+                   F.lit(None).cast(_PARSED_ROW))
+             .when(lc.startswith("disallow:") & (pat_dis != ""),
+                   F.struct(acc["ua"].alias("user_agent"),
+                            F.lit("disallow").alias("directive"),
+                            pat_dis.alias("pattern"), seq.alias("seq")))
+             .when(lc.startswith("disallow:"),
+                   F.lit(None).cast(_PARSED_ROW))
+             .when(lc.startswith("allow:") & (pat_alw != ""),
+                   F.struct(acc["ua"].alias("user_agent"),
+                            F.lit("allow").alias("directive"),
+                            pat_alw.alias("pattern"), seq.alias("seq")))
+             .when(lc.startswith("allow:"),
+                   F.lit(None).cast(_PARSED_ROW))
+             .when(lc.startswith("sitemap:") & (pat_smp != ""),
+                   F.struct(F.lit(None).cast("string").alias("user_agent"),
+                            F.lit("sitemap").alias("directive"),
+                            pat_smp.alias("pattern"), seq.alias("seq"))))
+        return F.struct(
+            F.when(is_ua, new_ua).otherwise(acc["ua"]).alias("ua"),
+            F.when(rule.isNotNull(), F.array_append(acc["rows"], rule))
+             .otherwise(acc["rows"]).alias("rows"))
+
+    parsed = F.aggregate(lines, init, step)["rows"]
+    return (raw.select(F.col(host_col).alias("host"),
+                       F.explode(parsed).alias("_r"))
+            .select("host", F.col("_r.user_agent").alias("user_agent"),
+                    F.col("_r.directive").alias("directive"),
+                    F.col("_r.pattern").alias("pattern"),
+                    F.col("_r.seq").alias("seq")))
+
+
+def robots_rules(parsed: DataFrame) -> DataFrame:
+    """Rule rows (allow/disallow) from :func:`parse_robots_df` output, in
+    the (host, user_agent, directive, pattern) shape :func:`rules_like_df`
+    and :func:`compile_rules` consume."""
+    return (parsed.filter(F.col("directive") != "sitemap")
+            .select("host", "user_agent", "directive", "pattern"))
+
+
+def robots_sitemaps(parsed: DataFrame) -> DataFrame:
+    """File-wide sitemap URL rows (host, sitemap) — the reference collects
+    these (RobotsFile.cs:41,191-194) but never fetches them; same here."""
+    return (parsed.filter(F.col("directive") == "sitemap")
+            .select("host", F.col("pattern").alias("sitemap")))
+
 
 def pattern_to_regex(pattern: str) -> re.Pattern:
     """robots pattern → compiled anchored-prefix regex (*, $ supported)."""
