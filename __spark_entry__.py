@@ -1316,6 +1316,50 @@ def _img_caption_cte() -> str:
           FROM cap)"""
 
 
+def q_cms_sketch(spark, sf):
+    # count-min sketch AS DATA over events.user_id — the depth×width
+    # register table is hash-checked (mergeable across engines by
+    # construction: md5 row hashes, sum per cell)
+    from fetcho_spark.operators.stats import cms_registers
+    return (cms_registers(_t(spark, sf, "events"), "user_id")
+            .orderBy("row", "col"))
+
+
+def q_cms_heavy(spark, sf):
+    # heavy hitters via broadcast sketch probe: no false negatives,
+    # collision over-counts agree exactly in both engines
+    from fetcho_spark.operators.stats import cms_heavy_hitters
+    return (cms_heavy_hitters(_t(spark, sf, "events"), "user_id",
+                              threshold=80)
+            .orderBy("user_id"))
+
+
+_CMS_CELLS = """
+      SELECT CAST(t.r AS INT) AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':'
+                     || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                  % 1024 AS INT) AS col,
+             user_id
+      FROM events, (VALUES (0), (1), (2), (3)) AS t(r)"""
+
+_CMS_SKETCH_SQL = f"""
+    WITH cells AS ({_CMS_CELLS})
+    SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY row, col ORDER BY row, col"""
+
+_CMS_HEAVY_SQL = f"""
+    WITH cells AS ({_CMS_CELLS}),
+    sketch AS (
+      SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row, col
+    ), est AS (
+      SELECT c.user_id, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+      FROM (SELECT DISTINCT row, col, user_id FROM cells) c
+      LEFT JOIN sketch s USING (row, col)
+      GROUP BY c.user_id)
+    SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
+
+
 def q_robots_parse(spark, sf):
     """Distributed raw robots.txt parse (RobotsFile.cs:120-197 semantics):
     synthesize one deterministic robots body per document — exercising
@@ -1485,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_stats": q_curation_stats,
         "clip_filter": q_clip_filter,
         "robots_parse": q_robots_parse,
+        "cms_sketch": q_cms_sketch,
+        "cms_heavy": q_cms_heavy,
     }
 
 
@@ -2223,6 +2269,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         "clip_filter": _CLIP_FILTER_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
+        "cms_sketch": _CMS_SKETCH_SQL,
+        "cms_heavy": _CMS_HEAVY_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte

@@ -104,3 +104,89 @@ def histogram(df: DataFrame, value_col: str, lo: float, hi: float,
     b = F.least(F.greatest(raw, F.lit(-1)), F.lit(nbins))
     return (df.select(b.alias("bin"))
             .groupBy("bin").agg(F.count("*").alias("n")))
+
+
+def cms_registers(df: DataFrame, key_col: str, depth: int = 4,
+                  width: int = 1024, weight_col: str | None = None
+                  ) -> DataFrame:
+    """Count-min sketch as DATA → ``(row, col, cnt)`` register table.
+
+    The bounded-memory heavy-hitter summary (Cormode & Muthukrishnan
+    2005): ``depth`` independent hash rows of ``width`` counters; a
+    key's estimate is the MIN of its ``depth`` counters and can only
+    OVER-estimate. Row ``r``'s hash is ``md5("r:" || key)`` (first 48
+    bits, mod ``width``) — the repo's cross-engine hash, so sketches
+    built by different systems (Spark today, a stream processor
+    tomorrow) are register-exact and MERGE by summing per (row, col):
+    associative, commutative, partition-invariant.
+
+    Scale shape: one ``depth``-way explode + one partial-aggregated
+    groupBy over ≤ depth×width groups — the corpus never shuffles on
+    the key, and the summary stays ≤ depth×width rows no matter how
+    many distinct keys (hot hosts, URL shingles) flow through. Use
+    exact ``groupBy(key)`` when a full-key shuffle is affordable; the
+    sketch is for streaming merges and bounded-memory profiles.
+    ``weight_col`` (optional, cast to long) turns it into a weighted
+    frequency sketch (e.g. bytes per host instead of fetches per host).
+    """
+    cells = [
+        F.struct(
+            F.lit(r).cast("int").alias("row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{r}:"),
+                               F.col(key_col).cast("string"))), 1, 12),
+                16, 10).cast("long") % width).cast("int").alias("col"))
+        for r in range(depth)]
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    return (df.select(F.explode(F.array(*cells)).alias("_rc"),
+                      w.alias("_w"))
+            .select(F.col("_rc.row").alias("row"),
+                    F.col("_rc.col").alias("col"), "_w")
+            .groupBy("row", "col").agg(F.sum("_w").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-query a count-min sketch for each key row → ``(key_col,
+    est)``. ``est >= true count`` always (min over rows of an
+    over-counted cell); equality when no collisions.
+
+    Scale shape: the sketch is ≤ depth×width rows — broadcast it; the
+    candidate keys explode ``depth``-ways and join the broadcast with
+    ZERO shuffle of the candidate set beyond the final per-key min agg.
+    """
+    cells = [
+        F.struct(
+            F.lit(r).cast("int").alias("row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{r}:"),
+                               F.col(key_col).cast("string"))), 1, 12),
+                16, 10).cast("long") % width).cast("int").alias("col"))
+        for r in range(depth)]
+    probes = (keys.select(key_col,
+                          F.explode(F.array(*cells)).alias("_rc"))
+              .select(key_col, F.col("_rc.row").alias("row"),
+                      F.col("_rc.col").alias("col")))
+    return (probes.join(F.broadcast(sketch), ["row", "col"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("est")))
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, threshold: int,
+                      depth: int = 4, width: int = 1024) -> DataFrame:
+    """Keys whose sketch estimate ≥ ``threshold`` → ``(key_col, est)``.
+
+    One-pass candidate generation + broadcast sketch probe. No false
+    negatives (estimates only over-count); possible false positives
+    from collisions, bounded by the standard CMS guarantee
+    (ε = e/width of total mass at δ = e^-depth). At crawl scale this
+    is the hot-host detector: the sketch absorbs 10^10 frontier rows
+    into depth×width counters, and only the (bounded) distinct
+    candidate set ever probes it.
+    """
+    sketch = cms_registers(df, key_col, depth, width)
+    cands = df.select(key_col).distinct()
+    est = cms_estimate(sketch, cands, key_col, depth, width)
+    return est.filter(F.col("est") >= threshold)

@@ -88,3 +88,95 @@ def test_hll_registers_match_reference_and_merge(spark):
     # estimate lands within ~5% at p=10 for 4500 distinct
     est = hll_estimate(list(ru.items()))
     assert abs(est - 4500) / 4500 < 0.05
+
+
+# ------------------------------------------------------ count-min sketch
+
+def _cms_ref(keys, depth=4, width=1024, weights=None):
+    regs = {}
+    for i, k in enumerate(keys):
+        w = 1 if weights is None else weights[i]
+        for r in range(depth):
+            h = int(hashlib.md5(f"{r}:{k}".encode()).hexdigest()[:12], 16)
+            cell = (r, h % width)
+            regs[cell] = regs.get(cell, 0) + w
+    return regs
+
+
+def _cms_ref_est(regs, key, depth=4, width=1024):
+    est = None
+    for r in range(depth):
+        h = int(hashlib.md5(f"{r}:{key}".encode()).hexdigest()[:12], 16)
+        c = regs.get((r, h % width), 0)
+        est = c if est is None else min(est, c)
+    return est
+
+
+@pytest.mark.spark
+def test_cms_registers_match_reference_and_merge(spark):
+    from fetcho_spark.operators.stats import cms_registers
+    keys = [f"host{i % 50}" for i in range(800)] + ["hot"] * 200
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {(r["row"], r["col"]): r["cnt"]
+           for r in cms_registers(df, "k").collect()}
+    assert got == _cms_ref(keys)
+    # merge = per-cell SUM == sketch of the union
+    other = [f"x{i}" for i in range(300)] + ["hot"] * 100
+    do = spark.createDataFrame([(k,) for k in other], ["k"])
+    ga = got
+    gb = {(r["row"], r["col"]): r["cnt"]
+          for r in cms_registers(do, "k").collect()}
+    merged = {c: ga.get(c, 0) + gb.get(c, 0) for c in set(ga) | set(gb)}
+    gu = {(r["row"], r["col"]): r["cnt"]
+          for r in cms_registers(df.union(do), "k").collect()}
+    assert merged == gu
+    # partition invariance
+    gp = {(r["row"], r["col"]): r["cnt"]
+          for r in cms_registers(df.repartition(7), "k").collect()}
+    assert gp == ga
+
+
+@pytest.mark.spark
+def test_cms_estimate_never_underestimates(spark):
+    from fetcho_spark.operators.stats import cms_estimate, cms_registers
+    import collections
+    keys = [f"k{i % 37}" for i in range(500)] + ["whale"] * 77
+    true = collections.Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    sk = cms_registers(df, "k", depth=3, width=64)  # narrow -> collisions
+    cand = spark.createDataFrame([(k,) for k in sorted(true)], ["k"])
+    est = {r["k"]: r["est"]
+           for r in cms_estimate(sk, cand, "k", depth=3, width=64).collect()}
+    regs = _cms_ref(keys, depth=3, width=64)
+    for k, n in true.items():
+        assert est[k] >= n                       # CMS can only over-count
+        assert est[k] == _cms_ref_est(regs, k, depth=3, width=64)
+    # absent key estimates only collision mass
+    miss = cms_estimate(sk, spark.createDataFrame([("nope",)], ["k"]),
+                        "k", depth=3, width=64).collect()[0]["est"]
+    assert miss == _cms_ref_est(regs, "nope", depth=3, width=64)
+
+
+@pytest.mark.spark
+def test_cms_heavy_hitters_no_false_negatives(spark):
+    from fetcho_spark.operators.stats import cms_heavy_hitters
+    keys = (["big"] * 120 + ["mid"] * 60 + ["small"] * 5
+            + [f"noise{i}" for i in range(200)])
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    hh = {r["k"]: r["est"]
+          for r in cms_heavy_hitters(df, "k", threshold=50).collect()}
+    assert "big" in hh and hh["big"] >= 120
+    assert "mid" in hh and hh["mid"] >= 60
+    assert "small" not in hh or hh["small"] >= 50  # only over-count FPs
+    assert all(est >= 50 for est in hh.values())
+
+
+@pytest.mark.spark
+def test_cms_weighted(spark):
+    from fetcho_spark.operators.stats import cms_registers
+    rows = [("a", 10), ("b", 3), ("a", 5)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    got = {(r["row"], r["col"]): r["cnt"]
+           for r in cms_registers(df, "k", weight_col="w").collect()}
+    assert got == _cms_ref([k for k, _ in rows],
+                           weights=[w for _, w in rows])
