@@ -1360,6 +1360,63 @@ _CMS_HEAVY_SQL = f"""
     SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
 
 
+def q_dsir_sample(spark, sf):
+    # DSIR-shape importance selection: target = every 10th document,
+    # quantized ratio weights (no libm log — see operators/dsir.py),
+    # top-25% mark; the full fit+score+rank pipeline is hash-checked
+    from fetcho_spark.operators.dsir import dsir_select
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return dsir_select(docs, target, keep_frac=0.25).orderBy("doc_id")
+
+
+_DSIR_SQL = """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, u AS g
+      FROM (SELECT doc_id,
+              unnest(w || list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])) AS u
+            FROM words) t
+    ), b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 12))::BIGINT % 4096 AS INT)
+               AS bucket
+      FROM grams
+    ), ct AS (
+      SELECT bucket, count(*) AS n FROM b WHERE doc_id % 10 = 0
+      GROUP BY bucket
+    ), cr AS (
+      SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+    ), z AS (
+      SELECT (SELECT sum(n) FROM ct) AS zt, (SELECT sum(n) FROM cr) AS zr
+    ), wt AS (
+      SELECT bucket,
+             CAST(floor(CAST((COALESCE(ct.n, 0) + 1) * (z.zr + 4096)
+                             AS DOUBLE) * 1000000.0
+                        / CAST((COALESCE(cr.n, 0) + 1) * (z.zt + 4096)
+                               AS DOUBLE)) AS BIGINT) AS weight_q
+      FROM ct FULL OUTER JOIN cr USING (bucket), z
+    ), sc AS (
+      SELECT b.doc_id, SUM(wt.weight_q) AS s
+      FROM b JOIN wt USING (bucket) GROUP BY b.doc_id
+    ), scored AS (
+      SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_q
+      FROM documents d LEFT JOIN sc USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id, score_q,
+             row_number() OVER (ORDER BY score_q DESC, doc_id) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM scored)
+    SELECT doc_id, score_q,
+           rk < CAST(floor(0.25 * n) AS BIGINT) AS keep
+    FROM ranked ORDER BY doc_id"""
+
+
 def q_robots_parse(spark, sf):
     """Distributed raw robots.txt parse (RobotsFile.cs:120-197 semantics):
     synthesize one deterministic robots body per document — exercising
@@ -1531,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "cms_sketch": q_cms_sketch,
         "cms_heavy": q_cms_heavy,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -2271,6 +2329,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_parse": _ROBOTS_PARSE_SQL,
         "cms_sketch": _CMS_SKETCH_SQL,
         "cms_heavy": _CMS_HEAVY_SQL,
+        "dsir_sample": _DSIR_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte
