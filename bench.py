@@ -75,6 +75,7 @@ EXTRAS = [
     "exact_quantiles", "histogram", "bpe_train_fixture",
     "bpe_encode_fixture", "dedup_against", "hits", "rank_docs", "hll_sketch",
     "seen_route_cuckoo", "semdedup", "datacomp_filter", "clip_filter",
+    "robots_parse", "cms_sketch", "cms_heavy", "dsir_sample",
 ]
 
 

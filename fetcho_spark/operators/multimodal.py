@@ -126,19 +126,27 @@ def video_frame_sample(videos: DataFrame, every_n: int = 10,
                        bytes_col: str = "bytes") -> DataFrame:
     """Frame sampling over an opaque video binary column.
 
-    Three REAL demuxers run without ffmpeg: RIFF/AVI containers
+    Four REAL demuxers run without ffmpeg: RIFF/AVI containers
     (:func:`demux_avi` — pure-stdlib chunk walk; an MJPEG AVI yields raw
     JPEG frame payloads), ISO-BMFF/MP4 (``mediameta.mp4_video_samples`` —
-    stsz/stsc/stco sample-table join; yields codec packets), and the
-    deterministic FSVD test container (:func:`_fake_demux`). Inter-frame
-    *decode* of compressed codecs (H.264 etc.) genuinely needs
-    ffmpeg/pyav and still raises — the sampled frames come back as opaque
-    bytes for a downstream decoder (the codec seam decodes MJPEG frames
-    directly).
+    stsz/stsc/stco sample-table join; yields codec packets), animated GIF
+    (``pure_codec.gif_frames`` — the one animation format decoded
+    END-TO-END here: full GIF89a rendering model incl. transparency and
+    disposal, sampled frames re-emitted as standalone PNG payloads), and
+    the deterministic FSVD test container (:func:`_fake_demux`).
+    Inter-frame *decode* of compressed codecs (H.264 etc.) genuinely
+    needs ffmpeg/pyav and still raises — those sampled frames come back
+    as opaque bytes for a downstream decoder (the codec seam decodes
+    MJPEG frames directly).
     """
     from ..functions.mediameta import mp4_video_samples
     src = videos.select(F.col(id_col).alias("video_id"),
                         F.col(bytes_col).alias("bytes"))
+
+    def _gif_demux(b: bytes):
+        from ..functions.pure_codec import gif_frames, png_encode
+        for i, (frame, _delay) in enumerate(gif_frames(b)):
+            yield i, png_encode(frame)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,6 +157,8 @@ def video_frame_sample(videos: DataFrame, every_n: int = 10,
                     demux = demux_avi
                 elif len(b) >= 12 and b[4:8] == b"ftyp":
                     demux = mp4_video_samples
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    demux = _gif_demux
                 else:
                     demux = _fake_demux
                 for idx, frame in demux(b):

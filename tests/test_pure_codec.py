@@ -936,3 +936,109 @@ def test_decoders_fail_cleanly_on_every_truncation():
                 PC.PureCodec.decode(data[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+# ---------------------------------------------------- animated GIF frames
+
+def _anim_gif(frame_blocks, gct4, bg=0, w=4, h=4):
+    """Hand-build an animated GIF89a from (gce_or_None, descriptor, grid)
+    blocks: gce = (disposal, transparent_idx_or_None, delay_cs),
+    descriptor = (left, top, iw, ih)."""
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:len(gct4)] = np.asarray(gct4, np.uint8)
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, bg, 0]) + pal.tobytes()
+    for gce, (left, top, iw, ih), grid in frame_blocks:
+        if gce is not None:
+            disp, tr, delay = gce
+            packed = (disp << 2) | (0x01 if tr is not None else 0)
+            out += (b"\x21\xf9\x04" + bytes([packed])
+                    + struct.pack("<H", delay)
+                    + bytes([tr if tr is not None else 0]) + b"\x00")
+        out += b"\x2c" + struct.pack("<HHHH", left, top, iw, ih) + b"\x00"
+        out += bytes([8])
+        out += PC._gif_sub_blocks(PC._gif_lzw_uncompressed(
+            np.asarray(grid, np.uint8).reshape(-1)))
+    out += b"\x3b"
+    return bytes(out)
+
+
+GCT = [(10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+
+
+def test_gif_frames_transparency_and_disposal_background():
+    full1 = np.full((4, 4), 1, np.uint8)                 # red canvas
+    sub2 = np.array([[2, 0], [0, 2]], np.uint8)          # green diag, trans 0
+    full3 = np.full((4, 4), 3, np.uint8)                 # blue canvas
+    data = _anim_gif([
+        ((1, None, 5), (0, 0, 4, 4), full1),
+        ((2, 0, 7), (1, 1, 2, 2), sub2),                 # disposal 2
+        ((1, None, 9), (0, 0, 4, 4), full3),
+    ], GCT)
+    frames = PC.gif_frames(data)
+    assert [d for _, d in frames] == [5, 7, 9]
+    f1, f2, f3 = [f for f, _ in frames]
+    red, green, blue, bg = (np.array(GCT[i], np.uint8) for i in (1, 2, 3, 0))
+    assert (f1 == red).all()
+    # frame 2: green only on the diag of the 2x2 rect; transparent pixels
+    # show the still-red canvas
+    assert (f2[1, 1] == green).all() and (f2[2, 2] == green).all()
+    assert (f2[1, 2] == red).all() and (f2[2, 1] == red).all()
+    assert (f2[0, 0] == red).all()
+    # frame 3 painted full-canvas AFTER the rect was restored to background
+    assert (f3 == blue).all()
+
+
+def test_gif_frames_disposal_previous():
+    full1 = np.full((4, 4), 1, np.uint8)
+    sub2 = np.full((2, 2), 2, np.uint8)
+    dot3 = np.array([[3]], np.uint8)
+    data = _anim_gif([
+        ((1, None, 0), (0, 0, 4, 4), full1),
+        ((3, None, 0), (1, 1, 2, 2), sub2),              # restore previous
+        ((0, None, 0), (0, 0, 1, 1), dot3),
+    ], GCT)
+    f1, f2, f3 = [f for f, _ in PC.gif_frames(data)]
+    red, green, blue = (np.array(GCT[i], np.uint8) for i in (1, 2, 3))
+    assert (f2[1:3, 1:3] == green).all() and (f2[0, 0] == red).all()
+    # frame 3: the green rect is gone (canvas restored), one blue dot
+    assert (f3[0, 0] == blue).all()
+    assert (f3[1:3, 1:3] == red).all()
+
+
+def test_gif_encode_frames_roundtrip_exact():
+    rng = np.random.RandomState(7)
+    palette = rng.randint(0, 256, (12, 3), np.uint8)
+    frames = [palette[rng.randint(0, 12, (6, 5))] for _ in range(4)]
+    data = PC.gif_encode_frames(frames, delay_cs=4, loops=2)
+    got = PC.gif_frames(data)
+    assert len(got) == 4
+    for (g, d), want in zip(got, frames):
+        assert d == 4
+        assert (g == want).all()
+
+
+def test_gif_frames_static_matches_gif_decode():
+    img = np.zeros((5, 7, 3), np.uint8)
+    img[2:, 3:] = (9, 8, 7)
+    data = PC.gif_encode(img)
+    frames = PC.gif_frames(data)
+    assert len(frames) == 1
+    assert (frames[0][0] == PC.gif_decode(data)).all()
+
+
+@pytest.mark.spark
+def test_video_frame_sample_gif(spark):
+    from fetcho_spark.operators.multimodal import video_frame_sample
+    palette = np.array([[i * 20, 0, 255 - i * 20] for i in range(8)],
+                       np.uint8)
+    frames = [np.broadcast_to(palette[i], (4, 4, 3)).astype(np.uint8)
+              for i in range(8)]
+    data = PC.gif_encode_frames(frames, delay_cs=3)
+    df = spark.createDataFrame([("g1", bytearray(data))],
+                               "video_id string, bytes binary")
+    out = {r["frame_idx"]: bytes(r["frame_bytes"])
+           for r in video_frame_sample(df, every_n=3).collect()}
+    assert sorted(out) == [0, 3, 6]
+    for i, png in out.items():
+        assert (PC.png_decode(png) == frames[i]).all()
