@@ -1360,6 +1360,73 @@ _CMS_HEAVY_SQL = f"""
     SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
 
 
+def q_sitemap_parse(spark, sf):
+    """Distributed sitemap XML parse (sources/sitemaps.py): synthesize one
+    deterministic sitemaps.org-0.9 document per document row — urlset with
+    full and minimal entries (incl. an &amp; entity so unescaping is
+    non-vacuous) or a sitemapindex for every 5th — and run the REAL
+    ElementTree parser; the oracle generates the expected rows
+    analytically from the same arithmetic."""
+    from fetcho_spark.sources.sitemaps import sitemap_entries
+    d = F.col("doc_id")
+    s = d.cast("string")
+    day1 = F.lpad((d % 28 + 1).cast("string"), 2, "0")
+    cf = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly"),
+                F.lit("hourly")), (d % 4 + 1).cast("int"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><url><loc>https://h'), s,
+        F.lit(".example/p?a="), s,
+        F.lit("&amp;b=2</loc><lastmod>2024-01-"), day1,
+        F.lit("</lastmod><changefreq>"), cf,
+        F.lit("</changefreq><priority>0."), (d % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://h"), s,
+        F.lit(".example/q"), s, F.lit("</loc></url></urlset>"))
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><sitemap><loc>https://h'), s,
+        F.lit(".example/child.xml</loc><lastmod>2024-02-"), day1,
+        F.lit("</lastmod></sitemap></sitemapindex>"))
+    raw = (_t(spark, sf, "documents")
+           .select(F.concat(F.lit("sm"), s).alias("sitemap_url"),
+                   F.when(d % 5 == 0, index).otherwise(urlset)
+                   .alias("body")))
+    return sitemap_entries(raw).orderBy("sitemap_key", "seq")
+
+
+_SITEMAP_SQL = """
+    WITH d AS (
+      SELECT doc_id, 'sm' || CAST(doc_id AS VARCHAR) AS sitemap_key,
+             CAST(doc_id AS VARCHAR) AS s,
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS day1,
+             (['daily', 'weekly', 'monthly',
+               'hourly'])[CAST(doc_id % 4 AS INT) + 1] AS cf
+      FROM documents
+    ), rows_ AS (
+      SELECT sitemap_key, 'sitemapindex' AS kind, 0 AS seq,
+             'https://h' || s || '.example/child.xml' AS loc,
+             '2024-02-' || day1 AS lastmod,
+             CAST(NULL AS VARCHAR) AS changefreq,
+             CAST(NULL AS VARCHAR) AS priority
+      FROM d WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT sitemap_key, 'urlset', 0,
+             'https://h' || s || '.example/p?a=' || s || '&b=2',
+             '2024-01-' || day1, cf,
+             '0.' || CAST(doc_id % 10 AS VARCHAR)
+      FROM d WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT sitemap_key, 'urlset', 1,
+             'https://h' || s || '.example/q' || s,
+             NULL, NULL, NULL
+      FROM d WHERE doc_id % 5 <> 0)
+    SELECT sitemap_key, kind, CAST(seq AS INT) AS seq, loc, lastmod,
+           changefreq, priority, CAST(NULL AS VARCHAR) AS err
+    FROM rows_ ORDER BY sitemap_key, seq"""
+
+
 def q_dsir_sample(spark, sf):
     # DSIR-shape importance selection: target = every 10th document,
     # quantized ratio weights (no libm log — see operators/dsir.py),
@@ -1589,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_sketch": q_cms_sketch,
         "cms_heavy": q_cms_heavy,
         "dsir_sample": q_dsir_sample,
+        "sitemap_parse": q_sitemap_parse,
     }
 
 
@@ -2330,6 +2398,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_sketch": _CMS_SKETCH_SQL,
         "cms_heavy": _CMS_HEAVY_SQL,
         "dsir_sample": _DSIR_SQL,
+        "sitemap_parse": _SITEMAP_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte
