@@ -1360,6 +1360,71 @@ _CMS_HEAVY_SQL = f"""
     SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
 
 
+_TRAP_DEEP_SUFFIX = "".join(f"/g{i}" for i in range(18))
+_TRAP_WIDE_QS = "&".join(f"k{i}={i}" for i in range(13))
+
+
+def q_trap_suspect(spark, sf):
+    # spider-trap marking over deterministic synthetic paths: every doc
+    # carries one repeated segment (repeat 2, below the bar), every 11th
+    # a 4x loop, every 13th a 21-deep path, every 3rd a 13-param query
+    from fetcho_spark.operators.frontier import trap_suspect
+    d = F.col("doc_id")
+    seg = F.concat(F.lit("/s"), (d % 7).cast("string"))
+    path = F.concat(
+        seg, F.lit("/t"), (d % 5).cast("string"), seg,
+        F.when(d % 11 == 0, F.concat(seg, seg)).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(_TRAP_DEEP_SUFFIX)).otherwise(F.lit("")))
+    qs = F.when(d % 3 == 0, F.lit(_TRAP_WIDE_QS)).otherwise(F.lit("a=1&b=2"))
+    u = _t(spark, sf, "documents").select(
+        "doc_id", path.alias("path"), qs.alias("qs"))
+    return (trap_suspect(u, query_col="qs")
+            .select("doc_id", "depth", "max_seg_repeat", "n_params",
+                    "trap_deep", "trap_loop", "trap_params", "trap")
+            .orderBy("doc_id"))
+
+
+_TRAP_SQL = f"""
+    WITH u AS (
+      SELECT doc_id,
+        '/s' || CAST(doc_id % 7 AS VARCHAR) || '/t'
+          || CAST(doc_id % 5 AS VARCHAR) || '/s'
+          || CAST(doc_id % 7 AS VARCHAR)
+          || CASE WHEN doc_id % 11 = 0 THEN
+               '/s' || CAST(doc_id % 7 AS VARCHAR)
+                 || '/s' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN '{_TRAP_DEEP_SUFFIX}'
+             ELSE '' END AS path,
+        CASE WHEN doc_id % 3 = 0 THEN '{_TRAP_WIDE_QS}'
+             ELSE 'a=1&b=2' END AS qs
+      FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(path, '/'),
+                                x -> x <> '')) AS seg
+      FROM u
+    ), rep AS (
+      SELECT doc_id, CAST(max(c) AS INT) AS max_seg_repeat,
+             CAST(sum(c) AS INT) AS depth
+      FROM (SELECT doc_id, seg, count(*) AS c FROM segs
+            GROUP BY doc_id, seg) t
+      GROUP BY doc_id
+    ), q AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(qs, '&'), x -> x <> ''))
+                  AS INT) AS n_params
+      FROM u)
+    SELECT u.doc_id, rep.depth, rep.max_seg_repeat, q.n_params,
+           rep.depth > 16 AS trap_deep,
+           rep.max_seg_repeat >= 3 AS trap_loop,
+           q.n_params > 12 AS trap_params,
+           (rep.depth > 16 OR rep.max_seg_repeat >= 3
+            OR q.n_params > 12) AS trap
+    FROM u JOIN rep USING (doc_id) JOIN q USING (doc_id)
+    ORDER BY doc_id"""
+
+
 def q_sitemap_parse(spark, sf):
     """Distributed sitemap XML parse (sources/sitemaps.py): synthesize one
     deterministic sitemaps.org-0.9 document per document row — urlset with
@@ -1657,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": q_cms_heavy,
         "dsir_sample": q_dsir_sample,
         "sitemap_parse": q_sitemap_parse,
+        "trap_suspect": q_trap_suspect,
     }
 
 
@@ -2399,6 +2465,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy": _CMS_HEAVY_SQL,
         "dsir_sample": _DSIR_SQL,
         "sitemap_parse": _SITEMAP_SQL,
+        "trap_suspect": _TRAP_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte

@@ -94,3 +94,64 @@ def cheap_cascade(df: DataFrame) -> DataFrame:
     """P2+P3+P5 in one stage; order here mirrors the reference but Catalyst
     fuses it — correctness is the conjunction, cost is one codegen pass."""
     return df.filter(scheme_ok() & tld_allowed() & host_wellformed())
+
+
+# ----------------------------------------------------- spider-trap marking
+
+TRAP_MAX_DEPTH = 16        # path segments; honest sites rarely exceed ~10
+TRAP_MAX_SEG_REPEAT = 3    # same segment 3+ times = loop-shaped URL
+TRAP_MAX_PARAMS = 12       # query-parameter explosion (session/filter traps)
+
+
+def trap_suspect(df: DataFrame, path_col: str = "path",
+                 query_col: str = "query",
+                 max_depth: int = TRAP_MAX_DEPTH,
+                 max_seg_repeat: int = TRAP_MAX_SEG_REPEAT,
+                 max_params: int = TRAP_MAX_PARAMS) -> DataFrame:
+    """Mark loop-shaped URLs (spider traps) → adds ``depth``,
+    ``max_seg_repeat``, ``n_params``, per-rule booleans and ``trap``.
+
+    The three classic trap shapes a 10^10-URL frontier must shed before
+    they eat the politeness budget (the reference has no analog — its
+    1 MiB/priority caps bound damage per PAGE, not per URL family):
+
+    - ``deep``: more than ``max_depth`` path segments;
+    - ``loop``: one segment repeated ≥ ``max_seg_repeat`` times
+      (``/a/b/a/b/a/…`` — relative-href cycles);
+    - ``params``: more than ``max_params`` query parameters
+      (calendar/filter/session-id explosions).
+
+    Rows are MARKED, never removed (curation-funnel discipline) — the
+    engine can route ``trap`` rows to a low-priority quarantine rather
+    than dropping them blind. Zero shuffle: the repeat count is a JVM
+    ``aggregate`` fold over the SORTED segment array (longest equal run),
+    everything else is size/filter arithmetic — whole-stage codegen, no
+    Python.
+    """
+    segs = F.filter(F.split(F.col(path_col), "/"),
+                    lambda x: x != F.lit(""))
+    depth = F.size(segs)
+    run_t = ("struct<prev:string,run:int,best:int>")
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc, seg):
+        run = F.when(acc["prev"].isNotNull() & (seg == acc["prev"]),
+                     acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(seg.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    max_rep = F.aggregate(F.array_sort(segs), init.cast(run_t), step)["best"]
+    params = F.filter(F.split(F.coalesce(F.col(query_col), F.lit("")), "&"),
+                      lambda x: x != F.lit(""))
+    n_params = F.size(params)
+    deep = depth > max_depth
+    loop = max_rep >= max_seg_repeat
+    prm = n_params > max_params
+    return (df.withColumn("depth", depth.cast("int"))
+            .withColumn("max_seg_repeat", max_rep.cast("int"))
+            .withColumn("n_params", n_params.cast("int"))
+            .withColumn("trap_deep", deep)
+            .withColumn("trap_loop", loop)
+            .withColumn("trap_params", prm)
+            .withColumn("trap", deep | loop | prm))
