@@ -1360,6 +1360,69 @@ _CMS_HEAVY_SQL = f"""
     SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
 
 
+def q_strip_tracking(spark, sf):
+    # opt-in tracking-param stripper (dedup-rate booster; NOT part of the
+    # reference-pinned canonicalizer) over synthetic URLs covering: no
+    # query, mixed keep/strip, tracking-only (? dropped), clean, and a
+    # tracking NAME as a VALUE (must survive)
+    from fetcho_spark.functions.urls import strip_tracking_params
+    d = F.col("doc_id")
+    s = d.cast("string")
+    base = F.concat(F.lit("https://h"), (d % 20).cast("string"),
+                    F.lit(".example/p"), s)
+    m = d % 5
+    url = (F.when(m == 0, base)
+           .when(m == 1, F.concat(base, F.lit("?id="), s,
+                                  F.lit("&utm_source=s"),
+                                  (d % 3).cast("string"),
+                                  F.lit("&keep="), (d % 7).cast("string"),
+                                  F.lit("&fbclid=ab"), s))
+           .when(m == 2, F.concat(base, F.lit("?utm_campaign=c"), s,
+                                  F.lit("&gclid=g"), s))
+           .when(m == 3, F.concat(base, F.lit("?a="), s, F.lit("&b=2")))
+           .otherwise(F.concat(base, F.lit("?x=utm_source"))))
+    u = _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+    return (u.withColumn("cleaned",
+                         strip_tracking_params(F.col("url")))
+            .orderBy("doc_id"))
+
+
+_STRIP_TRACKING_SQL = """
+    WITH u AS (
+      SELECT doc_id,
+        'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example/p'
+          || CAST(doc_id AS VARCHAR)
+          || CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN ''
+               WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                 || '&utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
+                 || '&keep=' || CAST(doc_id % 7 AS VARCHAR)
+                 || '&fbclid=ab' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '?utm_campaign=c' || CAST(doc_id AS VARCHAR)
+                 || '&gclid=g' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '?a=' || CAST(doc_id AS VARCHAR) || '&b=2'
+               ELSE '?x=utm_source' END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url, strpos(url, '?') AS qp FROM u
+    ), kept AS (
+      SELECT doc_id, url, qp,
+             substr(url, 1, qp - 1) AS base,
+             list_filter(string_split(substr(url, qp + 1), '&'),
+               p -> p <> ''
+                 AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_')
+                 AND lower(split_part(p, '=', 1)) NOT IN
+                   ('_hsenc', '_hsmi', 'dclid', 'fbclid', 'gclid',
+                    'igshid', 'mc_eid', 'msclkid', 'twclid', 'vero_id',
+                    'wickedid', 'yclid')) AS k
+      FROM parts)
+    SELECT doc_id, url,
+           CASE WHEN qp = 0 THEN url
+                WHEN len(k) > 0 THEN base || '?' || array_to_string(k, '&')
+                ELSE base END AS cleaned
+    FROM kept ORDER BY doc_id"""
+
+
 _TRAP_DEEP_SUFFIX = "".join(f"/g{i}" for i in range(18))
 _TRAP_WIDE_QS = "&".join(f"k{i}={i}" for i in range(13))
 
@@ -1723,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "sitemap_parse": q_sitemap_parse,
         "trap_suspect": q_trap_suspect,
+        "strip_tracking": q_strip_tracking,
     }
 
 
@@ -2466,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": _DSIR_SQL,
         "sitemap_parse": _SITEMAP_SQL,
         "trap_suspect": _TRAP_SQL,
+        "strip_tracking": _STRIP_TRACKING_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte

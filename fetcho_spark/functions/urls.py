@@ -454,3 +454,40 @@ def with_url_keys(df, url_col: str = "url"):
           .withColumn("url_hash64", F.xxhash64(F.col(url_col)))
           .withColumn("host_hash", F.xxhash64(F.col("host")))
     )
+
+
+# ------------------------------------------------ tracking-param stripping
+
+# click/campaign identifiers that fragment otherwise-identical URLs; the
+# utm_* family is matched by prefix, the rest exactly (lowercased key)
+TRACKING_KEYS = frozenset({
+    "fbclid", "gclid", "dclid", "msclkid", "mc_eid", "igshid", "yclid",
+    "twclid", "_hsenc", "_hsmi", "vero_id", "wickedid",
+})
+
+
+def strip_tracking_params(url: F.Column) -> F.Column:
+    """Remove tracking query parameters (``utm_*`` prefix family +
+    :data:`TRACKING_KEYS`) from a canonical URL — pure JVM expression,
+    zero shuffle.
+
+    OPT-IN and deliberately NOT part of :func:`canonicalize`: the
+    canonicalizer's semantics are pinned to the reference (engine ≡
+    simulator goldens diff crawl order byte-for-byte), while this is a
+    dedup-rate booster a crawl operator enables per policy. Parameter
+    order is preserved; a query left empty drops its ``?`` entirely so
+    the output re-canonicalizes to itself (the C2 fixed-point contract).
+    Fragment-free input assumed (canonical URLs carry no ``#``).
+    """
+    qpos = F.instr(url, "?")
+    base = F.substring(url, F.lit(1), qpos - 1)
+    q = F.substr(url, qpos + 1)
+    key = lambda p: F.lower(F.substring_index(p, "=", 1))  # noqa: E731
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != F.lit("")) & ~key(p).startswith("utm_")
+        & ~key(p).isin(*sorted(TRACKING_KEYS)))
+    cleaned = F.when(F.size(kept) > 0,
+                     F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+                     ).otherwise(base)
+    return F.when(qpos == 0, url).otherwise(cleaned)

@@ -48,3 +48,35 @@ def test_trap_thresholds_configurable(spark):
     assert not trap_suspect(df).collect()[0]["trap"]
     assert trap_suspect(df, max_seg_repeat=2).collect()[0]["trap"]
     assert trap_suspect(df, max_depth=2).collect()[0]["trap"]
+
+
+# ------------------------------------------------ tracking-param stripping
+
+TRACK_CASES = [
+    ("https://h/p?id=3&utm_source=x&keep=1", "https://h/p?id=3&keep=1"),
+    ("https://h/p?utm_source=x&UTM_Medium=y", "https://h/p"),  # ? dropped
+    ("https://h/p?fbclid=abc&GCLID=z&a=1", "https://h/p?a=1"),
+    ("https://h/p", "https://h/p"),                            # no query
+    ("https://h/p?a=1&b=2", "https://h/p?a=1&b=2"),            # untouched
+    ("https://h/p?a=utm_source", "https://h/p?a=utm_source"),  # value, not key
+    ("https://h/p?utm=1", "https://h/p?utm=1"),                # not utm_*
+    ("https://h/p?", "https://h/p"),                           # bare ?
+]
+
+
+@pytest.mark.spark
+def test_strip_tracking_params(spark):
+    from pyspark.sql import functions as F
+    from fetcho_spark.functions.urls import strip_tracking_params
+    df = spark.createDataFrame([(u,) for u, _ in TRACK_CASES],
+                               "url string")
+    got = [r["c"] for r in
+           df.select(strip_tracking_params(F.col("url")).alias("c"))
+           .collect()]
+    assert got == [want for _, want in TRACK_CASES]
+    # idempotent: cleaned output is a fixed point
+    df2 = spark.createDataFrame([(c,) for c in got], "url string")
+    again = [r["c"] for r in
+             df2.select(strip_tracking_params(F.col("url")).alias("c"))
+             .collect()]
+    assert again == got
