@@ -626,3 +626,78 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
                                               AUDIO_FEATURES_SCHEMA.fields])
 
     return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+AUGMENT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("err", T.StringType()),
+])
+
+# deterministic pixel transforms — pure numpy views/ops, no interpolation
+# randomness; each is its own row so downstream mixing is explicit
+_AUGMENT_OPS = {
+    "identity": lambda px: px,
+    "hflip": lambda px: px[:, ::-1],
+    "vflip": lambda px: px[::-1],
+    "rot90": lambda px: np.rot90(px, 1),
+    "rot180": lambda px: np.rot90(px, 2),
+    "rot270": lambda px: np.rot90(px, 3),
+    "gray": lambda px: np.repeat(
+        # integer-exact Rec.601 luma: (299R + 587G + 114B) // 1000
+        ((px[..., 0].astype(np.int64) * 299
+          + px[..., 1].astype(np.int64) * 587
+          + px[..., 2].astype(np.int64) * 114) // 1000)
+        .astype(np.uint8)[..., None], 3, axis=2),
+    "center_crop": lambda px: px[px.shape[0] // 4:
+                                 px.shape[0] // 4 + max(px.shape[0] // 2, 1),
+                                 px.shape[1] // 4:
+                                 px.shape[1] // 4 + max(px.shape[1] // 2, 1)],
+}
+
+
+def image_augment(images: DataFrame, ops: tuple = ("hflip", "rot90"),
+                  id_col: str = "image_id", bytes_col: str = "bytes",
+                  codec=None) -> DataFrame:
+    """Deterministic training-data augmentation fan-out: each input image
+    yields one row PER op → ``(image_id, op, bytes, w, h, err)``, pixels
+    re-encoded lossless (PNG) through the codec seam.
+
+    Every transform is exact integer numpy (flips/rotations are views;
+    gray is the integer Rec.601 luma; center_crop is the middle half), so
+    augmented bytes are bit-reproducible across runs and machines — the
+    property a deduplicated training corpus needs (a nondeterministic
+    augmenter mints infinite "new" near-dups). Undecodable rows yield one
+    err row per op set, never a failed job. mapInPandas, Arrow batches;
+    output size is ``len(ops)`` × input — budget the fan-out explicitly.
+    """
+    from ..functions.codec import get_codec
+    codec = codec or get_codec()
+    decode, encode = codec.decode, codec.encode
+    unknown = [o for o in ops if o not in _AUGMENT_OPS]
+    if unknown:
+        raise ValueError(f"unknown augment ops: {unknown}")
+    src = images.select(F.col(id_col).alias("image_id"),
+                        F.col(bytes_col).alias("bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px, _ = decode(bytes(data))
+                except Exception:
+                    rows.append((iid, None, None, None, None,
+                                 "undecodable"))
+                    continue
+                for op in ops:
+                    out = np.ascontiguousarray(_AUGMENT_OPS[op](px))
+                    rows.append((iid, op, bytearray(encode(out, "png")),
+                                 out.shape[1], out.shape[0], None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUGMENT_SCHEMA.fields])
+
+    return src.mapInPandas(run, AUGMENT_SCHEMA)

@@ -1042,3 +1042,42 @@ def test_video_frame_sample_gif(spark):
     assert sorted(out) == [0, 3, 6]
     for i, png in out.items():
         assert (PC.png_decode(png) == frames[i]).all()
+
+
+# -------------------------------------------------------- image augment
+
+@pytest.mark.spark
+def test_image_augment_exact_transforms(spark):
+    from fetcho_spark.operators.multimodal import image_augment
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (8, 6, 3), np.uint8)
+    data = PC.png_encode(px)
+    df = spark.createDataFrame([("i1", bytearray(data)),
+                                ("bad", bytearray(b"nope"))],
+                               "image_id string, bytes binary")
+    ops = ("identity", "hflip", "vflip", "rot90", "rot180", "rot270",
+           "gray", "center_crop")
+    from fetcho_spark.functions import pure_codec
+    from fetcho_spark.functions.codec import get_codec
+    got = {(r["image_id"], r["op"]): r
+           for r in image_augment(df, ops=ops,
+                                  codec=get_codec("pure")).collect()}
+    want = {
+        "identity": px, "hflip": px[:, ::-1], "vflip": px[::-1],
+        "rot90": np.rot90(px, 1), "rot180": np.rot90(px, 2),
+        "rot270": np.rot90(px, 3),
+        "gray": np.repeat(((px[..., 0].astype(np.int64) * 299
+                            + px[..., 1].astype(np.int64) * 587
+                            + px[..., 2].astype(np.int64) * 114) // 1000)
+                          .astype(np.uint8)[..., None], 3, axis=2),
+        "center_crop": px[2:6, 1:4],
+    }
+    for op, exp in want.items():
+        r = got[("i1", op)]
+        assert (r["w"], r["h"]) == (exp.shape[1], exp.shape[0]), op
+        assert (PC.png_decode(bytes(r["bytes"])) == exp).all(), op
+    # undecodable input -> one err row, job survives
+    assert got[("bad", None)]["err"] == "undecodable"
+    # unknown op raises up front
+    with pytest.raises(ValueError):
+        image_augment(df, ops=("zoom",))
