@@ -1360,6 +1360,49 @@ _CMS_HEAVY_SQL = f"""
     SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
 
 
+def q_anchor_stats(spark, sf):
+    # inbound anchor-text aggregation (the web-search ranking signal the
+    # reference's reado search lacks): REAL HTML anchor extraction +
+    # hybrid canonicalizer + one (url, anchor) agg; the oracle computes
+    # the expected aggregate analytically from the same arithmetic
+    from fetcho_spark.operators.htmllinks import anchor_stats
+    d = F.col("doc_id")
+    k = (d % 10).cast("string")
+    h = (d % 20).cast("string")
+    body = F.concat(
+        F.lit('<html><a href="https://t'), k,
+        F.lit('.example/"><b>site</b> '), k,
+        F.lit(' home</a><p><a href="/rel'), k,
+        F.lit('">r &amp; el</a></p><a href="https://t'), k,
+        F.lit('.example/">site '), k,
+        F.lit('  home</a><a href="/drop"> <b> </b> </a></html>'))
+    pages = _t(spark, sf, "documents").select(
+        F.concat(F.lit("https://h"), h, F.lit(".example/p"),
+                 d.cast("string")).alias("url"),
+        body.alias("body"))
+    return anchor_stats(pages).orderBy("url", "anchor")
+
+
+_ANCHOR_SQL = """
+    WITH d AS (
+      SELECT CAST(doc_id % 10 AS VARCHAR) AS k,
+             CAST(doc_id % 20 AS VARCHAR) AS h
+      FROM documents
+    ), a1 AS (
+      SELECT 'https://t' || k || '.example/' AS url,
+             'site ' || k || ' home' AS anchor,
+             CAST(2 * count(*) AS BIGINT) AS n_refs
+      FROM d GROUP BY k
+    ), a2 AS (
+      SELECT 'https://h' || h || '.example/rel' || k AS url,
+             'r & el' AS anchor,
+             CAST(count(*) AS BIGINT) AS n_refs
+      FROM d GROUP BY h, k)
+    SELECT url, anchor, n_refs
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) t
+    ORDER BY url, anchor"""
+
+
 def q_strip_tracking(spark, sf):
     # opt-in tracking-param stripper (dedup-rate booster; NOT part of the
     # reference-pinned canonicalizer) over synthetic URLs covering: no
@@ -1787,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "trap_suspect": q_trap_suspect,
         "strip_tracking": q_strip_tracking,
+        "anchor_stats": q_anchor_stats,
     }
 
 
@@ -2531,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": _SITEMAP_SQL,
         "trap_suspect": _TRAP_SQL,
         "strip_tracking": _STRIP_TRACKING_SQL,
+        "anchor_stats": _ANCHOR_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte

@@ -127,3 +127,98 @@ def extract_links_udf(body: pd.Series, url: pd.Series,
         else:
             out.append(extract_text_links(b, u))
     return pd.Series(out, dtype=object)
+
+
+# ------------------------------------------------------ anchor-text index
+
+_A_RE = re.compile(r"<a\b([^>]*)>(.*?)</a\s*>", re.I | re.S)
+_INNER_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_anchors(html_src: str | None, page_url: str | None
+                    ) -> list[tuple[str, str, str]]:
+    """→ [(raw href, effective base, anchor text), …] in document order.
+
+    The search-signal companion to :func:`extract_html_links` (the
+    reference extracts hrefs only — anchor text is the classic ranking
+    feature its reado search lacks). Anchor text is the ``<a>…</a>``
+    inner content with nested tags stripped, entities decoded, and
+    whitespace collapsed; ``<base href>`` switches the base exactly as in
+    link extraction. Anchors without an href, or with empty text after
+    normalization, are dropped. NOT in the crawl path — the crawl's link
+    set stays byte-identical to the simulator.
+    """
+    if not html_src:
+        return []
+    base = page_url
+    out: list[tuple[str, str, str]] = []
+    # walk base switches and <a> bodies in one document-order pass
+    events: list[tuple[int, str, object]] = []
+    for m in _TAG_RE.finditer(html_src):
+        if m.group(1).lower() == "base":
+            events.append((m.start(), "base", _attrs(m.group(2))))
+    for m in _A_RE.finditer(html_src):
+        events.append((m.start(), "a", m))
+    for _pos, kind, payload in sorted(events, key=lambda e: e[0]):
+        if kind == "base":
+            href = payload.get("href")
+            if href and href.strip():
+                b = canonicalize(href, None)
+                if b is not None:
+                    base = b
+            continue
+        m = payload
+        href = _attrs(m.group(1)).get("href")
+        if not href or not href.strip():
+            continue
+        text = _WS_RE.sub(" ", _html.unescape(
+            _INNER_TAG_RE.sub(" ", m.group(2)))).strip()
+        if text:
+            out.append((href, base, text))
+    return out
+
+
+_ANCHORS_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("href", T.StringType()),
+    T.StructField("base", T.StringType()),
+    T.StructField("anchor", T.StringType()),
+]))
+
+
+@F.pandas_udf(_ANCHORS_SCHEMA)
+def extract_anchors_udf(body: pd.Series, url: pd.Series) -> pd.Series:
+    out = []
+    for b, u in zip(body, url):
+        out.append(extract_anchors(b, u) if b is not None else [])
+    return pd.Series(out, dtype=object)
+
+
+def anchor_stats(pages, url_col: str = "url", body_col: str = "body"):
+    """Inbound anchor-text aggregation → ``(url, anchor, n_refs)``.
+
+    One Arrow crossing for extraction, then the hybrid canonicalizer on
+    the exploded (href, base) pairs (JVM fast path — same machinery as
+    the crawl's link stage) and ONE partial-aggregated shuffle on
+    (target url, anchor). At corpus scale this is the web-search anchor
+    signal build: output is bounded by distinct (target, text) pairs,
+    and hot targets partial-aggregate map-side before the shuffle.
+    """
+    from ..functions.urls import canonicalize_udf, with_fast_canonical
+    exploded = (pages.select(
+        F.explode(extract_anchors_udf(F.col(body_col), F.col(url_col)))
+        .alias("_a"))
+        .select(F.col("_a.href").alias("href"),
+                F.col("_a.base").alias("base"),
+                F.col("_a.anchor").alias("anchor")))
+    canon = with_fast_canonical(exploded, href_col="href", base_col="base")
+    # fast path where applicable, slow Arrow UDF otherwise — the link
+    # stage's combine (operators/fetch.py:347-351)
+    slow_href = F.when(~F.col("_appl"), F.col("href"))
+    url = F.when(F.col("_appl"), F.col("_fast_url")) \
+           .otherwise(canonicalize_udf(slow_href, F.col("base")))
+    return (canon.withColumn("url", url)
+            .drop("_appl", "_fast_url")
+            .filter(F.col("url").isNotNull())
+            .groupBy("url", "anchor")
+            .agg(F.count("*").alias("n_refs")))

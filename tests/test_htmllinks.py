@@ -90,3 +90,48 @@ def test_extract_links_udf_modes(spark):
     assert [p["href"] for p in out["http://h.example/b"]] \
         == ["http://c.example/z"]
     assert out["http://h.example/c"] == []
+
+
+# ------------------------------------------------------ anchor-text index
+
+ANCHOR_HTML = (
+    '<html><a href="https://t.example/a"><b>Bold</b>  link &amp; text</a>'
+    '<a href="/rel">rel one</a>'
+    '<base href="https://b.example/dir/">'
+    '<a href="/rel">rel two</a>'
+    '<a href="https://t.example/a">Bold link &amp; text</a>'
+    '<a href="https://t.example/empty"> <b> </b> </a>'
+    '<a name="no-href">skip</a></html>')
+
+
+def test_extract_anchors_text_normalization_and_base_switch():
+    from fetcho_spark.operators.htmllinks import extract_anchors
+    got = extract_anchors(ANCHOR_HTML, "https://page.example/p")
+    assert got == [
+        ("https://t.example/a", "https://page.example/p",
+         "Bold link & text"),
+        ("/rel", "https://page.example/p", "rel one"),
+        ("/rel", "https://b.example/dir/", "rel two"),
+        ("https://t.example/a", "https://b.example/dir/",
+         "Bold link & text"),
+    ]
+    assert extract_anchors(None, "u") == []
+    assert extract_anchors("", "u") == []
+
+
+@pytest.mark.spark
+def test_anchor_stats_aggregates_canonical_targets(spark):
+    from fetcho_spark.operators.htmllinks import anchor_stats
+    pages = spark.createDataFrame(
+        [("https://p1.example/x", ANCHOR_HTML),
+         ("https://p2.example/y",
+          '<a href="https://t.example/a">Bold link &amp; text</a>')],
+        "url string, body string")
+    got = {(r["url"], r["anchor"]): r["n_refs"]
+           for r in anchor_stats(pages).collect()}
+    # same target+text across pages and base switches aggregate together
+    assert got[("https://t.example/a", "Bold link & text")] == 3
+    # relative hrefs resolve against the EFFECTIVE base
+    assert got[("https://p1.example/rel", "rel one")] == 1
+    assert got[("https://b.example/rel", "rel two")] == 1
+    assert not any(u.endswith("/empty") for u, _ in got)
