@@ -1360,6 +1360,60 @@ _CMS_HEAVY_SQL = f"""
     SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
 
 
+def q_script_profile(spark, sf):
+    # writing-system profile over a synthesized multilingual corpus:
+    # cyrillic runs scale with doc_id, every 3rd doc gains han, every 7th
+    # a large arabic block (dominance varies across docs by construction)
+    from fetcho_spark.operators.textops import script_profile
+    d = F.col("doc_id")
+    cyr = chr(0x0410) + chr(0x0431)
+    text2 = F.concat(
+        F.col("text"), F.lit(" "),
+        F.repeat(F.lit(cyr), ((d % 5) * 3).cast("int")),
+        F.when(d % 3 == 0, F.lit(chr(0x4E16) * 4)).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(chr(0x0627) * 300)).otherwise(F.lit("")))
+    docs = _t(spark, sf, "documents").select("doc_id",
+                                             text2.alias("text"))
+    return script_profile(docs).orderBy("doc_id")
+
+
+def _script_sql() -> str:
+    # generated from the SAME SCRIPT_RANGES list so the range set and the
+    # first-argmax priority order can never drift between engines; Java
+    # \uXXXX ranges rewrite to RE2 \x{XXXX}
+    import re as _re2
+    from fetcho_spark.operators.textops import SCRIPT_RANGES
+    def rng(r):
+        return _re2.sub(r"\\u([0-9A-Fa-f]{4})", r"\\x{\1}", r)
+    counts = ",\n        ".join(
+        f"CAST(len(regexp_extract_all(text, '[{rng(r)}]')) AS BIGINT)"
+        f" AS n_{name}" for name, r in SCRIPT_RANGES)
+    gm = "greatest(" + ", ".join(f"n_{n}" for n, _ in SCRIPT_RANGES) + ")"
+    pick = " ".join(f"WHEN n_{n} = _gm THEN '{n}'"
+                    for n, _ in SCRIPT_RANGES)
+    cols = ", ".join(f"n_{n}" for n, _ in SCRIPT_RANGES)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        text || ' ' || repeat(chr(1040) || chr(1073),
+                              CAST((doc_id % 5) * 3 AS INT))
+          || CASE WHEN doc_id % 3 = 0 THEN repeat(chr(19990), 4)
+             ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN repeat(chr(1575), 300)
+             ELSE '' END AS text
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+          AS n_chars,
+        {counts}
+      FROM t
+    ), g AS (SELECT *, {gm} AS _gm FROM c)
+    SELECT doc_id, n_chars, {cols},
+           CASE WHEN _gm = 0 THEN 'none' {pick} END AS script
+    FROM g ORDER BY doc_id"""
+
+
 def q_anchor_stats(spark, sf):
     # inbound anchor-text aggregation (the web-search ranking signal the
     # reference's reado search lacks): REAL HTML anchor extraction +
@@ -1831,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_suspect": q_trap_suspect,
         "strip_tracking": q_strip_tracking,
         "anchor_stats": q_anchor_stats,
+        "script_profile": q_script_profile,
     }
 
 
@@ -2576,6 +2631,7 @@ def oracle_sql() -> dict[str, str]:
         "trap_suspect": _TRAP_SQL,
         "strip_tracking": _STRIP_TRACKING_SQL,
         "anchor_stats": _ANCHOR_SQL,
+        "script_profile": _script_sql(),
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte

@@ -517,3 +517,59 @@ def keyword_counts(df: DataFrame, text_col: str = "text",
                                         r"[^a-z0-9]+")).alias("word"))
             .filter(F.length("word") >= min_len)
             .groupBy("word").agg(F.count("*").alias("n")))
+
+
+# ------------------------------------------------------- script profiling
+
+# explicit codepoint ranges, NOT named \p{...} classes: Java regex and
+# RE2/DuckDB ship different Unicode property tables, while a literal range
+# means the same thing in every engine (the lang_id/quality discipline)
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "\\u0400-\\u04FF"),
+    ("greek", "\\u0370-\\u03FF"),
+    ("arabic", "\\u0600-\\u06FF"),
+    ("hebrew", "\\u0590-\\u05FF"),
+    ("devanagari", "\\u0900-\\u097F"),
+    ("han", "\\u4E00-\\u9FFF"),
+    ("hiragana", "\\u3040-\\u309F"),
+    ("katakana", "\\u30A0-\\u30FF"),
+    ("hangul", "\\uAC00-\\uD7AF"),
+)
+
+
+def script_profile(df: DataFrame, key_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document writing-system profile → per-script char counts +
+    the dominant ``script`` — the multilingual-corpus routing signal
+    (which tokenizer/lang-ID/quality model applies) a 100 TB mixed
+    crawl needs before any per-language stage.
+
+    Zero-shuffle JVM projection: one ``regexp_count`` per script block
+    over literal codepoint ranges, dominant = first maximum in
+    :data:`SCRIPT_RANGES` order (deterministic tie-break; a doc with no
+    script characters at all reports ``'none'``). ``n_chars`` counts
+    non-whitespace characters so callers can compute coverage
+    fractions with their own quantization.
+    """
+    t = F.col(text_col)
+    # stage counts as named columns FIRST: the argmax walk references each
+    # count twice, and inlining the regexp_count trees multiplicatively
+    # blows the generated method past javac's limit (the
+    # with_fast_canonical staging lesson — codegen falls back silently)
+    staged = df.select(
+        key_col,
+        F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+         .alias("n_chars"),
+        *[F.regexp_count(t, F.lit(f"[{rng}]")).cast("long")
+          .alias(f"n_{name}") for name, rng in SCRIPT_RANGES])
+    # first-argmax as greatest + first-equal chain: a running-max walk
+    # nests each level's expression inside the next (2^n tree — janino
+    # refuses to compile it); staging the max keeps the chain linear
+    staged = staged.withColumn(
+        "_gm", F.greatest(*[F.col(f"n_{n}") for n, _ in SCRIPT_RANGES]))
+    script = F.when(F.col("_gm") == 0, F.lit("none"))
+    for name, _ in SCRIPT_RANGES:   # priority order = tie-break order
+        script = script.when(F.col(f"n_{name}") == F.col("_gm"),
+                             F.lit(name))
+    return staged.withColumn("script", script).drop("_gm")
