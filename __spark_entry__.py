@@ -1360,6 +1360,28 @@ _CMS_HEAVY_SQL = f"""
     SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
 
 
+def q_kmv_sketch(spark, sf):
+    # bottom-k sketch AS DATA over events.user_id — the mergeable uniform
+    # distinct-key sample (ranks, keys AND hash values all hash-checked)
+    from fetcho_spark.operators.stats import kmv_sketch
+    return (kmv_sketch(_t(spark, sf, "events"), "user_id", k=64)
+            .withColumnRenamed("key", "user_id").orderBy("rank"))
+
+
+_KMV_SQL = """
+    WITH h AS (
+      SELECT DISTINCT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h
+      FROM events
+    ), b AS (
+      SELECT user_id, h FROM h ORDER BY h, user_id LIMIT 64)
+    SELECT CAST(row_number() OVER (ORDER BY h, user_id) - 1 AS INT)
+             AS rank,
+           user_id, h
+    FROM b ORDER BY rank"""
+
+
 def q_script_profile(spark, sf):
     # writing-system profile over a synthesized multilingual corpus:
     # cyrillic runs scale with doc_id, every 3rd doc gains han, every 7th
@@ -1886,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_tracking": q_strip_tracking,
         "anchor_stats": q_anchor_stats,
         "script_profile": q_script_profile,
+        "kmv_sketch": q_kmv_sketch,
     }
 
 
@@ -2632,6 +2655,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_tracking": _STRIP_TRACKING_SQL,
         "anchor_stats": _ANCHOR_SQL,
         "script_profile": _script_sql(),
+        "kmv_sketch": _KMV_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte

@@ -76,7 +76,7 @@ EXTRAS = [
     "bpe_encode_fixture", "dedup_against", "hits", "rank_docs", "hll_sketch",
     "seen_route_cuckoo", "semdedup", "datacomp_filter", "clip_filter",
     "robots_parse", "cms_sketch", "cms_heavy", "dsir_sample",
-    "sitemap_parse", "trap_suspect", "strip_tracking", "anchor_stats", "script_profile",
+    "sitemap_parse", "trap_suspect", "strip_tracking", "anchor_stats", "script_profile", "kmv_sketch",
 ]
 
 

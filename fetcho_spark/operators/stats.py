@@ -15,7 +15,7 @@ table). The histogram is one zero-shuffle projection + one
 partial-aggregated groupBy over ≤ nbins+2 groups.
 """
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .priority import with_global_seq
@@ -190,3 +190,43 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, threshold: int,
     cands = df.select(key_col).distinct()
     est = cms_estimate(sketch, cands, key_col, depth, width)
     return est.filter(F.col("est") >= threshold)
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """Bottom-k (KMV) sketch as DATA → ``(rank, key, h)``: the ``k``
+    distinct keys with the smallest 48-bit md5 hash values.
+
+    The third leg of the sketch family (HLL = distinct counts, CMS =
+    frequencies, KMV = a UNIFORM DISTINCT-KEY SAMPLE plus a distinct
+    estimate): because md5 is a fixed function of the key, the bottom-k
+    set is deterministic, duplicate-invariant, and MERGEABLE — the
+    bottom-k of the union is the bottom-k of the merged sketches, so
+    per-day/per-system sketches combine exactly. Ties on h (48-bit
+    collisions between distinct keys) break on the key itself, keeping
+    the sketch total-ordered in any engine.
+
+    Scale shape: one distinct over keys (bounded by distinct
+    cardinality, map-side combined) then ``orderBy().limit(k)`` —
+    Spark's TakeOrderedAndProject: per-partition bottom-k, merged at
+    the driver, never a global sort. Use :func:`kmv_estimate` on the
+    collected rows.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12),
+               16, 10).cast("long")
+    bottom = (df.select(F.col(key_col).alias("key"), h.alias("h"))
+              .distinct()
+              .orderBy("h", "key").limit(k))
+    w = Window.orderBy("h", "key")
+    return bottom.select(
+        (F.row_number().over(w) - 1).cast("int").alias("rank"),
+        "key", "h")
+
+
+def kmv_estimate(rows: list[tuple], k: int) -> float | None:
+    """Distinct-count estimate from collected ``(rank, key, h)`` rows:
+    ``(k - 1) / (h_k / 2^48)`` when the sketch is full, else the exact
+    row count (fewer than k distinct keys = we saw them all)."""
+    if len(rows) < k:
+        return float(len(rows))
+    hk = max(int(r[2]) for r in rows)
+    return (k - 1) / (hk / float(1 << 48))

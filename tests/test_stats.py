@@ -180,3 +180,38 @@ def test_cms_weighted(spark):
            for r in cms_registers(df, "k", weight_col="w").collect()}
     assert got == _cms_ref([k for k, _ in rows],
                            weights=[w for _, w in rows])
+
+
+# ------------------------------------------------------- KMV bottom-k
+
+def _kmv_ref(keys, k):
+    hs = sorted({(int(hashlib.md5(str(x).encode()).hexdigest()[:12], 16), x)
+                 for x in keys})[:k]
+    return [(i, key, h) for i, (h, key) in enumerate(hs)]
+
+
+@pytest.mark.spark
+def test_kmv_sketch_reference_merge_and_estimate(spark):
+    from fetcho_spark.operators.stats import kmv_estimate, kmv_sketch
+    a = [f"u{i}" for i in range(2000)]
+    b = [f"v{i}" for i in range(1500)]
+    da = spark.createDataFrame([(x,) for x in a + a], ["k"])  # dups: no-op
+    db = spark.createDataFrame([(x,) for x in b], ["k"])
+    K = 64
+    sa = [(r["rank"], r["key"], r["h"]) for r in kmv_sketch(da, "k", K)
+          .collect()]
+    assert sa == _kmv_ref(a, K)
+    sb = [(r["rank"], r["key"], r["h"]) for r in kmv_sketch(db, "k", K)
+          .collect()]
+    # merge property: bottom-k of merged sketches == sketch of the union
+    merged = sorted({(h, key) for _, key, h in sa + sb})[:K]
+    su = [(r["key"], r["h"]) for r in
+          kmv_sketch(da.union(db), "k", K).collect()]
+    assert [(key, h) for h, key in merged] == su
+    # estimate within ~25% at k=64 over 3500 distinct
+    est = kmv_estimate(_kmv_ref(a + b, K), K)
+    assert abs(est - 3500) / 3500 < 0.25
+    # under-full sketch is exact
+    small = spark.createDataFrame([("a",), ("b",)], ["k"])
+    rows = [tuple(r) for r in kmv_sketch(small, "k", K).collect()]
+    assert kmv_estimate(rows, K) == 2.0
