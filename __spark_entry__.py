@@ -1360,6 +1360,43 @@ _CMS_HEAVY_SQL = f"""
     SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
 
 
+def q_recrawl_schedule(spark, sf):
+    # adaptive revisit scheduling (Cho & Garcia-Molina freshness) over a
+    # synthesized revalidation history: url families change at different
+    # deterministic rates, gap = floor(n_obs / n_changed) clamped
+    from fetcho_spark.operators.recrawl import recrawl_schedule
+    e = _t(spark, sf, "events")
+    hist = e.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 500).cast("string"))
+         .alias("url"),
+        (F.col("event_id") / 500).cast("long").alias("round"),
+        ((F.col("event_id") % (F.col("event_id") % 7 + 2)) == 0)
+        .alias("changed"))
+    return recrawl_schedule(hist).orderBy("url")
+
+
+_RECRAWL_SQL = """
+    WITH hist AS (
+      SELECT 'u' || CAST(event_id % 500 AS VARCHAR) AS url,
+             CAST(event_id // 500 AS BIGINT) AS round,
+             (event_id % (event_id % 7 + 2)) = 0 AS changed
+      FROM events
+    ), agg AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+             max(round) AS _last
+      FROM hist GROUP BY url)
+    SELECT url, n_obs, n_changed,
+           CAST(CASE WHEN n_changed = 0 THEN 64
+                ELSE least(64, greatest(1, n_obs // n_changed))
+                END AS BIGINT) AS gap,
+           CAST(_last + (CASE WHEN n_changed = 0 THEN 64
+                ELSE least(64, greatest(1, n_obs // n_changed)) END)
+                AS BIGINT) AS next_due
+    FROM agg ORDER BY url"""
+
+
 def q_kmv_sketch(spark, sf):
     # bottom-k sketch AS DATA over events.user_id — the mergeable uniform
     # distinct-key sample (ranks, keys AND hash values all hash-checked)
@@ -1909,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": q_anchor_stats,
         "script_profile": q_script_profile,
         "kmv_sketch": q_kmv_sketch,
+        "recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -2656,6 +2694,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _ANCHOR_SQL,
         "script_profile": _script_sql(),
         "kmv_sketch": _KMV_SQL,
+        "recrawl_schedule": _RECRAWL_SQL,
         # curation twins: rs carries one nullable reason column per REASONS
         # slot in fixed order, so concat_ws/list_filter reproduce Spark's
         # array_compact(array(when...)) byte-for-byte
