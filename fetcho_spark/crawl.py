@@ -45,7 +45,8 @@ from .operators import frontier as fr
 from .operators import politeness as po
 from .operators import priority as pr
 from .operators.fetch import extract_links, simulate_fetch
-from .operators.robots import apply_robots_gate
+from .operators.robots import (apply_robots_gate, parse_robots_df,
+                               robots_rules)
 from .operators.seen import SeenSet
 from .functions.urls import frontier_host_col, with_url_keys
 
@@ -81,6 +82,13 @@ _METRICS_ARROW = _pa.schema([("bucket", _pa.int64()),
 _CKPT_ARROW = _pa.schema([("round", _pa.int32()),
                           ("snapshots", _pa.string()),
                           ("counters", _pa.string())])
+
+
+# state tables whose snapshot ids every round checkpoint records
+# (rollback truncates torn writes newer than these ids on resume)
+_CKPT_TABLES = ("frontier", "seen", "seen_filter", "hosts",
+                "fetched", "crawl_log", "metrics", "recent_ips",
+                "robots", "robots_fetched")
 
 
 @dataclass
@@ -134,6 +142,21 @@ class CrawlConfig:
                                          # corpus answers 304 Not Modified —
                                          # no payload/body/links
                                          # (HttpResourceFetcher.cs:250)
+    fetch_robots: bool = False           # S5 live robots acquisition: at
+                                         # round start, hosts newly seen in
+                                         # the deduped frontier get their
+                                         # http://host/robots.txt looked up
+                                         # in the corpus, parsed
+                                         # (robots.parse_robots_df) and
+                                         # appended to the robots table —
+                                         # the same round's gate already
+                                         # honors them (the reference
+                                         # fetches robots before first
+                                         # contact with a host; our default
+                                         # keeps robots as static init
+                                         # input). Attempts are recorded
+                                         # once per host in robots_fetched;
+                                         # both tables ride checkpoints.
     snapshot_keep_last: int | None = None  # table maintenance: after each
                                          # round's checkpoint, expire all but
                                          # the newest K snapshots of every
@@ -231,9 +254,7 @@ class CrawlEngine:
         # on the torn state. Tables the first round creates are recorded as
         # None — rollback drops them if a torn round materialized them.
         snap_ids = {t: c.current_snapshot_id(t) if c.exists(t) else None
-                    for t in ("frontier", "seen", "seen_filter", "hosts",
-                              "fetched", "crawl_log", "metrics",
-                              "recent_ips")}
+                    for t in _CKPT_TABLES}
         c.append_rows("checkpoints",
                       [(-1, json.dumps(snap_ids), json.dumps({}))],
                       _CKPT_ARROW, meta={"round": -1})
@@ -320,6 +341,58 @@ class CrawlEngine:
                     .withColumn("src_host",
                                 F.when(F.col("src_url").isNotNull(),
                                        frontier_host_col(F.col("src_url")))))
+
+        # S5 live robots acquisition (cfg.fetch_robots; mirrored in
+        # simulator.py): hosts newly seen in the deduped frontier get their
+        # http://host/robots.txt looked up in the corpus and parsed (the
+        # zero-shuffle JVM fold) — the same round's gate sees the new rules
+        # because _compiled_robots() re-keys on the robots snapshot id.
+        # Attempts are recorded ONCE per host (robots_fetched, append-only
+        # like seen); both tables ride the round checkpoint so a torn
+        # acquisition rolls back with the round.
+        if cfg.fetch_robots:
+            with self._phase("robots_fetch"):
+                hosts_now = frontier.select("host").distinct()
+                if c.exists("robots_fetched"):
+                    hosts_new = hosts_now.join(
+                        c.read("robots_fetched").select("host").distinct(),
+                        "host", "left_anti")
+                else:
+                    hosts_new = hosts_now
+                hosts_new = hosts_new.persist()
+                n_new = hosts_new.count()
+                if n_new:
+                    # pre-filter the corpus scan to robots.txt rows: the
+                    # predicate reaches the parquet scan, so the join reads
+                    # a sliver of the 100 TB side, not the whole table
+                    web = c.read("webgraph").filter(
+                        F.col("url").endswith("/robots.txt"))
+                    pages = (hosts_new
+                             .withColumn("_rurl",
+                                         F.concat(F.lit("http://"),
+                                                  F.col("host"),
+                                                  F.lit("/robots.txt")))
+                             .join(web.select(
+                                 F.col("url").alias("_rurl"),
+                                 F.col("status").alias("_rst"),
+                                 F.col("body").alias("_rbody")),
+                                 "_rurl", "left")
+                             .filter((F.col("_rst") == 200)
+                                     & F.col("_rbody").isNotNull()))
+                    new_rules = robots_rules(parse_robots_df(
+                        pages.select("host",
+                                     F.col("_rbody").alias("body"))))
+                    new_rules = new_rules.persist()
+                    if new_rules.count():
+                        c.append("robots", new_rules,
+                                 meta={"round": round_no})
+                    new_rules.unpersist()
+                    c.append("robots_fetched",
+                             hosts_new.withColumn(
+                                 "round", F.lit(round_no).cast("int")),
+                             meta={"round": round_no})
+                hosts_new.unpersist()
+                counters["robots_hosts_new"] = int(n_new)
 
         # cheap cascade (P2/P3/P5/P4), keys, synthetic IP (J3/P6)
         frontier = with_url_keys(fr.cheap_cascade(frontier))
@@ -600,9 +673,7 @@ class CrawlEngine:
         # checkpoint LAST → a round is complete iff its checkpoint row exists
         snap_ids = {t: (self.catalog.current_snapshot_id(t)
                         if self.catalog.exists(t) else None)
-                    for t in ("frontier", "seen", "seen_filter", "hosts",
-                              "fetched", "crawl_log", "metrics",
-                              "recent_ips")}
+                    for t in _CKPT_TABLES}
         with self._phase("metrics_checkpoint"):
             c.append_rows("checkpoints",
                           [(round_no, json.dumps(snap_ids),

@@ -307,3 +307,28 @@ def hosts_df(spark: SparkSession, n_hosts: int, seed: int = SEED,
              default_delay_ms: int = 20_000) -> DataFrame:
     return spark.createDataFrame(
         gen_hosts(n_hosts, seed, default_delay_ms), HOSTS_SCHEMA)
+
+
+def gen_robots_pages(n_hosts: int, every: int = 2) -> list[tuple]:
+    """Webgraph rows for ``/robots.txt`` pages on every ``every``-th host
+    (the rest miss — the acquisition's 404 path): prefix + anchored rules,
+    an Allow override, comments, a Sitemap line, and (every 4th host) a
+    UA-specific ``fetcho`` group that SUPPRESSES the ``*`` group per the
+    reference's per-UA precedence — the live-acquisition fixture (S5,
+    CrawlConfig.fetch_robots). Concatenate with gen_webgraph() rows."""
+    rows = []
+    for h in range(0, n_hosts, every):
+        host = host_name(h)
+        body = ("# synthetic robots\n"
+                "User-agent: *\n"
+                f"Disallow: /p{h}\n"
+                "Disallow: /private/\n"
+                f"Allow: /p{h}0\n"
+                f"Sitemap: http://{host}/sitemap.xml\n")
+        if h % 4 == 0:
+            body += ("User-agent: fetcho\n"
+                     f"Disallow: /q{h}$\n"
+                     f"Disallow: /p{h + 1}\n")
+        rows.append((f"http://{host}/robots.txt", host, None, [], 200,
+                     "text/plain", body, None, None))
+    return rows

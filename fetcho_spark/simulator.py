@@ -27,7 +27,7 @@ from .operators.fetch import ADULT_RATING, MAX_BODY_BYTES
 from .functions.urls import canonicalize, frontier_host
 from .operators import priority as pr
 from .operators.frontier import BLOCKED_TLDS, N_IP_GROUPS, NO_IP_BUCKETS
-from .operators.robots import compile_rules
+from .operators.robots import compile_rules, parse_robots_text
 
 _SCHEME_RE = re.compile(r"^https?://")
 _PATH_RE = re.compile(r"^https?://[^/]*")
@@ -75,7 +75,9 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
     links_accepted = 0  # P14 cumulative quota state
     hosts = {r[0]: {"crawl_delay_ms": r[1], "network_issues": r[2]}
              for r in hosts_rows}
-    robots = compile_rules([tuple(r) for r in robots_rows], cfg.user_agent)
+    robots_all = [tuple(r) for r in robots_rows]
+    robots = compile_rules(robots_all, cfg.user_agent)
+    robots_attempted: set[str] = set()
     res = SimResult()
     recent_ips: dict[int, set[int]] = {}
     frontier = [FrontierItem(u, frontier_host(u), None, None, 0)
@@ -94,6 +96,21 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
             if prev is None or _dedup_key(it) < _dedup_key(prev):
                 by_url[it.url] = it
         items = list(by_url.values())
+
+        # S5 live robots acquisition — mirror of the engine block
+        # (crawl.py run_round): hosts newly seen in the deduped frontier,
+        # once each; rules take effect in the SAME round's gate
+        if cfg.fetch_robots:
+            changed = False
+            for h in sorted({it.host for it in items} - robots_attempted):
+                robots_attempted.add(h)
+                page = web.get(f"http://{h}/robots.txt")
+                if page and page["status"] == 200 and page["body"]:
+                    rules, _ = parse_robots_text(page["body"])
+                    robots_all += [(h, ua, d, p) for ua, d, p in rules]
+                    changed = True
+            if changed:
+                robots = compile_rules(robots_all, cfg.user_agent)
 
         # cheap cascade P2/P3/P5/P4 + keys + synthetic IP J3/P6
         survivors = []
