@@ -48,7 +48,8 @@ from .operators.fetch import extract_links, simulate_fetch
 from .operators.robots import (apply_robots_gate, parse_robots_df,
                                robots_rules)
 from .operators.seen import SeenSet
-from .functions.urls import frontier_host_col, with_url_keys
+from .functions.urls import (canonicalize_udf, frontier_host_col,
+                             with_fast_canonical, with_url_keys)
 
 EPOCH0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 
@@ -157,6 +158,20 @@ class CrawlConfig:
                                          # input). Attempts are recorded
                                          # once per host in robots_fetched;
                                          # both tables ride checkpoints.
+    fetch_sitemaps: bool = False         # S8+ sitemap seed discovery
+                                         # (requires fetch_robots; ignored
+                                         # otherwise): Sitemap: URLs
+                                         # collected during robots
+                                         # acquisition are fetched from the
+                                         # corpus the same round, their
+                                         # urlset locs canonicalized and
+                                         # injected into the NEXT round's
+                                         # frontier (src_url = the sitemap
+                                         # URL). One level: sitemapindex
+                                         # children are not followed. The
+                                         # reference only COLLECTS sitemap
+                                         # lines (RobotsFile.cs:191-194);
+                                         # this closes the loop.
     snapshot_keep_last: int | None = None  # table maintenance: after each
                                          # round's checkpoint, expire all but
                                          # the newest K snapshots of every
@@ -295,6 +310,48 @@ class CrawlEngine:
             self.phase_times[name] = round(
                 self.phase_times.get(name, 0.0) + time.time() - t0, 3)
 
+    def _discover_sitemap_seeds(self, parsed: DataFrame,
+                                round_no: int) -> DataFrame | None:
+        """cfg.fetch_sitemaps: fetch the Sitemap: URLs collected during
+        this round's robots acquisition from the corpus, parse urlset locs
+        (sources/sitemaps.py; ONE level — sitemapindex children are not
+        followed, the same bounded-depth stance as S7's one redirect hop),
+        canonicalize against the sitemap URL via the hybrid fast/slow
+        combine (the link stage's machinery), and return next-round
+        frontier rows (url, src_url = the sitemap URL, round_added =
+        round + 1). The corpus scan is pushed down through an IN filter
+        over the collected sitemap URL list — bounded by this round's new
+        hosts (the IVF-centroid class of driver collect), never
+        corpus-sized."""
+        from .operators.robots import robots_sitemaps
+        from .sources.sitemaps import sitemap_entries
+        sm_urls = [r["sitemap"] for r in
+                   robots_sitemaps(parsed).select("sitemap")
+                   .distinct().collect()]
+        if not sm_urls:
+            return None
+        web = self.catalog.read("webgraph").filter(F.col("url").isin(sm_urls))
+        sm_pages = (web.filter((F.col("status") == 200)
+                               & F.col("body").isNotNull())
+                    .select(F.col("url").alias("sitemap_url"),
+                            F.col("body").alias("body")))
+        locs = (sitemap_entries(sm_pages)
+                .filter((F.col("kind") == "urlset")
+                        & F.col("loc").isNotNull())
+                .select(F.col("loc").alias("href"),
+                        F.col("sitemap_key").alias("base")))
+        canon = with_fast_canonical(locs)
+        url = F.when(F.col("_appl"), F.col("_fast_url")).otherwise(
+            canonicalize_udf(F.when(~F.col("_appl"), F.col("href")),
+                             F.col("base")))
+        inject = (canon.withColumn("url", url)
+                  .filter(F.col("url").isNotNull())
+                  .select("url", F.col("base").alias("src_url"),
+                          F.lit(round_no + 1).cast("int")
+                          .alias("round_added"))
+                  .persist())
+        return inject if inject.count() else None
+
     # ----------------------------------------------------------- one round
     def run_round(self, round_no: int) -> dict:
         cfg, c = self.cfg, self.catalog
@@ -350,6 +407,7 @@ class CrawlEngine:
         # Attempts are recorded ONCE per host (robots_fetched, append-only
         # like seen); both tables ride the round checkpoint so a torn
         # acquisition rolls back with the round.
+        sitemap_inject = None
         if cfg.fetch_robots:
             with self._phase("robots_fetch"):
                 hosts_now = frontier.select("host").distinct()
@@ -379,14 +437,21 @@ class CrawlEngine:
                                  "_rurl", "left")
                              .filter((F.col("_rst") == 200)
                                      & F.col("_rbody").isNotNull()))
-                    new_rules = robots_rules(parse_robots_df(
+                    parsed = parse_robots_df(
                         pages.select("host",
-                                     F.col("_rbody").alias("body"))))
-                    new_rules = new_rules.persist()
+                                     F.col("_rbody").alias("body"))
+                    ).persist()
+                    new_rules = robots_rules(parsed)
                     if new_rules.count():
                         c.append("robots", new_rules,
                                  meta={"round": round_no})
-                    new_rules.unpersist()
+                    if cfg.fetch_sitemaps:
+                        sitemap_inject = self._discover_sitemap_seeds(
+                            parsed, round_no)
+                        if sitemap_inject is not None:
+                            counters["sitemap_seeds"] = \
+                                sitemap_inject.count()
+                    parsed.unpersist()
                     c.append("robots_fetched",
                              hosts_new.withColumn(
                                  "round", F.lit(round_no).cast("int")),
@@ -630,6 +695,12 @@ class CrawlEngine:
             self._links_accepted += quota_df.count()
             counters["links_accepted_total"] = self._links_accepted
         nxt = carryover.unionByName(new_frontier)
+        if sitemap_inject is not None:
+            # sitemap seeds are seed-class: they join the NEXT frontier
+            # after the P14 quota cut (quota bounds page LINKS, Queueo.cs
+            # semantics) and dedup/seen handle re-discoveries next round
+            nxt = nxt.unionByName(
+                sitemap_inject.select(*[f.name for f in FRONTIER_SCHEMA]))
         with self._phase("link_stage"):
             c.overwrite("frontier", nxt, meta={"round": round_no})
         if cfg.collect_counters:

@@ -332,3 +332,44 @@ def gen_robots_pages(n_hosts: int, every: int = 2) -> list[tuple]:
         rows.append((f"http://{host}/robots.txt", host, None, [], 200,
                      "text/plain", body, None, None))
     return rows
+
+
+def gen_sitemap_pages(n_hosts: int) -> list[tuple]:
+    """Webgraph rows exercising sitemap seed discovery (S8+,
+    CrawlConfig.fetch_sitemaps) for the hosts gen_robots_pages gives a
+    ``Sitemap:`` line (every 2nd): by host id mod 8 — 0: a real urlset
+    (an ORPHAN page linked from nowhere else + an existing page + an
+    &amp;-entity loc); 2: malformed XML (err path, job survives); 4: a
+    sitemapindex (children must NOT be followed); 6: no sitemap page at
+    all (404 miss). Orphan pages ride along so injection is provable."""
+    rows = []
+    for h in range(0, n_hosts, 2):
+        host = host_name(h)
+        sm_url = f"http://{host}/sitemap.xml"
+        if h % 8 == 0:
+            body = ('<?xml version="1.0"?>'
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                    'sitemap/0.9">'
+                    # CROSS-host orphan loc: a same-host loc inherits the
+                    # SAME_HOST priority demotion and starves behind the
+                    # 3-fetch/host politeness budget for many rounds
+                    # (measured) — a cross-host referrer rides the base band
+                    f"<url><loc>http://{host_name(h + 1)}/orphan{h}</loc>"
+                    "<changefreq>daily</changefreq></url>"
+                    f"<url><loc>http://{host}/p0</loc></url>"
+                    f"<url><loc>http://{host}/p1?a=1&amp;b=2</loc></url>"
+                    "</urlset>")
+            rows.append((f"http://{host_name(h + 1)}/orphan{h}",
+                         host_name(h + 1), None, [], 200,
+                         "text/html", None, None, None))
+        elif h % 8 == 2:
+            body = "<urlset><url><loc>broken"
+        elif h % 8 == 4:
+            body = ('<sitemapindex><sitemap>'
+                    f"<loc>http://{host}/child.xml</loc>"
+                    "</sitemap></sitemapindex>")
+        else:
+            continue
+        rows.append((sm_url, host, None, [], 200, "application/xml",
+                     body, None, None))
+    return rows

@@ -28,6 +28,7 @@ from .functions.urls import canonicalize, frontier_host
 from .operators import priority as pr
 from .operators.frontier import BLOCKED_TLDS, N_IP_GROUPS, NO_IP_BUCKETS
 from .operators.robots import compile_rules, parse_robots_text
+from .sources.sitemaps import parse_sitemap
 
 _SCHEME_RE = re.compile(r"^https?://")
 _PATH_RE = re.compile(r"^https?://[^/]*")
@@ -100,15 +101,38 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
         # S5 live robots acquisition — mirror of the engine block
         # (crawl.py run_round): hosts newly seen in the deduped frontier,
         # once each; rules take effect in the SAME round's gate
+        sitemap_seeds: list[FrontierItem] = []
         if cfg.fetch_robots:
             changed = False
             for h in sorted({it.host for it in items} - robots_attempted):
                 robots_attempted.add(h)
                 page = web.get(f"http://{h}/robots.txt")
                 if page and page["status"] == 200 and page["body"]:
-                    rules, _ = parse_robots_text(page["body"])
+                    rules, sitemaps = parse_robots_text(page["body"])
                     robots_all += [(h, ua, d, p) for ua, d, p in rules]
                     changed = True
+                    # S8+ sitemap seed discovery (mirror of the engine's
+                    # _discover_sitemap_seeds): urlset locs only, one level,
+                    # canonicalized against the sitemap URL, queued for the
+                    # NEXT round with the sitemap as referrer
+                    if cfg.fetch_sitemaps:
+                        for sm in sitemaps:
+                            sp = web.get(sm)
+                            if not (sp and sp["status"] == 200
+                                    and sp["body"]):
+                                continue
+                            try:
+                                kind, entries = parse_sitemap(sp["body"])
+                            except ValueError:
+                                continue
+                            if kind != "urlset":
+                                continue
+                            for en in entries:
+                                cu = canonicalize(en["loc"], sm)
+                                if cu is not None:
+                                    sitemap_seeds.append(FrontierItem(
+                                        cu, frontier_host(cu), sm,
+                                        frontier_host(sm), round_no + 1))
             if changed:
                 robots = compile_rules(robots_all, cfg.user_agent)
 
@@ -300,5 +324,6 @@ def simulate(seeds: list[str], webgraph_rows: list[tuple],
                              "fetched_ok": n_ok, "new_links": len(new_links),
                              "carryover": len(carryover)})
         frontier = [FrontierItem(it.url, it.host, it.src_url, it.src_host,
-                                 it.round_added) for it in carryover] + new_links
+                                 it.round_added) for it in carryover] \
+            + new_links + sitemap_seeds
     return res

@@ -99,3 +99,30 @@ def test_live_robots_resume_equivalence(spark, tmp_path):
     for r in range(1, N_ROUNDS):
         eng2b.run_round(r)
     assert _log_rows(cat1) == _log_rows(Catalog(spark, d2))
+
+
+SM_CFG = CrawlConfig(max_chunk=50, n_seen_buckets=8,
+                     bits_per_bucket=1 << 14,
+                     fetch_robots=True, fetch_sitemaps=True)
+
+
+@pytest.mark.slow
+@pytest.mark.spark
+def test_sitemap_seed_discovery_matches_simulator(spark, tmp_path):
+    wg = fx.gen_webgraph(N_PAGES, N_HOSTS, N_IMAGES)
+    web = wg + fx.gen_robots_pages(N_HOSTS) + fx.gen_sitemap_pages(N_HOSTS)
+    seeds = fx.gen_seeds(wg, N_SEEDS)
+    cat, eng, counters = _run_engine(spark, str(tmp_path), SM_CFG, web,
+                                     seeds)
+    sim = simulate(seeds, web, [], fx.gen_hosts(N_HOSTS), N_ROUNDS, SM_CFG)
+    got = _log_rows(cat)
+    want = [tuple(e[c] for c in LOG_COLS) for e in sim.log]
+    assert got == want
+    # the orphan page is linked from NOWHERE - only sitemap discovery can
+    # reach it; it must have been crawled
+    crawled = {e["url"] for e in sim.log}
+    assert any("/orphan" in u for u in crawled), \
+        "sitemap injection vacuous - no orphan page crawled"
+    # sitemapindex children are NOT followed; malformed sitemaps are inert
+    assert not any(u.endswith("child.xml") for u in crawled)
+    assert not any(u.endswith("sitemap.xml") for u in crawled)
