@@ -1866,6 +1866,139 @@ _ROBOTS_PARSE_SQL = """
     ORDER BY host, seq"""
 
 
+def q_hn_seeds(spark, sf):
+    """HackerNews seed pipeline (sources/seeds.py hn_story_links):
+    synthesize one deterministic front page per document row (a
+    non-matching vote anchor, the story anchor, a duplicate anchor for
+    every 4th doc, a malformed 'item?id=x' anchor, a second story
+    anchor) plus two Firebase item JSON records (type/empty-url/space
+    variations), run the REAL anchor-scan + from_json + story filter,
+    and check against the analytically generated expectation
+    (HackerNewsFrontPageFetcher.cs:25-68 semantics)."""
+    from fetcho_spark.sources.seeds import hn_parse_items, hn_story_links
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    s = d.cast("string")
+    id_a = (d * 2).cast("string")
+    id_b = (d * 2 + 1).cast("string")
+    dup = F.when(d % 4 == 0,
+                 F.concat(F.lit('<a href="item?id='), id_a,
+                          F.lit('">dup</a>'))).otherwise(F.lit(""))
+    pages = docs.select(
+        F.concat(F.lit("fp"), s).alias("page_url"),
+        F.concat(
+            F.lit('<html><a href="vote?id='), id_a,
+            F.lit('&how=up">v</a><a href="item?id='), id_a,
+            F.lit('">c</a>'), dup,
+            F.lit('<a href="item?id=x">bad</a><a href="item?id='), id_b,
+            F.lit('">t</a></html>')).alias("body"))
+    type_a = F.when(d % 3 == 1, F.lit("comment")).otherwise(F.lit("story"))
+    url_a = F.when(d % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("https://s"), s, F.lit(".example/p")))
+    url_b = F.when(d % 7 == 0,
+                   F.concat(F.lit("https://t"), s, F.lit(".example/a b"))
+                   ).otherwise(
+        F.concat(F.lit("https://t"), s, F.lit(".example/a")))
+    item_a = F.concat(
+        F.lit('{"id":'), id_a, F.lit(',"type":"'), type_a,
+        F.lit('","title":"T'), id_a, F.lit('","url":"'), url_a,
+        F.lit('","score":'), (d % 100).cast("string"),
+        F.lit(',"time":1,"by":"u"}'))
+    item_b = F.concat(
+        F.lit('{"id":'), id_b,
+        F.lit(',"type":"story","title":"T'), id_b,
+        F.lit('","url":"'), url_b,
+        F.lit('","score":'), (d % 50).cast("string"),
+        F.lit(',"time":2,"by":"v"}'))
+    items = hn_parse_items(
+        docs.select(F.explode(F.array(item_a, item_b)).alias("body")))
+    return (hn_story_links(pages, items)
+            .orderBy("page_url", "seq"))
+
+
+_HN_SEEDS_SQL = """
+    WITH d AS (
+      SELECT doc_id, 'fp' || CAST(doc_id AS VARCHAR) AS page_url,
+             CAST(doc_id AS VARCHAR) AS s,
+             doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b
+      FROM documents
+    ), rows_ AS (
+      -- story anchor A at seq 0 (item must be a story with non-empty url)
+      SELECT page_url, 0 AS seq, id_a AS item_id,
+             'https://s' || s || '.example/p' AS url,
+             'T' || CAST(id_a AS VARCHAR) AS title,
+             doc_id % 100 AS score
+      FROM d WHERE doc_id % 3 <> 1 AND doc_id % 5 <> 0
+      UNION ALL
+      -- duplicate anchor (every 4th doc) at seq 1 — multiplicity kept
+      SELECT page_url, 1, id_a,
+             'https://s' || s || '.example/p',
+             'T' || CAST(id_a AS VARCHAR), doc_id % 100
+      FROM d WHERE doc_id % 4 = 0 AND doc_id % 3 <> 1 AND doc_id % 5 <> 0
+      UNION ALL
+      -- story anchor B: after the malformed 'item?id=x' slot; every 7th
+      -- doc's url carries a space and fails well-formedness
+      SELECT page_url,
+             CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END, id_b,
+             'https://t' || s || '.example/a',
+             'T' || CAST(id_b AS VARCHAR), doc_id % 50
+      FROM d WHERE doc_id % 7 <> 0)
+    SELECT page_url, CAST(seq AS INT) AS seq, CAST(item_id AS INT) AS item_id,
+           url, title, CAST(score AS INT) AS score
+    FROM rows_ ORDER BY page_url, seq"""
+
+
+def q_reddit_seeds(spark, sf):
+    """Reddit submission seed pipeline (sources/seeds.py
+    reddit_submission_links): synthesize one pushshift response per
+    document row — three data[] children with url / link_flair_text
+    null patterns — run the REAL from_json + posexplode + null-skip
+    (RedditSubmissionFetcher.cs:32-40), check analytically."""
+    from fetcho_spark.sources.seeds import reddit_submission_links
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    s = d.cast("string")
+    url1 = F.when(d % 3 == 0, F.lit("null")).otherwise(
+        F.concat(F.lit('"https://r'), s, F.lit('.example/b"')))
+    flair2 = F.when(d % 2 == 0, F.lit("null")).otherwise(
+        F.concat(F.lit('"H'), (d % 9).cast("string"), F.lit('"')))
+    body = F.concat(
+        F.lit('{"data":[{"url":"https://r'), s,
+        F.lit('.example/a","link_flair_text":"F'),
+        (d % 5).cast("string"),
+        F.lit('"},{"url":'), url1, F.lit(',"link_flair_text":"G'),
+        (d % 4).cast("string"),
+        F.lit('"},{"url":"https://r'), s,
+        F.lit('.example/c","link_flair_text":'), flair2, F.lit("}]}"))
+    responses = docs.select(
+        F.concat(F.lit("sub"), (d % 7).cast("string"), F.lit("-"), s)
+        .alias("src"), body.alias("body"))
+    return reddit_submission_links(responses).orderBy("src", "seq")
+
+
+_REDDIT_SEEDS_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             'sub' || CAST(doc_id % 7 AS VARCHAR) || '-' ||
+             CAST(doc_id AS VARCHAR) AS src,
+             CAST(doc_id AS VARCHAR) AS s
+      FROM documents
+    ), rows_ AS (
+      SELECT src, 0 AS seq, 'https://r' || s || '.example/a' AS url,
+             'F' || CAST(doc_id % 5 AS VARCHAR) AS link_flair_text
+      FROM d
+      UNION ALL
+      SELECT src, 1, 'https://r' || s || '.example/b',
+             'G' || CAST(doc_id % 4 AS VARCHAR)
+      FROM d WHERE doc_id % 3 <> 0   -- null url children are skipped
+      UNION ALL
+      SELECT src, 2, 'https://r' || s || '.example/c',
+             'H' || CAST(doc_id % 9 AS VARCHAR)
+      FROM d WHERE doc_id % 2 <> 0)  -- null flair children are skipped
+    SELECT src, CAST(seq AS INT) AS seq, url, link_flair_text
+    FROM rows_ ORDER BY src, seq"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "anti_join_seen": q_anti_join_seen,
@@ -1947,6 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "kmv_sketch": q_kmv_sketch,
         "recrawl_schedule": q_recrawl_schedule,
+        "hn_seeds": q_hn_seeds,
+        "reddit_seeds": q_reddit_seeds,
     }
 
 
@@ -2717,4 +2852,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT reason, count(*) AS n_rows
             FROM (SELECT unnest(reasons) AS reason FROM rl)
             GROUP BY reason ORDER BY reason""",
+        "hn_seeds": _HN_SEEDS_SQL,
+        "reddit_seeds": _REDDIT_SEEDS_SQL,
     }
