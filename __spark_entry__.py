@@ -1999,6 +1999,55 @@ _REDDIT_SEEDS_SQL = """
     FROM rows_ ORDER BY src, seq"""
 
 
+def q_aspect_buckets(spark, sf):
+    """Aspect-ratio bucket batching (operators/batching.py): nearest-
+    aspect bucket by exact-integer cross-multiplication + one
+    correctly-rounded division, then fixed-size batches in md5-seeded
+    order via the two-phase range-partitioned rank. The twin is a plain
+    per-bucket window — two-phase ≡ window is the partition-invariance
+    claim, hash-checked."""
+    from fetcho_spark.operators.batching import aspect_bucket_batches
+    return (aspect_bucket_batches(_img_caption_df(spark, sf),
+                                  batch_size=8, seed=7)
+            .orderBy("bucket_id", "batch_idx", "slot"))
+
+
+_ASPECT_BUCKETS_SQL = """
+    WITH img AS (
+      SELECT doc_id AS image_id,
+             64 + ('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 15))
+                    ::BIGINT % 1920 AS w,
+             64 + ('0x' || substr(md5(doc_id::VARCHAR || ':h'), 1, 15))
+                    ::BIGINT % 1080 AS h
+      FROM documents),
+    b(idx, bw, bh) AS (VALUES
+      (1, 1024, 1024), (2, 1152, 896), (3, 896, 1152), (4, 1344, 768),
+      (5, 768, 1344), (6, 1536, 640), (7, 640, 1536)),
+    scored AS (
+      SELECT image_id, idx, bw, bh,
+             abs(w * bh - h * bw)::DOUBLE / bh AS s
+      FROM img CROSS JOIN b),
+    pick AS (
+      SELECT image_id, idx AS bucket_id, bw AS bucket_w, bh AS bucket_h,
+             row_number() OVER (PARTITION BY image_id ORDER BY s, idx)
+               AS rn
+      FROM scored),
+    rnk AS (
+      SELECT image_id, bucket_id, bucket_w, bucket_h,
+             row_number() OVER (PARTITION BY bucket_id
+               ORDER BY md5(CAST(image_id AS VARCHAR) || ':7'),
+                        image_id) - 1 AS r,
+             count(*) OVER (PARTITION BY bucket_id) AS n
+      FROM pick WHERE rn = 1)
+    SELECT image_id, CAST(bucket_id AS INT) AS bucket_id,
+           CAST(bucket_w AS INT) AS bucket_w,
+           CAST(bucket_h AS INT) AS bucket_h,
+           CAST(r // 8 AS BIGINT) AS batch_idx,
+           CAST(r % 8 AS INT) AS slot,
+           (r // 8) < (n // 8) AS full
+    FROM rnk ORDER BY bucket_id, batch_idx, slot"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "anti_join_seen": q_anti_join_seen,
@@ -2082,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "hn_seeds": q_hn_seeds,
         "reddit_seeds": q_reddit_seeds,
+        "aspect_buckets": q_aspect_buckets,
     }
 
 
@@ -2854,4 +2904,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY reason ORDER BY reason""",
         "hn_seeds": _HN_SEEDS_SQL,
         "reddit_seeds": _REDDIT_SEEDS_SQL,
+        "aspect_buckets": _ASPECT_BUCKETS_SQL,
     }
