@@ -372,13 +372,28 @@ class Catalog:
 
     def rewrite_data_files(self, name: str, *,
                            target_file_bytes: int = 128 << 20,
+                           cluster_by: list[str] | None = None,
                            meta: dict | None = None) -> int:
-        """Iceberg ``rewriteDataFiles`` (bin-pack): commit a new snapshot
-        with the same rows compacted toward ``target_file_bytes`` files.
-        Append-heavy tables (seen, fetched, crawl_log) accrete one small
-        file set per round; their scans then pay per-file open cost and
-        lose row-group pruning. ``coalesce`` merges scan partitions without
-        a shuffle — pure IO rewrite, exactly Iceberg's binpack strategy.
+        """Iceberg ``rewriteDataFiles``: commit a new snapshot with the
+        same rows laid out better, toward ``target_file_bytes`` files.
+
+        Two strategies, exactly Iceberg's:
+
+        - **binpack** (default): append-heavy tables (seen, fetched,
+          crawl_log) accrete one small file set per round; their scans
+          then pay per-file open cost and lose row-group pruning.
+          ``coalesce`` merges scan partitions without a shuffle — a pure
+          IO rewrite.
+        - **sort** (``cluster_by=[cols]``): range-repartition on the
+          cluster columns + sort within each file, so every parquet
+          footer carries a TIGHT min/max for them and an equality or
+          range predicate prunes to ~one file's row groups instead of
+          scanning all. At 100 TB this is what makes host-scoped reads
+          (the robots/sitemap IN-probe, per-host debugging, the fetch
+          join's corpus side filtered to a host subset) touch megabytes
+          rather than the whole corpus. One shuffle, maintenance-time
+          only (after the round checkpoint, like all maintenance).
+
         History stays time-travelable until ``expire_snapshots``."""
         import math
         snaps = self._load(name)
@@ -390,10 +405,17 @@ class Catalog:
                 "rewrite via overwrite_bucketed instead")
         before = self.file_count(name)
         n_files = max(1, math.ceil(self.table_bytes(name) / target_file_bytes))
-        df = self.read(name).coalesce(n_files)
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            df = (self.read(name)
+                  .repartitionByRange(n_files, *cols)
+                  .sortWithinPartitions(*cols))
+        else:
+            df = self.read(name).coalesce(n_files)
         d = self._write_files(name, df, None)
         m = dict(meta or {})
-        m["rewrite"] = {"files_before": before, "target_files": n_files}
+        m["rewrite"] = {"files_before": before, "target_files": n_files,
+                        "cluster_by": list(cluster_by or [])}
         sid = snaps[-1].id + 1
         snaps.append(Snapshot(sid, "rewrite", [d], m))
         self._store(name, snaps)

@@ -305,3 +305,49 @@ def test_snapshot_diff_changelog(spark, tmp_catalog):
     # identical snapshots diff to nothing
     s3 = c.overwrite("t", v2)
     assert c.snapshot_diff("t", s2, s3, key="k").count() == 0
+
+
+def test_rewrite_cluster_by_sorts_for_footer_pruning(spark, tmp_catalog):
+    """Sort strategy: after cluster_by=['host'] the per-file parquet
+    footer min/max host ranges are (near-)disjoint, so a host-equality
+    predicate can only touch ~1 file's row groups — the Iceberg sort
+    rewrite. Before the rewrite every appended file spans the whole
+    host range (interleaved appends) and nothing prunes."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    c = tmp_catalog
+    for k in range(3):                  # interleaved hosts per append
+        df = spark.range(2000).select(
+            F.concat(F.lit("h"), F.lpad((F.col("id") % 50).cast("string"),
+                                        3, "0")).alias("host"),
+            (F.col("id") + k * 2000).alias("v"))
+        c.append("t", df.repartition(4))
+
+    def hit_files(target):
+        hits, total = 0, 0
+        for uri in c.read("t").inputFiles():
+            md = pq.ParquetFile(uri.removeprefix("file:")).metadata
+            idx = md.schema.names.index("host")
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            total += 1
+            hits += int(lo <= target <= hi)
+        return hits, total
+
+    before_rows = sorted(map(tuple, c.read("t").collect()))
+    pre_hits, pre_total = hit_files("h025")
+    assert pre_total >= 8 and pre_hits == pre_total  # no pruning possible
+
+    sid = c.rewrite_data_files(
+        "t", target_file_bytes=max(1, c.table_bytes("t") // 6),
+        cluster_by=["host"])
+    post_hits, post_total = hit_files("h025")
+    assert post_total >= 4                  # still several files…
+    assert post_hits <= 2                   # …but ~one holds the host
+    assert sorted(map(tuple, c.read("t").collect())) == before_rows
+    last = c.snapshots("t")[-1]
+    assert last.op == "rewrite" and last.id == sid
+    assert last.meta["rewrite"]["cluster_by"] == ["host"]
