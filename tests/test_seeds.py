@@ -122,3 +122,45 @@ def test_hn_scan_stays_jvm_side(spark):
     plan = hn_story_links(_pages(spark), _items(spark)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_hn_seed_urls_drive_the_crawl_engine(spark, tmp_catalog):
+    """e2e glue: seed URLs extracted by hn_story_links feed CrawlEngine
+    and produce the same crawl as the simulator given that seed list —
+    the FetchControloCommand 'fetch hackernews <workspace>' path."""
+    import json as _json
+
+    from fetcho_spark import fixtures as fx
+    from fetcho_spark import simulator
+    from fetcho_spark.crawl import CrawlConfig, CrawlEngine
+
+    wg = fx.gen_webgraph(40, 10, 10)
+    targets = sorted({r[0] for r in wg})[:6]      # real corpus URLs
+    pages = spark.createDataFrame(
+        [("https://news.ycombinator.com/front",
+          "".join(f'<a href="item?id={i}">x</a>'
+                  for i in range(len(targets))))],
+        "page_url string, body string")
+    items = hn_parse_items(spark.createDataFrame(
+        [(_json.dumps({"id": i, "type": "story", "title": f"t{i}",
+                       "url": u, "score": 1, "time": 1, "by": "z"}),)
+         for i, u in enumerate(targets)], "body string"))
+    links = hn_story_links(pages, items)
+    seeds = [r["url"] for r in links.orderBy("seq").collect()]
+    assert seeds == targets
+
+    cfg = CrawlConfig(max_chunk=50, n_seen_buckets=8,
+                      bits_per_bucket=1 << 14)
+    eng = CrawlEngine(spark, tmp_catalog, cfg)
+    eng.init(seeds, fx.webgraph_df(spark, 40, 10, 10),
+             fx.images_df(spark, 10), fx.robots_df(spark, 10),
+             fx.hosts_df(spark, 10))
+    eng.run(2)
+    log = [(r["round"], r["fetch_seq"], r["url"]) for r in
+           tmp_catalog.read("crawl_log")
+           .orderBy("round", "fetch_seq").collect()]
+    sim = simulator.simulate(seeds, wg, fx.gen_robots(10),
+                             fx.gen_hosts(10), 2, cfg)
+    assert log == [(r["round"], r["fetch_seq"], r["url"])
+                   for r in sim.log]
+    assert log, "seed-driven crawl fetched nothing"
