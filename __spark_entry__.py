@@ -1999,6 +1999,16 @@ _REDDIT_SEEDS_SQL = """
     FROM rows_ ORDER BY src, seq"""
 
 
+def q_mixture_weights(spark, sf):
+    """Temperature (alpha=0.5) data-mixing weights per source —
+    sqrt-chain alpha + 1e-6 floor-quantization before the normalizing
+    sum keeps every float a correctly-rounded op over exact integers
+    (bit-identical cross-engine, no epsilon)."""
+    from fetcho_spark.operators.textops import mixture_weights
+    return (mixture_weights(_t(spark, sf, "documents"))
+            .orderBy("source"))
+
+
 def q_aspect_buckets(spark, sf):
     """Aspect-ratio bucket batching (operators/batching.py): nearest-
     aspect bucket by exact-integer cross-multiplication + one
@@ -2132,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hn_seeds": q_hn_seeds,
         "reddit_seeds": q_reddit_seeds,
         "aspect_buckets": q_aspect_buckets,
+        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -2905,4 +2916,15 @@ def oracle_sql() -> dict[str, str]:
         "hn_seeds": _HN_SEEDS_SQL,
         "reddit_seeds": _REDDIT_SEEDS_SQL,
         "aspect_buckets": _ASPECT_BUCKETS_SQL,
+        "mixture_weights": f"""
+            WITH c AS (
+              SELECT source, CAST(SUM({n_tokens}) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            q AS (SELECT source, n_tokens,
+                         CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6)
+                              AS BIGINT) AS qq
+                  FROM c)
+            SELECT source, n_tokens,
+                   qq::DOUBLE / (SELECT SUM(qq) FROM q)::DOUBLE AS weight
+            FROM q ORDER BY source""",
     }

@@ -478,6 +478,42 @@ def pack_sequences(df: DataFrame, key_col: str = "doc_id",
         .alias("n_packs"))
 
 
+def mixture_weights(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text",
+                    alpha_sqrts: int = 1) -> DataFrame:
+    """Temperature-based data-mixing weights (the mT5/UniMax sampling
+    scheme): ``weight_i = n_i^alpha / SUM_j n_j^alpha`` over per-source
+    token counts, with ``alpha = 2^-alpha_sqrts`` (1 → the classic
+    sqrt/T=2 temperature, 2 → 0.25, 0 → proportional). Flattens the
+    head sources so low-resource ones aren't starved; pair with
+    ``token_budget_sample`` to realize the mix.
+
+    ``alpha`` is restricted to sqrt chains ON PURPOSE: ``pow(x, 0.3)``
+    goes through each engine's libm and drifts in the last ulps, while
+    ``sqrt`` is IEEE-exact everywhere — every float here is a
+    correctly-rounded op over exact integers (the kmeans/NB quantized
+    discipline), then floor-quantized to 1e-6 BEFORE the normalizing
+    sum so the total is EXACT integer arithmetic (float sums would
+    depend on add order, which no distributed engine guarantees).
+
+    Scale shape: one partial-agg shuffle on ``group_col`` (map-side
+    combined) + a broadcast single-row total. Returns
+    ``(group, n_tokens, weight)``.
+    """
+    assert alpha_sqrts >= 0
+    counts = df.groupBy(group_col).agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"))
+    s = F.col("n_tokens").cast("double")
+    for _ in range(alpha_sqrts):
+        s = F.sqrt(s)
+    counts = counts.withColumn("_q", F.floor(s * F.lit(1e6)).cast("long"))
+    tot = counts.agg(F.sum("_q").alias("_tot"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(group_col, "n_tokens",
+                    (F.col("_q").cast("double")
+                     / F.col("_tot").cast("double")).alias("weight")))
+
+
 def split_assign(df: DataFrame, key_col: str = "doc_id",
                  fractions: tuple = (("train", 90), ("val", 5),
                                      ("test", 5)),

@@ -627,3 +627,22 @@ def test_duplicate_spans(spark):
             for r in TX.duplicate_spans(
                 df, span_tokens=20, stride=20, max_df=10**6).collect()}
     assert got2[0] == 1 and got2[3] == 2 and got2[10] == 1
+
+
+def test_mixture_weights_temperature(spark):
+    from fetcho_spark.operators.textops import mixture_weights
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3), "w " * (10 * (4 ** (i % 3))))
+         for i in range(30)], "doc_id long, source string, text string")
+    rows = {r["source"]: r for r in mixture_weights(df).collect()}
+    assert abs(sum(r["weight"] for r in rows.values()) - 1.0) < 1e-9
+    # alpha=0.5 flattens: a 16x token ratio becomes a 4x weight ratio
+    r = rows["s2"]["weight"] / rows["s0"]["weight"]
+    assert abs(r - 4.0) < 1e-3, r
+    # alpha=1 (0 sqrts) is proportional
+    rows1 = {r["source"]: r for r in
+             mixture_weights(df, alpha_sqrts=0).collect()}
+    r1 = rows1["s2"]["weight"] / rows1["s0"]["weight"]
+    assert abs(r1 - 16.0) < 1e-3, r1
+    # n_tokens exact
+    assert rows["s0"]["n_tokens"] == 10 * 10
