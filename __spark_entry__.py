@@ -2009,6 +2009,105 @@ def q_mixture_weights(spark, sf):
             .orderBy("source"))
 
 
+def q_ann_pq(spark, sf):
+    """Product-quantization ANN (operators/pq.py, Jegou et al. 2011):
+    train m=4 subspace codebooks with the all-BIGINT L2 Lloyd's (md5
+    init, argmin key = norm2(c) - 2*dot, floor-quantized means), encode
+    every vector to 4 codes, then ADC-scan squared-L2 distances to
+    vec_id 0's embedding from the codes alone. The twin trains the SAME
+    codebooks as fully-unrolled SQL CTEs — codes AND distances
+    hash-match end to end, so the distributed fit, the encoder and the
+    ADC tables all compute the identical integer function."""
+    from fetcho_spark.operators.pq import pq_adc_scan, pq_encode, pq_train
+    emb = _t(spark, sf, "embeddings")
+    books = pq_train(emb, dim=64, m=4, ksub=8, iters=2)
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    codes = pq_encode(emb, books)
+    scan = pq_adc_scan(codes, books, qvec)
+    return (codes.join(scan, "vec_id")
+            .select("vec_id",
+                    F.concat_ws(",", "codes").alias("codes_str"), "dist")
+            .orderBy("vec_id"))
+
+
+def _ann_pq_sql(dim: int = 64, m: int = 4, ksub: int = 8, iters: int = 2,
+                seed: int = 42, qid: int = 0) -> str:
+    """Fully-unrolled SQL twin of q_ann_pq: quantize → one md5-ranked init
+    shared by all subspaces → per-iteration integer-argmin assignment +
+    floor-quantized mean update with empty-cluster backfill → final
+    encode → per-(sub, cid) ADC lookup table vs vec_id ``qid``'s
+    quantized embedding → per-vector BIGINT distance sum."""
+    dsub = dim // m
+    sl = (f"list_transform(range(sub * {dsub} + 1, sub * {dsub} + "
+          f"{dsub} + 1), j -> qv[j])")
+    parts = [f"""
+        WITH q AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings),
+        subs AS (SELECT CAST(range AS INT) AS sub FROM range({m})),
+        sv AS (SELECT vec_id, sub, {sl} AS sv
+               FROM q CROSS JOIN subs),
+        r0 AS (SELECT vec_id, qv,
+                      row_number() OVER (ORDER BY md5(vec_id || ':pq:{seed}'),
+                                         vec_id) - 1 AS cid
+               FROM q),
+        c0 AS (SELECT sub, cid, {sl} AS cv
+               FROM r0 CROSS JOIN subs WHERE cid < {ksub})"""]
+    for i in range(iters):
+        parts.append(f""",
+        s{i + 1} AS (SELECT v.vec_id, v.sub, v.sv, c.cid,
+                        list_sum(list_transform(c.cv, x -> x * x))
+                        - 2 * list_sum(list_transform(range(1, {dsub} + 1),
+                              j -> v.sv[j] * c.cv[j])) AS kk
+                   FROM sv v JOIN c{i} c ON v.sub = c.sub),
+        a{i + 1} AS (SELECT vec_id, sub, sv, cid AS cluster FROM
+                      (SELECT vec_id, sub, sv, cid,
+                              row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY kk ASC, cid ASC) AS rn
+                       FROM s{i + 1}) WHERE rn = 1),
+        m{i + 1} AS (SELECT sub, cluster AS cid, u.pos AS pos,
+                       CAST(floor(CAST(sum(u.val) AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                         AS val
+                   FROM (SELECT sub, cluster,
+                                unnest(list_transform(range(1, {dsub} + 1),
+                                  j -> {{'pos': j - 1, 'val': sv[j]}})) AS u
+                         FROM a{i + 1}) GROUP BY sub, cluster, u.pos),
+        c{i + 1} AS (SELECT c{i}.sub, c{i}.cid,
+                        coalesce(n.cv, c{i}.cv) AS cv
+                   FROM c{i} LEFT JOIN
+                        (SELECT sub, cid, list(val ORDER BY pos) AS cv
+                         FROM m{i + 1} GROUP BY sub, cid) n
+                   ON c{i}.sub = n.sub AND c{i}.cid = n.cid)""")
+    parts.append(f""",
+        sF AS (SELECT v.vec_id, v.sub, c.cid,
+                      list_sum(list_transform(c.cv, x -> x * x))
+                      - 2 * list_sum(list_transform(range(1, {dsub} + 1),
+                            j -> v.sv[j] * c.cv[j])) AS kk
+               FROM sv v JOIN c{iters} c ON v.sub = c.sub),
+        aF AS (SELECT vec_id, sub, cid AS cluster FROM
+                  (SELECT vec_id, sub, cid,
+                          row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY kk ASC, cid ASC) AS rn
+                   FROM sF) WHERE rn = 1),
+        qq AS (SELECT qv FROM q WHERE vec_id = {qid}),
+        lut AS (SELECT c.sub, c.cid,
+                       list_sum(list_transform(range(1, {dsub} + 1),
+                         j -> (qq.qv[c.sub * {dsub} + j] - c.cv[j])
+                              * (qq.qv[c.sub * {dsub} + j] - c.cv[j]))) AS d
+                FROM c{iters} c CROSS JOIN qq)
+        SELECT a.vec_id,
+               array_to_string(list(CAST(a.cluster AS INT) ORDER BY a.sub),
+                               ',') AS codes_str,
+               CAST(sum(l.d) AS BIGINT) AS dist
+        FROM aF a JOIN lut l ON a.sub = l.sub AND a.cluster = l.cid
+        GROUP BY a.vec_id
+        ORDER BY a.vec_id""")
+    return "".join(parts)
+
+
 def q_aspect_buckets(spark, sf):
     """Aspect-ratio bucket batching (operators/batching.py): nearest-
     aspect bucket by exact-integer cross-multiplication + one
@@ -2143,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reddit_seeds": q_reddit_seeds,
         "aspect_buckets": q_aspect_buckets,
         "mixture_weights": q_mixture_weights,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -2927,4 +3027,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_tokens,
                    qq::DOUBLE / (SELECT SUM(qq) FROM q)::DOUBLE AS weight
             FROM q ORDER BY source""",
+        "ann_pq": _ann_pq_sql(),
     }

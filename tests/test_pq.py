@@ -1,0 +1,127 @@
+"""Product quantization (operators/pq.py): distributed-vs-local trainer
+parity, encode/ADC exactness against the reconstruction definition,
+partition invariance, recall vs brute force, JVM-only plans."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fetcho_spark.operators import pq as PQ
+from fetcho_spark.operators.semdedup import _q
+
+pytestmark = [pytest.mark.spark]
+
+DIM, M, KSUB = 8, 4, 4
+
+
+def _vecs(n, dim=DIM, spread=7):
+    """Deterministic float vectors with real cluster structure: component
+    values derived from integer recurrences, scaled to ~[-2, 2]."""
+    out = []
+    for i in range(n):
+        v = [(((i * 37 + d * 101 + (i * d) % spread) % 401) - 200) / 100.0
+             for d in range(dim)]
+        out.append((i, v))
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+
+
+def test_pq_train_distributed_matches_local(spark):
+    rows = _vecs(60)
+    got = PQ.pq_train(_df(spark, rows), DIM, m=M, ksub=KSUB, iters=2)
+    ref = PQ.pq_train_local(rows, DIM, m=M, ksub=KSUB, iters=2)
+    assert got == ref
+
+
+def test_pq_train_partition_invariance(spark):
+    rows = _vecs(50)
+    a = PQ.pq_train(_df(spark, rows).repartition(1), DIM, m=M, ksub=KSUB,
+                    iters=3)
+    b = PQ.pq_train(_df(spark, rows).repartition(13), DIM, m=M, ksub=KSUB,
+                    iters=3)
+    assert a == b == PQ.pq_train_local(rows, DIM, m=M, ksub=KSUB, iters=3)
+
+
+def test_pq_adc_equals_reconstruction_distance(spark):
+    """The definitional ADC property: a row's ADC dist == the exact
+    squared L2 distance between the quantized query and the row's
+    RECONSTRUCTED (decoded) vector."""
+    rows = _vecs(40)
+    df = _df(spark, rows)
+    books = PQ.pq_train(df, DIM, m=M, ksub=KSUB, iters=2)
+    query = rows[7][1]
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in PQ.pq_encode(df, books).collect()}
+    dists = {r["vec_id"]: r["dist"]
+             for r in PQ.pq_adc_scan(PQ.pq_encode(df, books), books,
+                                     query).collect()}
+    qq = [_q(x) for x in query]
+    for i, _v in rows:
+        rec = PQ.reconstruct_local(codes[i], books)
+        exact = sum((a - b) ** 2 for a, b in zip(qq, rec))
+        assert dists[i] == exact
+
+
+def test_pq_encode_is_argmin_over_codebook(spark):
+    rows = _vecs(30)
+    df = _df(spark, rows)
+    books = PQ.pq_train(df, DIM, m=M, ksub=KSUB, iters=1)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in PQ.pq_encode(df, books).collect()}
+    dsub = DIM // M
+    for i, v in rows:
+        qv = [_q(x) for x in v]
+        for s in range(M):
+            sv = qv[s * dsub:(s + 1) * dsub]
+            best = min(range(KSUB), key=lambda c: (
+                sum((a - b) ** 2 for a, b in zip(sv, books[s][c])), c))
+            assert codes[i][s] == best
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """PQ is approximate; with ksub=8 codebooks over this structured set
+    the true nearest neighbour must appear in the ADC top-5 and top-10
+    recall must be >= 0.5 (deterministic data, deterministic bound)."""
+    rows = _vecs(80)
+    df = _df(spark, rows)
+    books = PQ.pq_train(df, DIM, m=M, ksub=8, iters=3)
+    query = rows[3][1]
+    got = [r["vec_id"] for r in PQ.pq_topk(df, books, query, k=10).collect()]
+    qq = [_q(x) for x in query]
+    brute = sorted(rows, key=lambda r: (
+        sum((a - _q(b)) ** 2 for a, b in zip(qq, r[1])), r[0]))
+    true10 = [i for i, _ in brute[:10]]
+    assert brute[0][0] in got[:5]
+    assert len(set(got) & set(true10)) >= 5
+
+
+def test_pq_compression_shape(spark):
+    rows = _vecs(20)
+    df = _df(spark, rows)
+    books = PQ.pq_train(df, DIM, m=M, ksub=KSUB, iters=1)
+    enc = PQ.pq_encode(df, books)
+    out = enc.collect()
+    assert len(out) == 20
+    assert all(len(r["codes"]) == M for r in out)
+    assert all(0 <= c < KSUB for r in out for c in r["codes"])
+
+
+def test_pq_plans_are_jvm_only(spark):
+    rows = _vecs(25)
+    df = _df(spark, rows)
+    books = PQ.pq_train(df, DIM, m=M, ksub=KSUB, iters=1)
+    for frame in (PQ.pq_encode(df, books),
+                  PQ.pq_topk(df, books, rows[0][1], k=5)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+
+def test_pq_dim_must_divide(spark):
+    with pytest.raises(AssertionError):
+        PQ.pq_train(_df(spark, _vecs(10, dim=6)), 6, m=4)
