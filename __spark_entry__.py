@@ -2009,6 +2009,134 @@ def q_mixture_weights(spark, sf):
             .orderBy("source"))
 
 
+def _htmlize(docs):
+    # deterministic HTML view of the word-soup corpus: nav + heading +
+    # stopword-rich paragraph + low-stopword soup + mod-gated list/short
+    # blocks + inline-anchor prose + entity-bearing footer, so every
+    # boilerplate rule (short / link-dense / low-stopword / long-rescue)
+    # fires non-vacuously both ways; mirrored by the twin's hdoc CTE
+    w = F.split(F.col("text"), " ")
+    d = F.col("doc_id")
+    return docs.select("doc_id", F.concat(
+        F.lit('<html><head><title>T</title><style>p { c: red }</style>'
+              '<script type="t">var q = "<p>phantom</p>";</script>'
+              '</head><body><div id="nav"><a href="/">Home</a> '
+              '<a href="/a">About &amp; Info</a></div><h1>'),
+        F.array_join(F.slice(w, 1, 3), " "),
+        F.lit("</h1><p>It is the case that "),
+        F.array_join(F.slice(w, 1, 24), " "),
+        F.lit(" and this is the end of it.</p><p>"),
+        F.array_join(F.slice(w, 25, 8), " "),
+        F.lit("</p>"),
+        F.when(d % 3 == 0,
+               F.lit('<ul><li><a href="/1">one</a></li><li>x</li></ul>'))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("<p>Short.</p>")).otherwise(F.lit("")),
+        F.lit('<p>A line with an <a href="/in">inline '),
+        F.array_join(F.slice(w, 3, 2), " "),
+        F.lit("</a> in the middle of the text of it.</p>"
+              "<!-- <p>commented</p> -->"
+              '<footer>Copyright &copy; 2026 <a href="/t">Terms</a>'
+              "</footer></body></html>")).alias("html"))
+
+
+def q_boilerplate(spark, sf):
+    """Main-content extraction (operators/boilerplate.py): jusText-core
+    block classification — split on block tags, strip tags with anchor
+    spans marked, integer-cross-multiplied length / link-density /
+    stopword-density rules. Zero shuffle; block-level audit rows are
+    hash-checked against a twin that mirrors the regexp pipeline
+    literally (Java-and-RE2-shared regex subset)."""
+    from fetcho_spark.operators.boilerplate import block_classify
+    return (block_classify(_htmlize(_t(spark, sf, "documents")))
+            .orderBy("doc_id", "block_idx"))
+
+
+def _boilerplate_sql() -> str:
+    from fetcho_spark.operators.boilerplate import (
+        BLOCK_TAG_RE, ENTITIES, LINK_PCT, LONG_LEN, MIN_LEN, STOP_PCT,
+        STOPWORDS)
+    ent = "s"
+    for e, r in ENTITIES:
+        ent = f"replace({ent}, '{e}', '{r.replace(chr(39), chr(39) * 2)}')"
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH harr AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    hdoc AS (SELECT doc_id,
+        '<html><head><title>T</title><style>p {{ c: red }}</style>'
+        || '<script type="t">var q = "<p>phantom</p>";</script>'
+        || '</head><body><div id="nav"><a href="/">Home</a> '
+        || '<a href="/a">About &amp; Info</a></div><h1>'
+        || coalesce(array_to_string(w[1:3], ' '), '')
+        || '</h1><p>It is the case that '
+        || coalesce(array_to_string(w[1:24], ' '), '')
+        || ' and this is the end of it.</p><p>'
+        || coalesce(array_to_string(w[25:32], ' '), '') || '</p>'
+        || CASE WHEN doc_id % 3 = 0 THEN
+             '<ul><li><a href="/1">one</a></li><li>x</li></ul>'
+           ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN '<p>Short.</p>' ELSE '' END
+        || '<p>A line with an <a href="/in">inline '
+        || coalesce(array_to_string(w[3:4], ' '), '')
+        || '</a> in the middle of the text of it.</p>'
+        || '<!-- <p>commented</p> -->'
+        || '<footer>Copyright &copy; 2026 <a href="/t">Terms</a>'
+        || '</footer></body></html>' AS html
+      FROM harr),
+    hb AS (SELECT doc_id, regexp_split_to_array(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(html,
+                 '(?is)<script(?:[ \\t\\r\\n][^>]*)?>.*?'
+                 || '</script[ \\t\\r\\n]*>', '', 'g'),
+                 '(?is)<style(?:[ \\t\\r\\n][^>]*)?>.*?'
+                 || '</style[ \\t\\r\\n]*>', '', 'g'),
+                 '(?s)<!--.*?-->', '', 'g'),
+                 '(?i)<a(?:[ \\t\\r\\n][^>]*)?>', chr(1), 'g'),
+                 '(?i)</a(?:[ \\t\\r\\n][^>]*)?>', chr(2), 'g'),
+             '{BLOCK_TAG_RE}') AS blocks
+           FROM hdoc),
+    hx AS (SELECT doc_id, u.i AS i0,
+                  regexp_replace(u.b, '<[^>]*>', '', 'g') AS s
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(blocks) + 1),
+                          i -> {{'i': i, 'b': blocks[i]}})) AS u
+                 FROM hb)),
+    hm AS (SELECT doc_id, i0,
+                  trim(regexp_replace({ent}, '[ \\t\\r\\n]+', ' ', 'g'))
+                    AS t
+           FROM hx),
+    hc AS (SELECT doc_id, i0, t,
+                  replace(replace(t, chr(1), ''), chr(2), '') AS clean
+           FROM hm),
+    hs AS (SELECT doc_id, i0, t, clean,
+                  CAST(length(clean) AS BIGINT) AS total_len,
+                  CAST(coalesce(list_sum(list_transform(
+                    range(2, len(string_split(t, chr(1))) + 1),
+                    i -> length(string_split(
+                           string_split(t, chr(1))[i], chr(2))[1]))), 0)
+                    AS BIGINT) AS anchor_len,
+                  list_filter(string_split(clean, ' '),
+                              x -> length(x) > 0) AS words
+           FROM hc WHERE length(clean) > 0),
+    hw AS (SELECT doc_id, i0, clean, total_len, anchor_len,
+                  CAST(len(words) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(words, x -> list_contains(
+                    [{stop}],
+                    regexp_replace(lower(x), '[.,!?;:]+$', ''))))
+                    AS BIGINT) AS n_stop
+           FROM hs)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i0) - 1
+                AS INT) AS block_idx,
+           clean AS text, total_len, anchor_len, n_words, n_stop,
+           (total_len >= {MIN_LEN}
+            AND 100 * anchor_len < {LINK_PCT} * total_len
+            AND (100 * n_stop >= {STOP_PCT} * n_words
+                 OR total_len >= {LONG_LEN})) AS keep
+    FROM hw ORDER BY doc_id, block_idx"""
+
+
 def q_ann_pq(spark, sf):
     """Product-quantization ANN (operators/pq.py, Jegou et al. 2011):
     train m=4 subspace codebooks with the all-BIGINT L2 Lloyd's (md5
@@ -2243,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets": q_aspect_buckets,
         "mixture_weights": q_mixture_weights,
         "ann_pq": q_ann_pq,
+        "boilerplate": q_boilerplate,
     }
 
 
@@ -3028,4 +3157,5 @@ def oracle_sql() -> dict[str, str]:
                    qq::DOUBLE / (SELECT SUM(qq) FROM q)::DOUBLE AS weight
             FROM q ORDER BY source""",
         "ann_pq": _ann_pq_sql(),
+        "boilerplate": _boilerplate_sql(),
     }
