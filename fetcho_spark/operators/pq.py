@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from .semdedup import _q, quantize_vec
 
 __all__ = ["pq_train", "pq_train_local", "pq_encode", "pq_adc_scan",
-           "pq_topk", "reconstruct_local"]
+           "pq_topk", "ann_topk_ivfpq", "reconstruct_local"]
 
 
 def _slice(qv: Column, sub: int, dsub: int) -> Column:
@@ -171,19 +171,54 @@ def pq_train_local(rows: list[tuple], dim: int, m: int = 4, ksub: int = 8,
 
 
 def pq_encode(corpus: DataFrame, codebooks: list[list[list[int]]],
-              vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
-    """(id, codes array<int>) — the compressed corpus representation, as a
-    zero-shuffle JVM projection against the broadcast literal codebooks.
-    At scale this is the build step: persist (id, codes) and let the float
-    vectors go cold."""
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              keep_cols: list[str] | None = None) -> DataFrame:
+    """(id[, keep_cols...], codes array<int>) — the compressed corpus
+    representation, as a zero-shuffle JVM projection against the
+    broadcast literal codebooks. At scale this is the build step:
+    persist (id, codes) and let the float vectors go cold.
+    ``keep_cols`` rides extra columns through (e.g. the IVF list id)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    staged = _staged(corpus, vec_col, id_col)
+    extra = [F.col(c) for c in (keep_cols or [])]
+    staged = corpus.select(F.col(id_col), *extra,
+                           quantize_vec(F.col(vec_col)).alias("_qv"))
     return staged.select(
-        F.col(id_col),
+        F.col(id_col), *extra,
         F.array(*[_assign_code(_slice(F.col("_qv"), s, dsub), codebooks[s])
                   for s in range(m)]).alias("codes"))
+
+
+def ann_topk_ivfpq(corpus: DataFrame, codebooks: list[list[list[int]]],
+                   query_vec: list[float], k: int = 10,
+                   n_list: int = 16, n_probes: int = 2, seed: int = 42,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   cents=None) -> DataFrame:
+    """IVF-PQ: the billion-scale composition — similarity.with_ivf_list
+    prunes the scan to the query's ``n_probes`` nearest coarse
+    centroids' inverted lists (partition pruning when the codes are
+    written partitioned by ``ivf_list``), then the ADC scan ranks the
+    surviving CODES; the float vectors are never touched at query time.
+    With ``n_probes == n_list`` this is exactly :func:`pq_topk` over the
+    whole corpus (the unit-test identity)."""
+    from .similarity import ivf_centroids, with_ivf_list
+    if cents is None:
+        cents = ivf_centroids(corpus, n_list, seed, vec_col, id_col)
+    # reuse ann_topk_ivf's centroid ranking for the probe list
+    ranked = sorted(
+        cents, key=lambda c: (
+            -(sum(x * y for x, y in zip(query_vec, c[1]))
+              / ((sum(x * x for x in query_vec) ** 0.5)
+                 * (sum(y * y for y in c[1]) ** 0.5) or 1.0)), c[0]))
+    probe_ids = [cid for cid, _ in ranked[:n_probes]]
+    listed = with_ivf_list(corpus, cents, vec_col)
+    codes = pq_encode(listed, codebooks, vec_col, id_col,
+                      keep_cols=["ivf_list"])
+    cand = codes.filter(F.col("ivf_list").isin(probe_ids)) \
+        .select(id_col, "codes")
+    return (pq_adc_scan(cand, codebooks, query_vec, id_col)
+            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            .limit(k))
 
 
 def adc_tables(codebooks: list[list[list[int]]],

@@ -122,6 +122,35 @@ def test_pq_plans_are_jvm_only(spark):
         assert "EvalPython" not in plan
 
 
+def test_ivfpq_all_probes_equals_pq(spark):
+    """IVF-PQ with n_probes == n_list scans every inverted list — must
+    return exactly pq_topk over the whole corpus."""
+    rows = _vecs(60)
+    df = _df(spark, rows)
+    books = PQ.pq_train(df, DIM, m=M, ksub=KSUB, iters=2)
+    q = rows[5][1]
+    full = [tuple(r) for r in PQ.pq_topk(df, books, q, k=8).collect()]
+    ivf = [tuple(r) for r in PQ.ann_topk_ivfpq(
+        df, books, q, k=8, n_list=4, n_probes=4).collect()]
+    assert ivf == full
+
+
+def test_ivfpq_probe_subset_is_subset(spark):
+    """Probing fewer lists returns results drawn from the full ADC
+    ranking (no new ids, distances identical per id)."""
+    rows = _vecs(60)
+    df = _df(spark, rows)
+    books = PQ.pq_train(df, DIM, m=M, ksub=KSUB, iters=2)
+    q = rows[5][1]
+    full = {r["vec_id"]: r["dist"]
+            for r in PQ.pq_topk(df, books, q, k=60).collect()}
+    sub = PQ.ann_topk_ivfpq(df, books, q, k=8, n_list=4,
+                            n_probes=1).collect()
+    assert 0 < len(sub) <= 8
+    for r in sub:
+        assert full[r["vec_id"]] == r["dist"]
+
+
 def test_pq_dim_must_divide(spark):
     with pytest.raises(AssertionError):
         PQ.pq_train(_df(spark, _vecs(10, dim=6)), 6, m=4)
