@@ -2009,6 +2009,117 @@ def q_mixture_weights(spark, sf):
             .orderBy("source"))
 
 
+_DQ_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
+_DQ_STR = ["l_returnflag", "l_linestatus"]
+_DQ_RULES = [("l_quantity", "completeness_pct_ge", 100),
+             ("l_quantity", "min_q_ge", 0),
+             ("l_extendedprice", "max_q_le", 200_000 * 1_000_000),
+             ("l_discount", "max_q_le", 1_000_000),
+             ("l_returnflag", "n_empty_eq", 0)]
+
+
+def q_dq_profile(spark, sf):
+    """Mergeable data-quality profile states (operators/dq.py, the
+    Deequ/ICDE-2019 differential-verification shape): one partial-agg
+    pass computes per-column counts/nulls/empties/min/max and
+    1e-6-grid-quantized sums (never a float accumulation), exploded to
+    the long (column, metric) state form that merges associatively
+    across appended snapshots."""
+    from fetcho_spark.operators.dq import profile
+    return (profile(_t(spark, sf, "lineitem"), _DQ_NUM, _DQ_STR)
+            .orderBy("column", "metric"))
+
+
+def q_dq_check(spark, sf):
+    """Constraint verification against the profile state: literal rules
+    broadcast-joined to the pivoted per-column metrics; every comparison
+    an integer cross-multiplication."""
+    from fetcho_spark.operators.dq import check, profile
+    prof = profile(_t(spark, sf, "lineitem"), _DQ_NUM, _DQ_STR)
+    return check(prof, _DQ_RULES).orderBy("column", "op")
+
+
+def _dq_q(c: str) -> str:
+    return f"CAST(floor({c} * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _dq_profile_cte() -> str:
+    aggs = ["count(*) AS n"]
+    for c in _DQ_NUM:
+        aggs += [f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                 f" AS null_{c}",
+                 f"min({_dq_q(c)}) AS min_{c}",
+                 f"max({_dq_q(c)}) AS max_{c}",
+                 f"CAST(sum({_dq_q(c)}) AS BIGINT) AS sum_{c}"]
+    for c in _DQ_STR:
+        aggs += [f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                 f" AS null_{c}",
+                 f"sum(CASE WHEN {c} = '' THEN 1 ELSE 0 END)"
+                 f" AS empty_{c}",
+                 f"min({c}) AS smin_{c}", f"max({c}) AS smax_{c}"]
+    rows = []
+    for c in _DQ_NUM:
+        for m, v in [("n_rows", "n"), ("n_null", f"null_{c}"),
+                     ("min_q", f"min_{c}"), ("max_q", f"max_{c}"),
+                     ("sum_q", f"sum_{c}")]:
+            rows.append(f"SELECT '{c}' AS \"column\", '{m}' AS metric, "
+                        f"CAST({v} AS BIGINT) AS value, "
+                        f"CAST(NULL AS VARCHAR) AS value_s FROM a")
+    for c in _DQ_STR:
+        for m, v, s in [("n_rows", "n", "NULL"),
+                        ("n_null", f"null_{c}", "NULL"),
+                        ("n_empty", f"empty_{c}", "NULL"),
+                        ("min_s", "NULL", f"smin_{c}"),
+                        ("max_s", "NULL", f"smax_{c}")]:
+            rows.append(f"SELECT '{c}', '{m}', CAST({v} AS BIGINT), "
+                        f"CAST({s} AS VARCHAR) FROM a")
+    return (f"a AS (SELECT {', '.join(aggs)} FROM lineitem),\n"
+            f"prof AS ({' UNION ALL '.join(rows)})")
+
+
+def _dq_profile_sql() -> str:
+    return f"""WITH {_dq_profile_cte()}
+        SELECT * FROM prof ORDER BY "column", metric"""
+
+
+def _dq_check_sql() -> str:
+    rules = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", '{op}' AS op, "
+        f"CAST({t} AS BIGINT) AS threshold" for c, op, t in _DQ_RULES)
+    return f"""WITH {_dq_profile_cte()},
+        wide AS (SELECT "column",
+                        max(CASE WHEN metric = 'n_rows' THEN value END)
+                          AS n_rows,
+                        max(CASE WHEN metric = 'n_null' THEN value END)
+                          AS n_null,
+                        max(CASE WHEN metric = 'n_empty' THEN value END)
+                          AS n_empty,
+                        max(CASE WHEN metric = 'min_q' THEN value END)
+                          AS min_q,
+                        max(CASE WHEN metric = 'max_q' THEN value END)
+                          AS max_q
+                 FROM prof GROUP BY "column"),
+        rules AS ({rules})
+        SELECT r."column", r.op, r.threshold,
+               CAST(CASE r.op
+                 WHEN 'completeness_pct_ge'
+                   THEN 100 * (w.n_rows - w.n_null)
+                 WHEN 'min_q_ge' THEN w.min_q
+                 WHEN 'max_q_le' THEN w.max_q
+                 WHEN 'n_empty_eq' THEN w.n_empty END AS BIGINT)
+                 AS observed,
+               coalesce(CASE r.op
+                 WHEN 'completeness_pct_ge'
+                   THEN 100 * (w.n_rows - w.n_null)
+                        >= r.threshold * w.n_rows
+                 WHEN 'min_q_ge' THEN w.min_q >= r.threshold
+                 WHEN 'max_q_le' THEN w.max_q <= r.threshold
+                 WHEN 'n_empty_eq' THEN w.n_empty = r.threshold END,
+                 FALSE) AS ok
+        FROM rules r LEFT JOIN wide w ON r."column" = w."column"
+        ORDER BY r."column", r.op"""
+
+
 def _htmlize(docs):
     # deterministic HTML view of the word-soup corpus: nav + heading +
     # stopword-rich paragraph + low-stopword soup + mod-gated list/short
@@ -2372,6 +2483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "ann_pq": q_ann_pq,
         "boilerplate": q_boilerplate,
+        "dq_profile": q_dq_profile,
+        "dq_check": q_dq_check,
     }
 
 
@@ -3158,4 +3271,6 @@ def oracle_sql() -> dict[str, str]:
             FROM q ORDER BY source""",
         "ann_pq": _ann_pq_sql(),
         "boilerplate": _boilerplate_sql(),
+        "dq_profile": _dq_profile_sql(),
+        "dq_check": _dq_check_sql(),
     }

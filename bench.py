@@ -78,7 +78,7 @@ EXTRAS = [
     "robots_parse", "cms_sketch", "cms_heavy", "dsir_sample",
     "sitemap_parse", "trap_suspect", "strip_tracking", "anchor_stats", "script_profile", "kmv_sketch",
     "recrawl_schedule", "hn_seeds", "reddit_seeds", "aspect_buckets",
-    "mixture_weights", "ann_pq", "boilerplate",
+    "mixture_weights", "ann_pq", "boilerplate", "dq_profile", "dq_check",
 ]
 
 
