@@ -2009,6 +2009,55 @@ def q_mixture_weights(spark, sf):
             .orderBy("source"))
 
 
+def q_asof_join(spark, sf):
+    """Distributed as-of join (operators/asof.py): for every click
+    event, the latest error event at-or-before it for the same user —
+    the single-shuffle union+window form. The twin is DuckDB's NATIVE
+    ASOF LEFT JOIN (an independent implementation of the semantics, not
+    a mirrored transcription); both engines pre-dedup right rows per
+    (user_id, ts) to the max event_id so equal-timestamp matches are
+    well-defined in both."""
+    from fetcho_spark.operators.asof import asof_join
+    ev = _t(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("click_id")))
+    err0 = (ev.filter(F.col("event_type") == "error")
+            .select("user_id", "ts", "event_id", "value"))
+    w = Window.partitionBy("user_id", "ts") \
+        .orderBy(F.col("event_id").desc())
+    err = (err0.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1).drop("_rn"))
+    out = asof_join(clicks, err, on="ts", by="user_id",
+                    right_cols=["event_id", "value"])
+    # unmatched err_ts -> epoch sentinel: the gate's value compare is
+    # representation-strict and NaT == NaT is false in both engines'
+    # pandas round-trip
+    return (out.select("user_id", "click_id", "ts",
+                       F.col("event_id_r").alias("err_id"),
+                       F.col("value_r").alias("err_value"),
+                       F.coalesce(F.col("ts_r"),
+                                  F.lit("1970-01-01 00:00:00")
+                                  .cast("timestamp")).alias("err_ts"))
+            .orderBy("user_id", "ts", "click_id"))
+
+
+_ASOF_SQL = """
+    WITH clicks AS (SELECT user_id, ts, event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+    err AS (SELECT user_id, ts, event_id, value FROM (
+              SELECT user_id, ts, event_id, value,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'error') WHERE rn = 1)
+    SELECT c.user_id, c.click_id, c.ts,
+           e.event_id AS err_id, e.value AS err_value,
+           coalesce(e.ts, TIMESTAMP '1970-01-01 00:00:00') AS err_ts
+    FROM clicks c ASOF LEFT JOIN err e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    ORDER BY c.user_id, c.ts, c.click_id"""
+
+
 _DQ_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
 _DQ_STR = ["l_returnflag", "l_linestatus"]
 _DQ_RULES = [("l_quantity", "completeness_pct_ge", 100),
@@ -2485,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "dq_profile": q_dq_profile,
         "dq_check": q_dq_check,
+        "asof_join": q_asof_join,
     }
 
 
@@ -3273,4 +3323,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate": _boilerplate_sql(),
         "dq_profile": _dq_profile_sql(),
         "dq_check": _dq_check_sql(),
+        "asof_join": _ASOF_SQL,
     }

@@ -1,0 +1,114 @@
+"""Distributed as-of join — the temporal operator Spark lacks.
+
+``asof_join(left, right)`` attaches to every left row the single right
+row with the greatest ``on`` value at-or-before it (backward; or the
+smallest at-or-after, forward) within the same ``by`` group — kdb's
+``aj``, pandas' ``merge_asof``, Flink's temporal join. The crawl-native
+uses: join each fetch to the robots snapshot in force at fetch time, a
+frontier decision to the latest host-state row, an event to the most
+recent error in its session (the gate query's shape).
+
+Implementation is the classic single-shuffle union trick — NOT a
+point-in-interval join (which Spark plans as a broadcast-nested-loop or
+a cartesian at scale):
+
+1. union the two sides with aligned schemas (right payload nulled on
+   left rows and vice versa), tagged ``_side`` (right = 0, left = 1);
+2. one window per ``by`` group ordered by ``(on, _side, tiebreak)``,
+   ``last(payload, ignorenulls=True)`` over UNBOUNDED PRECEDING..CURRENT
+   — each left row sees exactly the latest right row at-or-before it
+   (right sorts before left at equal ``on``, so the match is inclusive;
+   ``strict=True`` flips the tie order to exclude equal timestamps);
+3. keep the left rows.
+
+Scale shape: ONE shuffle of |left|+|right| rows on the ``by`` columns,
+then a sequential pass per group (the unavoidable order dependence of
+as-of semantics). A pathologically hot key serializes its own group —
+the standard trade every engine's as-of makes; split such keys upstream
+(session windows, time bucketing) if one group outgrows a task.
+
+Determinism: the window order must be TOTAL per group or equal-``on``
+right rows make the match partition-dependent — pass ``right_tiebreak``
+(e.g. an event id; the LARGEST wins) when right keys can collide on
+``on``. The gate twin is DuckDB's NATIVE ``ASOF JOIN`` — an independent
+implementation, not a mirrored transcription — with both engines
+pre-deduplicating right rows per (by, on) so the match is well-defined
+in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: list[str] | str = "user_id",
+              right_cols: list[str] | None = None,
+              direction: str = "backward", strict: bool = False,
+              suffix: str = "_r",
+              right_tiebreak: str | None = None,
+              tolerance=None) -> DataFrame:
+    """Left as-of join → every left row + the matched right row's
+    ``right_cols`` (and ``on``) with ``suffix``; unmatched rows keep
+    nulls. ``tolerance`` (same units as ``on`` casts to long — SECONDS
+    for timestamps, the value itself for numerics) voids matches
+    further than that from the left row."""
+    assert direction in ("backward", "forward")
+    by = [by] if isinstance(by, str) else list(by)
+    right_cols = list(right_cols or
+                      [c for c in right.columns
+                       if c not in by and c != on])
+    lcols = [c for c in left.columns if c not in by and c != on]
+
+    l_side = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_tiebreak].dataType
+                         if right_tiebreak else "long").alias("_tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"))
+    r_side = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_side"),
+        (F.col(right_tiebreak) if right_tiebreak
+         else F.lit(0).cast("long")).alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(on).alias("_r_on"))
+    u = l_side.unionByName(r_side)
+
+    asc = direction == "backward"
+    onk = F.col("_on").asc() if asc else F.col("_on").desc()
+    # inclusive: right (side 0) sorts before left at equal `on`;
+    # strict: left first, so an equal-`on` right row is not yet visible
+    sidek = (F.col("_side").desc() if strict else F.col("_side").asc())
+    w = (Window.partitionBy(*by)
+         .orderBy(onk, sidek, F.col("_tb").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    matched = u.select(
+        *by, "_on", "_side", *lcols,
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+          for c in right_cols],
+        F.last("_r_on", ignorenulls=True).over(w).alias(f"{on}{suffix}"))
+    out = (matched.filter(F.col("_side") == 1)
+           .drop("_side")
+           .withColumnRenamed("_on", on))
+    if tolerance is not None:
+        lo = F.col(on).cast("long")
+        ro = F.col(f"{on}{suffix}").cast("long")
+        gap = (lo - ro) if asc else (ro - lo)
+        bad = F.col(f"{on}{suffix}").isNotNull() & (gap > F.lit(tolerance))
+        for c in [*right_cols, on]:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(bad, F.lit(None)).otherwise(F.col(f"{c}{suffix}")))
+    return out

@@ -1,0 +1,97 @@
+"""As-of join (operators/asof.py): cross-checked against pandas
+merge_asof (an independent implementation), strict/forward/tolerance
+semantics, tie determinism, group isolation, partition invariance,
+single-shuffle plan."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fetcho_spark.operators.asof import asof_join
+
+pytestmark = [pytest.mark.spark]
+
+LEFT = [(k, t, f"L{k}-{t}") for k in (1, 2) for t in (5, 10, 20, 35)]
+RIGHT = [(1, 3, 100.0), (1, 10, 110.0), (1, 22, 120.0),
+         (2, 7, 200.0), (2, 30, 210.0), (3, 1, 300.0)]
+
+
+def _frames(spark, parts=3):
+    l = spark.createDataFrame(LEFT, "user_id long, ts long, tag string") \
+        .repartition(parts)
+    r = spark.createDataFrame(RIGHT, "user_id long, ts long, value double") \
+        .repartition(parts)
+    return l, r
+
+
+def _pandas_asof(direction="backward", strict=False, tolerance=None):
+    lp = pd.DataFrame(LEFT, columns=["user_id", "ts", "tag"]) \
+        .sort_values("ts")
+    rp = pd.DataFrame(RIGHT, columns=["user_id", "ts", "value"]) \
+        .sort_values("ts")
+    m = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                      direction=direction, suffixes=("", "_r"),
+                      allow_exact_matches=not strict,
+                      tolerance=tolerance)
+    return {(r.user_id, r.ts): (None if pd.isna(r.value) else r.value)
+            for r in m.itertuples()}
+
+
+def _spark_asof(spark, **kw):
+    l, r = _frames(spark)
+    got = asof_join(l, r, on="ts", by="user_id",
+                    right_cols=["value"], **kw).collect()
+    return {(r["user_id"], r["ts"]): r["value_r"] for r in got}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_matches_pandas_merge_asof(spark, direction, strict):
+    assert _spark_asof(spark, direction=direction, strict=strict) == \
+        _pandas_asof(direction=direction, strict=strict)
+
+
+def test_tolerance(spark):
+    assert _spark_asof(spark, tolerance=5) == _pandas_asof(tolerance=5)
+    # matched `on` is nulled together with the payload
+    l, r = _frames(spark)
+    row = {(x["user_id"], x["ts"]): x["ts_r"]
+           for x in asof_join(l, r, right_cols=["value"],
+                              tolerance=5).collect()}
+    assert row[(1, 35)] is None   # nearest error at 22, gap 13 > 5
+    assert row[(1, 10)] == 10
+
+
+def test_right_ties_break_on_tiebreak(spark):
+    l = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    r = spark.createDataFrame([(1, 10, 7, 1.0), (1, 10, 9, 2.0),
+                               (1, 10, 8, 3.0)],
+                              "user_id long, ts long, eid long, v double")
+    got = asof_join(l, r, right_cols=["v"], right_tiebreak="eid").head()
+    assert got["v_r"] == 2.0  # largest tiebreak (eid 9) wins
+
+
+def test_group_isolation_and_unmatched(spark):
+    got = _spark_asof(spark)
+    assert got[(2, 5)] is None          # user 2 has no error <= 5
+    assert got[(2, 10)] == 200.0        # never user 1's rows
+    assert got[(1, 5)] == 100.0
+
+
+def test_partition_invariance(spark):
+    l, r = _frames(spark, parts=1)
+    a = sorted(tuple(x) for x in asof_join(
+        l, r, right_cols=["value"]).collect())
+    l2, r2 = _frames(spark, parts=11)
+    b = sorted(tuple(x) for x in asof_join(
+        l2, r2, right_cols=["value"]).collect())
+    assert a == b
+
+
+def test_single_shuffle_plan(spark):
+    l, r = _frames(spark)
+    plan = asof_join(l, r, right_cols=["value"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
