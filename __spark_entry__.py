@@ -2058,6 +2058,44 @@ _ASOF_SQL = """
     ORDER BY c.user_id, c.ts, c.click_id"""
 
 
+def q_range_join(spark, sf):
+    """Bucketed interval join (operators/asof.py interval_join): every
+    (view, error) event pair for the same user within +/-60 s — the
+    equi-join-on-time-buckets shape that replaces the nested-loop plan
+    Spark gives a bare inequality join. The twin runs the same range
+    predicate through DuckDB's inequality-join machinery (IEJoin — an
+    independent join algorithm). Both engines compare floor epoch
+    SECONDS (the operator's documented long-cast semantics)."""
+    from fetcho_spark.operators.asof import interval_join
+    ev = _t(spark, sf, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("event_id").alias("view_id")))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", "ts", "event_id", "value"))
+    out = interval_join(views, errors, on="ts", by="user_id",
+                        lower=-60, upper=60,
+                        right_cols=["event_id", "value"])
+    return (out.select("user_id", "view_id", "ts",
+                       F.col("event_id_r").alias("err_id"),
+                       F.col("value_r").alias("err_value"),
+                       F.col("ts_r").alias("err_ts"))
+            .orderBy("user_id", "view_id", "err_id"))
+
+
+_RANGE_JOIN_SQL = """
+    WITH v AS (SELECT user_id, ts, event_id AS view_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events WHERE event_type = 'view'),
+    e AS (SELECT user_id, ts, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events WHERE event_type = 'error')
+    SELECT v.user_id, v.view_id, v.ts,
+           e.event_id AS err_id, e.value AS err_value, e.ts AS err_ts
+    FROM v JOIN e ON v.user_id = e.user_id
+      AND e.sec >= v.sec - 60 AND e.sec <= v.sec + 60
+    ORDER BY v.user_id, v.view_id, err_id"""
+
+
 _DQ_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
 _DQ_STR = ["l_returnflag", "l_linestatus"]
 _DQ_RULES = [("l_quantity", "completeness_pct_ge", 100),
@@ -2535,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_profile": q_dq_profile,
         "dq_check": q_dq_check,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -3324,4 +3363,5 @@ def oracle_sql() -> dict[str, str]:
         "dq_profile": _dq_profile_sql(),
         "dq_check": _dq_check_sql(),
         "asof_join": _ASOF_SQL,
+        "range_join": _RANGE_JOIN_SQL,
     }

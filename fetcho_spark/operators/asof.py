@@ -41,7 +41,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: str = "ts",
+                  by: list[str] | str = "user_id",
+                  lower: int = -60, upper: int = 60,
+                  right_cols: list[str] | None = None,
+                  suffix: str = "_r",
+                  bucket: int | None = None) -> DataFrame:
+    """Range join: every (left, right) pair in the same ``by`` group
+    with ``l.on + lower <= r.on <= l.on + upper`` (seconds for
+    timestamps — ``on`` is compared on its long cast; bounds inclusive).
+
+    The scale shape Spark lacks natively (a bare inequality join plans
+    as a broadcast-nested-loop / cartesian): right rows key by their
+    time bucket (``floor(t / bucket)``), left rows EXPLODE to the
+    ≤ ⌈(upper-lower)/bucket⌉+1 buckets their window spans, and the pair
+    space shrinks to an equi-join on (by, bucket) + an exact range
+    filter. A right row has ONE bucket and the left's exploded buckets
+    are distinct, so each matching pair appears exactly once — no
+    dedup pass. ``bucket`` defaults to the window width (one-ish extra
+    candidate bucket per row); a hot (by, bucket) cell is the usual
+    skew trade — narrow ``bucket`` to split it.
+    """
+    from pyspark.sql import types as T
+    by = [by] if isinstance(by, str) else list(by)
+    width = int(bucket if bucket is not None else max(upper - lower, 1))
+    right_cols = list(right_cols or
+                      [c for c in right.columns
+                       if c not in by and c != on])
+
+    def _secs(col, dtype):
+        # TIMESTAMP_NTZ refuses a long cast in Spark 4; unix_timestamp
+        # floors to epoch seconds for both timestamp flavors
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_timestamp(col)
+        return col.cast("long")
+
+    lt = _secs(F.col(on), left.schema[on].dataType)
+    l_b = left.withColumn(
+        "_bkt",
+        F.explode(F.sequence(
+            F.floor((lt + F.lit(lower)) / F.lit(width)).cast("long"),
+            F.floor((lt + F.lit(upper)) / F.lit(width)).cast("long"))))
+    r_b = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]) \
+        .withColumn("_bkt",
+                    F.floor(_secs(F.col(f"{on}{suffix}"),
+                                  right.schema[on].dataType)
+                            / F.lit(width)).cast("long"))
+    j = l_b.join(r_b, [*by, "_bkt"])
+    rt = _secs(F.col(f"{on}{suffix}"), right.schema[on].dataType)
+    return (j.filter((rt >= lt + F.lit(lower)) & (rt <= lt + F.lit(upper)))
+            .drop("_bkt"))
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
@@ -103,8 +158,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
            .drop("_side")
            .withColumnRenamed("_on", on))
     if tolerance is not None:
-        lo = F.col(on).cast("long")
-        ro = F.col(f"{on}{suffix}").cast("long")
+        from pyspark.sql import types as T
+        dt = left.schema[on].dataType
+
+        def _secs(col):
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return F.unix_timestamp(col)
+            return col.cast("long")
+
+        lo = _secs(F.col(on))
+        ro = _secs(F.col(f"{on}{suffix}"))
         gap = (lo - ro) if asc else (ro - lo)
         bad = F.col(f"{on}{suffix}").isNotNull() & (gap > F.lit(tolerance))
         for c in [*right_cols, on]:

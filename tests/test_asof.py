@@ -88,6 +88,48 @@ def test_partition_invariance(spark):
     assert a == b
 
 
+def _brute_interval(lower, upper):
+    out = set()
+    for (lk, lt, tag) in LEFT:
+        for (rk, rt, v) in RIGHT:
+            if lk == rk and lt + lower <= rt <= lt + upper:
+                out.add((lk, lt, rt, v))
+    return out
+
+
+@pytest.mark.parametrize("lower,upper", [(-5, 5), (0, 10), (-100, 0)])
+@pytest.mark.parametrize("bucket", [None, 3, 1000])
+def test_interval_join_equals_brute_force(spark, lower, upper, bucket):
+    from fetcho_spark.operators.asof import interval_join
+    l, r = _frames(spark)
+    got = {(x["user_id"], x["ts"], x["ts_r"], x["value_r"])
+           for x in interval_join(l, r, lower=lower, upper=upper,
+                                  right_cols=["value"],
+                                  bucket=bucket).collect()}
+    assert got == _brute_interval(lower, upper)
+
+
+def test_interval_join_pairs_unique_and_bounds_inclusive(spark):
+    from fetcho_spark.operators.asof import interval_join
+    l = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    r = spark.createDataFrame([(1, 5, 1.0), (1, 15, 2.0), (1, 16, 3.0),
+                               (1, 4, 4.0)],
+                              "user_id long, ts long, v double")
+    rows = interval_join(l, r, lower=-5, upper=5, right_cols=["v"],
+                         bucket=2).collect()
+    assert sorted(x["v_r"] for x in rows) == [1.0, 2.0]  # 4 and 16 excluded
+    assert len(rows) == len({(x["ts"], x["ts_r"]) for x in rows})
+
+
+def test_interval_join_plan_no_cartesian(spark):
+    from fetcho_spark.operators.asof import interval_join
+    l, r = _frames(spark)
+    plan = interval_join(l, r, right_cols=["value"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_single_shuffle_plan(spark):
     l, r = _frames(spark)
     plan = asof_join(l, r, right_cols=["value"]) \
