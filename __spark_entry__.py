@@ -2058,6 +2058,64 @@ _ASOF_SQL = """
     ORDER BY c.user_id, c.ts, c.click_id"""
 
 
+# unicode test snippets built with chr() (never typed literally): composed
+# / decomposed accents, Hangul LV jamo, angstrom compatibility point, a
+# composition EXCLUSION (stays decomposed under NFC), multi-combining-mark
+# canonical reordering, plain ascii
+_NFC_SNIPPETS = [
+    "e" + chr(0x301),
+    chr(0xE9),
+    chr(0x1100) + chr(0x1161),
+    chr(0x212B),
+    chr(0x0915) + chr(0x093C),
+    "a" + chr(0x300) + chr(0x316),
+    "plain ascii",
+]
+
+
+def q_nfc_normalize(spark, sf):
+    """Unicode NFC normalization (functions/text.nfc_normalize, the
+    Arrow-batched slow path): each doc's text gets a doc_id-selected
+    unicode snippet injected, then normalizes. The twin injects the
+    SAME snippets (escapes generated from the same Python list) and
+    normalizes with DuckDB's utf8proc — two independent Unicode
+    implementations hash-matching byte-for-byte."""
+    from fetcho_spark.functions.text import nfc_normalize
+    docs = _t(spark, sf, "documents")
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in _NFC_SNIPPETS]),
+        (F.col("doc_id") % len(_NFC_SNIPPETS)).cast("int") + 1)
+    raw = F.concat(F.substring("text", 1, 40), F.lit(" "), snip,
+                   F.lit(" x"), snip)
+    staged = docs.select("doc_id", raw.alias("raw"))
+    n = nfc_normalize(F.col("raw"))
+    return (staged.select("doc_id", n.alias("text_nfc"),
+                          (n != F.col("raw")).alias("changed"))
+            .orderBy("doc_id"))
+
+
+def _nfc_sql() -> str:
+    def esc(s: str) -> str:
+        # DuckDB e-strings lack \\uXXXX — build non-ASCII via chr()
+        parts = ["".join(["'", c, "'"]) if " " <= c <= "~" and c != "'"
+                 else f"chr({ord(c)})" for c in s]
+        return "(" + " || ".join(parts) + ")"
+    whens = " ".join(
+        f"WHEN {i} THEN {esc(s)}"
+        for i, s in enumerate(_NFC_SNIPPETS))
+    return f"""
+    WITH s AS (SELECT doc_id,
+                 substring(text, 1, 40) || ' '
+                 || (CASE doc_id % {len(_NFC_SNIPPETS)} {whens} END)
+                 || ' x'
+                 || (CASE doc_id % {len(_NFC_SNIPPETS)} {whens} END)
+                 AS raw
+               FROM documents)
+    SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+           nfc_normalize(raw) <> raw AS changed
+    FROM s ORDER BY doc_id"""
+
+
 def q_range_join(spark, sf):
     """Bucketed interval join (operators/asof.py interval_join): every
     (view, error) event pair for the same user within +/-60 s — the
@@ -2574,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_check": q_dq_check,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "nfc_normalize": q_nfc_normalize,
     }
 
 
@@ -3364,4 +3423,5 @@ def oracle_sql() -> dict[str, str]:
         "dq_check": _dq_check_sql(),
         "asof_join": _ASOF_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "nfc_normalize": _nfc_sql(),
     }

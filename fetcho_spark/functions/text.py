@@ -85,3 +85,31 @@ def guess_content_type(binary_col: Column) -> Column:
     for key, ctype in _MAGIC_HEX:
         expr = F.when(head.startswith(key), F.lit(ctype)).otherwise(expr)
     return expr
+
+
+# --------------------------------------------------- Unicode normalization
+
+def nfc_normalize(col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization of a string column (default NFC — the form
+    web text should be deduped and fingerprinted in: composed vs
+    decomposed accents are byte-different but canonically equal, so an
+    unnormalized corpus under-dedupes and over-counts vocabulary).
+
+    This is an Arrow-batched Python crossing (the canonicalizer-slow-
+    path trade): Spark SQL exposes no normalizer builtin and
+    java.text.Normalizer needs a JVM UDF PySpark can't register.
+    Per-batch cost is one C-level ``unicodedata.normalize`` per row;
+    ASCII-only batches short-circuit inside CPython. The correctness
+    gate checks this implementation against DuckDB's utf8proc
+    ``nfc_normalize`` — two INDEPENDENT Unicode implementations
+    agreeing byte-for-byte (incl. composition exclusions, Hangul
+    composition, multi-combining-mark reordering)."""
+    assert form in ("NFC", "NFD", "NFKC", "NFKD")
+
+    @F.pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize(form, v))
+
+    return _norm(col)
