@@ -2058,6 +2058,47 @@ _ASOF_SQL = """
     ORDER BY c.user_id, c.ts, c.click_id"""
 
 
+def q_hashed_tfidf(spark, sf):
+    """Hashed TF-IDF vectors (operators/vectorize.py): shared tokenizer
+    + dsir md5 buckets + rank_docs integer idf, max-normalized by ONE
+    IEEE division — the text → embedding bridge, hash-checked at the
+    nonzero-component level (raw BIGINT weights AND normalized
+    doubles)."""
+    from fetcho_spark.operators.vectorize import hashed_tfidf
+    out = hashed_tfidf(_t(spark, sf, "documents"), dim=64)
+    z = out.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("vec_raw", "vec")).alias("bucket", "s"))
+    return (z.select("doc_id", "bucket",
+                     F.col("s.vec_raw").alias("w_raw"),
+                     F.col("s.vec").alias("w_norm"))
+            .filter(F.col("w_raw") > 0)
+            .orderBy("doc_id", "bucket"))
+
+
+_HASHED_TFIDF_SQL = """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    t AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(u), 1, 12))::BIGINT % 64
+                      AS INT) AS bucket
+          FROM (SELECT doc_id, unnest(w) AS u FROM words)),
+    tf AS (SELECT doc_id, bucket, count(*) AS tf FROM t GROUP BY 1, 2),
+    dfb AS (SELECT bucket, count(*) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM documents),
+    w AS (SELECT doc_id, bucket,
+                 tf * ((1000000 * (SELECT n FROM nn)) // df) AS w_raw
+          FROM tf JOIN dfb USING (bucket)),
+    m AS (SELECT doc_id, max(w_raw) AS m FROM w GROUP BY doc_id)
+    SELECT w.doc_id, w.bucket, CAST(w.w_raw AS BIGINT) AS w_raw,
+           CAST(w.w_raw AS DOUBLE) / CAST(m.m AS DOUBLE) AS w_norm
+    FROM w JOIN m USING (doc_id)
+    ORDER BY doc_id, bucket"""
+
+
 # unicode test snippets built with chr() (never typed literally): composed
 # / decomposed accents, Hangul LV jamo, angstrom compatibility point, a
 # composition EXCLUSION (stays decomposed under NFC), multi-combining-mark
@@ -2633,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "nfc_normalize": q_nfc_normalize,
+        "hashed_tfidf": q_hashed_tfidf,
     }
 
 
@@ -3424,4 +3466,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_SQL,
         "range_join": _RANGE_JOIN_SQL,
         "nfc_normalize": _nfc_sql(),
+        "hashed_tfidf": _HASHED_TFIDF_SQL,
     }

@@ -79,7 +79,7 @@ EXTRAS = [
     "sitemap_parse", "trap_suspect", "strip_tracking", "anchor_stats", "script_profile", "kmv_sketch",
     "recrawl_schedule", "hn_seeds", "reddit_seeds", "aspect_buckets",
     "mixture_weights", "ann_pq", "boilerplate", "dq_profile", "dq_check",
-    "asof_join", "range_join", "nfc_normalize",
+    "asof_join", "range_join", "nfc_normalize", "hashed_tfidf",
 ]
 
 
