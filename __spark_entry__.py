@@ -2058,6 +2058,34 @@ _ASOF_SQL = """
     ORDER BY c.user_id, c.ts, c.click_id"""
 
 
+def q_hll_by_group(spark, sf):
+    """Grouped HLL: one distinct-user sketch per event_type (the
+    distinct-URLs-per-host shape) — |groups| x <=2^p register rows from
+    ONE partial-agg shuffle; a grouped exact distinct would shuffle the
+    raw keys instead."""
+    from fetcho_spark.operators.stats import hll_registers
+    return (hll_registers(_t(spark, sf, "events"), "user_id",
+                          by=["event_type"])
+            .orderBy("event_type", "register"))
+
+
+_HLL_BY_GROUP_SQL = """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+               ::BIGINT AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h >> 38 AS register,
+             (h >> 6) & 4294967295 AS w
+      FROM h)
+    SELECT event_type, register,
+           CAST(max(CASE WHEN w = 0 THEN 33
+                    ELSE 33 - length(bin(w)) END) AS INT) AS max_rho
+    FROM r GROUP BY event_type, register
+    ORDER BY event_type, register"""
+
+
 def q_hashed_tfidf(spark, sf):
     """Hashed TF-IDF vectors (operators/vectorize.py): shared tokenizer
     + dsir md5 buckets + rank_docs integer idf, max-normalized by ONE
@@ -2675,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "nfc_normalize": q_nfc_normalize,
         "hashed_tfidf": q_hashed_tfidf,
+        "hll_by_group": q_hll_by_group,
     }
 
 
@@ -3467,4 +3496,5 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _RANGE_JOIN_SQL,
         "nfc_normalize": _nfc_sql(),
         "hashed_tfidf": _HASHED_TFIDF_SQL,
+        "hll_by_group": _HLL_BY_GROUP_SQL,
     }

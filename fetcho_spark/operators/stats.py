@@ -47,9 +47,13 @@ def exact_quantiles(df: DataFrame, value_col: str, key_col: str,
             .orderBy("pct"))
 
 
-def hll_registers(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
+def hll_registers(df: DataFrame, key_col: str, p: int = 10,
+                  by: list[str] | None = None) -> DataFrame:
     """HyperLogLog register table → ``(register, max_rho)`` — the
-    mergeable distinct-count sketch as DATA, not a binary blob.
+    mergeable distinct-count sketch as DATA, not a binary blob. With
+    ``by``, one sketch per group → ``(*by, register, max_rho)`` (the
+    distinct-URLs-per-host shape: ≤ |groups|·2^p rows, one partial-agg
+    shuffle — a grouped exact distinct would shuffle the raw keys).
 
     The hash is md5 (the repo's cross-engine hash): the top ``p`` bits
     of the first 48 hash bits pick the register, the next 32 bits feed
@@ -73,8 +77,12 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
     w = F.shiftright(tail, 48 - p - 32).bitwiseAND(F.lit((1 << 32) - 1))
     rho = F.when(w == 0, F.lit(33)).otherwise(
         33 - F.length(F.conv(w, 10, 2))).cast("int")
-    return (df.select(reg.alias("register"), rho.alias("rho"))
-            .groupBy("register").agg(F.max("rho").alias("max_rho")))
+    from pyspark.sql import functions as _F
+    grp = list(by or [])
+    return (df.select(*[_F.col(c) for c in grp],
+                      reg.alias("register"), rho.alias("rho"))
+            .groupBy(*grp, "register")
+            .agg(F.max("rho").alias("max_rho")))
 
 
 def hll_estimate(registers: list[tuple], p: int = 10) -> float:

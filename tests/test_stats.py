@@ -215,3 +215,20 @@ def test_kmv_sketch_reference_merge_and_estimate(spark):
     small = spark.createDataFrame([("a",), ("b",)], ["k"])
     rows = [tuple(r) for r in kmv_sketch(small, "k", K).collect()]
     assert kmv_estimate(rows, K) == 2.0
+
+
+def test_hll_grouped_equals_per_group_sketches(spark):
+    """A grouped sketch row set is exactly the union of the per-group
+    sketches built separately — grouping changes the shuffle shape,
+    never the registers."""
+    from fetcho_spark.operators.stats import hll_registers
+    rows = [(f"g{i % 3}", f"u{i % 57}") for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    grouped = sorted(tuple(r) for r in
+                     hll_registers(df, "uid", by=["grp"]).collect())
+    separate = []
+    for g in ("g0", "g1", "g2"):
+        for r in hll_registers(df.filter(df.grp == g),
+                               "uid").collect():
+            separate.append((g, r["register"], r["max_rho"]))
+    assert grouped == sorted(separate)
