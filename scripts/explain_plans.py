@@ -37,6 +37,16 @@ CHECKS = {
     # pack_sequences' RangePartitioning is hidden behind the pinning
     # localCheckpoint (LogicalRDD leaf) — asserted structurally by its
     # partition-invariance unit test instead
+    # round-4 session-3 additions
+    "hll_by_group": ["HashAggregate"],        # |groups| x <=2^p cells
+    "dq_profile": ["SortAggregate"],          # ONE pass (string min/max
+                                              # forces the sort-based agg)
+    "dq_check": ["BroadcastHashJoin"],        # literal rules broadcast
+    "asof_join": ["Window"],                  # one per-group window pass
+    "range_join": ["BroadcastHashJoin"],      # bucket equi-join (small
+                                              # side broadcasts at test SF;
+                                              # SMJ at scale) — never NL
+    "hashed_tfidf": ["BroadcastHashJoin"],    # <=dim-row idf dim join
 }
 
 
