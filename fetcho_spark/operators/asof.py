@@ -67,6 +67,7 @@ def interval_join(left: DataFrame, right: DataFrame, on: str = "ts",
     """
     from pyspark.sql import types as T
     by = [by] if isinstance(by, str) else list(by)
+    assert bucket is None or bucket > 0, "bucket must be positive"
     width = int(bucket if bucket is not None else max(upper - lower, 1))
     right_cols = list(right_cols or
                       [c for c in right.columns
@@ -113,6 +114,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     further than that from the left row."""
     assert direction in ("backward", "forward")
     by = [by] if isinstance(by, str) else list(by)
+    reserved = {"_on", "_side", "_tb"}
+    clash = (reserved & set(left.columns)) | (reserved & set(right.columns))
+    assert not clash, f"input columns collide with internals: {clash}"
     right_cols = list(right_cols or
                       [c for c in right.columns
                        if c not in by and c != on])

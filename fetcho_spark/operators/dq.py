@@ -144,8 +144,11 @@ def check(profile_df: DataFrame, rules: list[tuple]) -> DataFrame:
         if op not in RULE_OPS:
             raise ValueError(f"unknown rule op: {op}")
     spark = profile_df.sparkSession
+    # explicit pivot values: the metric vocabulary is closed (defined by
+    # profile()), and naming it avoids the eager distinct-values job
     wide = (profile_df.groupBy("column")
-            .pivot("metric")
+            .pivot("metric", ["n_rows", "n_null", "n_empty",
+                              "min_q", "max_q", "sum_q"])
             .agg(F.first("value")))
     rdf = spark.createDataFrame(
         [(c, op, int(t)) for c, op, t in rules],

@@ -48,7 +48,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .semdedup import _q, quantize_vec
+from .semdedup import _dot_q, _q, quantize_vec
 
 __all__ = ["pq_train", "pq_train_local", "pq_encode", "pq_adc_scan",
            "pq_topk", "ann_topk_ivfpq", "reconstruct_local"]
@@ -68,8 +68,7 @@ def _l2_key(sv: Column, cv: list[int]) -> Column:
     """Exact-BIGINT argmin key for ``||sv - cv||^2``: norm2(cv) - 2*dot
     (the row's own norm2 is constant across centroids and drops out)."""
     n2 = sum(v * v for v in cv)
-    dot = F.aggregate(F.zip_with(sv, _lit_vec(cv), lambda x, y: x * y),
-                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    dot = _dot_q(sv, _lit_vec(cv))
     return F.lit(n2).cast("long") - F.lit(2).cast("long") * dot
 
 
@@ -112,6 +111,8 @@ def pq_train(corpus: DataFrame, dim: int, m: int = 4, ksub: int = 8,
                  .limit(ksub)
                  .select("_qv")
                  .collect())
+    assert len(init_rows) >= ksub, \
+        f"corpus has {len(init_rows)} rows < ksub={ksub}"
     books = [[[int(v) for v in r["_qv"][s * dsub:(s + 1) * dsub]]
               for r in init_rows] for s in range(m)]
 
@@ -147,6 +148,7 @@ def pq_train_local(rows: list[tuple], dim: int, m: int = 4, ksub: int = 8,
     the unit-test twin. ``rows`` = [(id, [float])]."""
     import math
     dsub = dim // m
+    assert len(rows) >= ksub, f"corpus has {len(rows)} rows < ksub={ksub}"
     qrows = [(i, [_q(x) for x in v]) for i, v in rows]
     ranked = sorted(qrows, key=lambda r: (
         hashlib.md5(f"{r[0]}:pq:{seed}".encode()).hexdigest(), r[0]))
@@ -193,7 +195,7 @@ def ann_topk_ivfpq(corpus: DataFrame, codebooks: list[list[list[int]]],
                    query_vec: list[float], k: int = 10,
                    n_list: int = 16, n_probes: int = 2, seed: int = 42,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   cents=None) -> DataFrame:
+                   cents=None, codes: DataFrame | None = None) -> DataFrame:
     """IVF-PQ: the billion-scale composition — similarity.with_ivf_list
     prunes the scan to the query's ``n_probes`` nearest coarse
     centroids' inverted lists (partition pruning when the codes are
@@ -211,9 +213,13 @@ def ann_topk_ivfpq(corpus: DataFrame, codebooks: list[list[list[int]]],
               / ((sum(x * x for x in query_vec) ** 0.5)
                  * (sum(y * y for y in c[1]) ** 0.5) or 1.0)), c[0]))
     probe_ids = [cid for cid, _ in ranked[:n_probes]]
-    listed = with_ivf_list(corpus, cents, vec_col)
-    codes = pq_encode(listed, codebooks, vec_col, id_col,
-                      keep_cols=["ivf_list"])
+    if codes is None:
+        # build-on-the-fly path; at scale, pre-encode ONCE (pq_encode
+        # with keep_cols=["ivf_list"], written partitioned by ivf_list)
+        # and pass `codes` so queries never touch the float vectors
+        listed = with_ivf_list(corpus, cents, vec_col)
+        codes = pq_encode(listed, codebooks, vec_col, id_col,
+                          keep_cols=["ivf_list"])
     cand = codes.filter(F.col("ivf_list").isin(probe_ids)) \
         .select(id_col, "codes")
     return (pq_adc_scan(cand, codebooks, query_vec, id_col)

@@ -77,9 +77,8 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 10,
     w = F.shiftright(tail, 48 - p - 32).bitwiseAND(F.lit((1 << 32) - 1))
     rho = F.when(w == 0, F.lit(33)).otherwise(
         33 - F.length(F.conv(w, 10, 2))).cast("int")
-    from pyspark.sql import functions as _F
     grp = list(by or [])
-    return (df.select(*[_F.col(c) for c in grp],
+    return (df.select(*[F.col(c) for c in grp],
                       reg.alias("register"), rho.alias("rho"))
             .groupBy(*grp, "register")
             .agg(F.max("rho").alias("max_rho")))

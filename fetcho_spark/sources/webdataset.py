@@ -81,7 +81,10 @@ def write_webdataset(df: DataFrame, out_dir: str,
     md5). ``exts`` maps tar member extension → source column (string
     columns are UTF-8 encoded, binary pass through, null → empty member;
     iteration order of the dict = member order within a sample, so pass
-    it in the order the loader expects)."""
+    it in the order the loader expects). The write is EAGER — the shard
+    job runs before this returns (the manifest is tiny; returning a lazy
+    plan would mean a caller who drops the return value writes
+    nothing)."""
     ext_items = list(exts.items())
     from ..operators.priority import with_global_seq
     staged = df.select(
@@ -111,7 +114,9 @@ def write_webdataset(df: DataFrame, out_dir: str,
             tar.close()
             data = buf.getvalue()
             path = os.path.join(out_dir, name_fmt.format(sid))
-            tmp = path + ".tmp"
+            # attempt-unique tmp name: concurrent attempts of the same
+            # task (speculation / zombie retry) must not share an inode
+            tmp = f"{path}.tmp-{os.getpid()}"
             with open(tmp, "wb") as fh:
                 fh.write(data)
             os.replace(tmp, path)
@@ -150,7 +155,11 @@ def write_webdataset(df: DataFrame, out_dir: str,
         if out:
             yield pd.DataFrame(out)
 
-    return sharded.mapInPandas(_write, schema=_MANIFEST_SCHEMA)
+    spark = df.sparkSession
+    manifest_rows = [tuple(r) for r in
+                     sharded.mapInPandas(_write,
+                                         schema=_MANIFEST_SCHEMA).collect()]
+    return spark.createDataFrame(manifest_rows, _MANIFEST_SCHEMA)
 
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:

@@ -137,3 +137,13 @@ def test_single_shuffle_plan(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_guards(spark):
+    from fetcho_spark.operators.asof import interval_join
+    l, r = _frames(spark)
+    with pytest.raises(AssertionError):
+        interval_join(l, r, right_cols=["value"], bucket=0)
+    with pytest.raises(AssertionError):
+        asof_join(l.withColumn("_side", F.lit(1)), r,
+                  right_cols=["value"])

@@ -187,3 +187,31 @@ def test_ivfpq_codes_partition_pruning(spark, tmp_path):
 def test_pq_dim_must_divide(spark):
     with pytest.raises(AssertionError):
         PQ.pq_train(_df(spark, _vecs(10, dim=6)), 6, m=4)
+
+
+def test_pq_train_requires_ksub_rows(spark):
+    with pytest.raises(AssertionError):
+        PQ.pq_train(_df(spark, _vecs(3)), DIM, m=M, ksub=8)
+    with pytest.raises(AssertionError):
+        PQ.pq_train_local(_vecs(3), DIM, m=M, ksub=8)
+
+
+def test_ivfpq_precoded_codes_equals_on_the_fly(spark):
+    """The scale path: pass pre-encoded (id, ivf_list, codes) so the
+    query never touches float vectors — identical to the build-on-the-
+    fly path."""
+    from fetcho_spark.operators.similarity import (ivf_centroids,
+                                                   with_ivf_list)
+    rows = _vecs(50)
+    df = _df(spark, rows)
+    books = PQ.pq_train(df, DIM, m=M, ksub=KSUB, iters=1)
+    cents = ivf_centroids(df, n_list=4)
+    pre = PQ.pq_encode(with_ivf_list(df, cents), books,
+                       keep_cols=["ivf_list"])
+    q = rows[2][1]
+    a = [tuple(r) for r in PQ.ann_topk_ivfpq(
+        df, books, q, k=6, n_list=4, n_probes=2, cents=cents).collect()]
+    b = [tuple(r) for r in PQ.ann_topk_ivfpq(
+        df, books, q, k=6, n_list=4, n_probes=2, cents=cents,
+        codes=pre).collect()]
+    assert a == b

@@ -111,3 +111,13 @@ def test_null_and_binary_payloads(spark):
         rows = {r["ext"]: bytes(r["payload"])
                 for r in read_webdataset(spark, out).collect()}
         assert rows == {"txt": b"", "img": b"", "json": b"x"}
+
+
+def test_write_is_eager(spark):
+    """Dropping the returned manifest must still produce shards on disk
+    (the review-found lazy-side-effect hazard)."""
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "shards")
+        write_webdataset(_df(spark, n=5), out, EXTS, shard_size=8)
+        tars = [f for f in os.listdir(out) if f.endswith(".tar")]
+        assert tars, "write_webdataset must not require materialization"
