@@ -114,3 +114,45 @@ def test_all_null_increment_merges(spark):
         _df(spark, ROWS_A + [(9, None, None, None)]), NUM, STR))
     assert merged == whole
     assert merged[("qty", "min_q")][0] == 1_500_000  # null min ignored
+
+
+def test_streaming_incremental_profile(spark):
+    """Streaming form of the differential loop: profile each micro-batch
+    in foreachBatch and fold it into a running state with
+    merge_profiles — after the stream drains, the folded state equals
+    the batch profile of everything that flowed through (mergeability
+    is exactly what makes per-batch verification sound)."""
+    import os
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="dqstream-src-")
+    ckpt = tempfile.mkdtemp(prefix="dqstream-ckpt-")
+    schema = "id long, qty double, price double, flag string"
+    try:
+        for i, rows in enumerate([ROWS_A, ROWS_B]):
+            (spark.createDataFrame(rows, schema)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(src, f"b{i}")))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/b*"))
+        state = {"df": None, "batches": 0}
+
+        def fold(batch_df, batch_id):
+            prof = dq.profile(batch_df, NUM, STR)
+            state["df"] = prof if state["df"] is None else \
+                dq.merge_profiles(state["df"], prof)
+            # materialize now: batch_df is only valid inside the hook
+            state["df"] = state["df"].localCheckpoint(eager=True)
+            state["batches"] += 1
+
+        q = (stream.writeStream.foreachBatch(fold)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert state["batches"] == 2
+        whole = dq.profile(_df(spark, ROWS_A + ROWS_B), NUM, STR)
+        assert _m(state["df"]) == _m(whole)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
