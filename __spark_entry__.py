@@ -2471,16 +2471,24 @@ def q_ann_pq(spark, sf):
     codebooks as fully-unrolled SQL CTEs — codes AND distances
     hash-match end to end, so the distributed fit, the encoder and the
     ADC tables all compute the identical integer function."""
-    from fetcho_spark.operators.pq import pq_adc_scan, pq_encode, pq_train
+    from fetcho_spark.operators.pq import adc_tables, pq_encode, pq_train
     emb = _t(spark, sf, "embeddings")
     books = pq_train(emb, dim=64, m=4, ksub=8, iters=2)
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).head()["embedding"]]
     codes = pq_encode(emb, books)
-    scan = pq_adc_scan(codes, books, qvec)
-    return (codes.join(scan, "vec_id")
-            .select("vec_id",
-                    F.concat_ws(",", "codes").alias("codes_str"), "dist")
+    # dist projected straight off the codes column — joining a separate
+    # ADC scan of the same frame would re-run the whole encode subtree
+    luts = adc_tables(books, qvec)
+    dist = None
+    for s, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(int(v)).cast("long") for v in lut]),
+            F.col("codes")[s].cast("int") + F.lit(1))
+        dist = term if dist is None else dist + term
+    return (codes.select("vec_id",
+                         F.concat_ws(",", "codes").alias("codes_str"),
+                         dist.alias("dist"))
             .orderBy("vec_id"))
 
 
