@@ -328,6 +328,22 @@ def q_dedup_exact(spark, sf):
     return exact_dedup_groups(docs).orderBy("fp")
 
 
+def q_dedup_best(spark, sf):
+    """Quality-aware exact-dedup survivor (dedup.exact_dedup_best): per
+    fingerprint keep the highest-scoring duplicate, ties to the lowest
+    id — the survivor rule real pipelines want. Score here is a
+    deterministic md5-derived pseudo-quality so the rule diverges from
+    min-id non-vacuously (exact dups share text, hence any text-derived
+    score would tie)."""
+    from fetcho_spark.operators.dedup import exact_dedup_best
+    docs = _t(spark, sf, "documents")
+    score = (F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":q"))), 1, 6), 16, 10)
+        .cast("long") % 1000)
+    return (exact_dedup_best(docs.withColumn("score", score), "score")
+            .orderBy("fp"))
+
+
 def q_minhash_sig(spark, sf):
     from fetcho_spark.operators.dedup import minhash_signatures
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
@@ -2712,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "hashed_tfidf": q_hashed_tfidf,
         "hll_by_group": q_hll_by_group,
+        "dedup_best": q_dedup_best,
     }
 
 
@@ -2918,6 +2935,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
             FROM (SELECT doc_id, {fp} AS fp FROM documents)
             GROUP BY fp ORDER BY fp""",
+        # dedup_best: highest md5-derived pseudo-quality survivor, ties
+        # to lowest id (window rn=1 — DuckDB's arg_max breaks ties
+        # nondeterministically)
+        "dedup_best": f"""
+            WITH s AS (SELECT doc_id, {fp} AS fp,
+                              ('0x' || substr(md5(doc_id || ':q'), 1, 6))
+                                ::BIGINT % 1000 AS score
+                       FROM documents),
+            r AS (SELECT fp, doc_id, score,
+                         row_number() OVER (PARTITION BY fp
+                           ORDER BY score DESC, doc_id ASC) AS rn
+                  FROM s),
+            g AS (SELECT fp, CAST(max(score) AS BIGINT) AS best_score,
+                         count(*) AS n_docs
+                  FROM s GROUP BY fp)
+            SELECT g.fp, r.doc_id AS keep_id, g.best_score, g.n_docs
+            FROM g JOIN r ON g.fp = r.fp AND r.rn = 1
+            ORDER BY g.fp""",
         # dedup_against: same signature/band arithmetic as minhash_sig;
         # string_agg ORDER BY the 'i:mh' string == Spark's array_sort
         "dedup_against": f"""

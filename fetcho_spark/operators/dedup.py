@@ -44,6 +44,25 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
             .select("fp", "keep_id", "n_docs"))
 
 
+def exact_dedup_best(df: DataFrame, score_col: str,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware exact dedup: per fingerprint keep the HIGHEST-score
+    row (ties → lowest id) — real pipelines keep the best duplicate
+    (cleanest fetch, longest extraction), not the lowest id. Same
+    one-shuffle shape as :func:`exact_dedup_groups`; the survivor is a
+    ``max_by`` over an orderable (score, −id) struct, so it partial-
+    aggregates map-side like any max."""
+    ordk = F.struct(F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("ni"))
+    return (df.select(F.col(id_col), F.col(score_col),
+                      fingerprint(F.col(text_col)).alias("fp"))
+            .groupBy("fp")
+            .agg(F.max_by(F.col(id_col), ordk).alias("keep_id"),
+                 F.max(score_col).alias("best_score"),
+                 F.count("*").alias("n_docs")))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 12,
                        shingle_n: int = 3) -> DataFrame:

@@ -646,3 +646,20 @@ def test_mixture_weights_temperature(spark):
     assert abs(r1 - 16.0) < 1e-3, r1
     # n_tokens exact
     assert rows["s0"]["n_tokens"] == 10 * 10
+
+
+@pytest.mark.spark
+def test_exact_dedup_best_survivor(spark):
+    """Quality-aware survivor: highest score wins within a fingerprint
+    group, ties break to the lowest id — and the choice diverges from
+    exact_dedup_groups' min-id rule when a later dup scores higher."""
+    scored = _docs(spark).withColumn(
+        "score", F.element_at(
+            F.array(*[F.lit(v) for v in [10, 50, 50, 7, 9, 1]]),
+            F.col("doc_id").cast("int")))
+    out = {r["keep_id"]: (r["best_score"], r["n_docs"])
+           for r in D.exact_dedup_best(scored, "score").collect()}
+    # group {1,2,3}: scores 10/50/50 -> 2 and 3 tie at 50, lowest id 2
+    assert out[2] == (50, 3)
+    assert 1 not in out and 3 not in out
+    assert out[4] == (7, 1) and out[5] == (9, 1) and out[6] == (1, 1)
