@@ -772,6 +772,30 @@ def _split_sql() -> str:
         FROM documents ORDER BY doc_id"""
 
 
+def q_stratified_split(spark, sf):
+    """EXACT per-source split (textops.stratified_split): every source
+    contributes floor-exact counts to each split via the two-phase
+    range-partitioned in-group rank. The twin is a plain per-group
+    window — two-phase ≡ window is the partition-invariance claim
+    (same discipline as aspect_buckets)."""
+    from fetcho_spark.operators.textops import stratified_split
+    return (stratified_split(_t(spark, sf, "documents"))
+            .orderBy("doc_id"))
+
+
+_STRATIFIED_SPLIT_SQL = """
+    WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY md5(doc_id || ':42'), doc_id) - 1 AS rk,
+                      count(*) OVER (PARTITION BY source) AS n
+               FROM documents)
+    SELECT doc_id, source,
+           CASE WHEN 100 * rk < 90 * n THEN 'train'
+                WHEN 100 * rk < 95 * n THEN 'val'
+                ELSE 'test' END AS split
+    FROM r ORDER BY doc_id"""
+
+
 def q_inverted_index(spark, sf):
     # blocked posting lists (operators/invindex.py); postings rendered to
     # the canonical string for cross-engine value comparison
@@ -1374,6 +1398,29 @@ _CMS_HEAVY_SQL = f"""
       LEFT JOIN sketch s USING (row, col)
       GROUP BY c.user_id)
     SELECT user_id, est FROM est WHERE est >= 80 ORDER BY user_id"""
+
+
+def q_cms_by_group(spark, sf):
+    """Grouped count-min sketch: one user-frequency sketch per
+    event_type (the per-day / per-partition sketch shape that merges by
+    per-cell SUM) — |groups| x depth x width register rows from one
+    partial-agg shuffle."""
+    from fetcho_spark.operators.stats import cms_registers
+    return (cms_registers(_t(spark, sf, "events"), "user_id",
+                          by=["event_type"])
+            .orderBy("event_type", "row", "col"))
+
+
+_CMS_BY_GROUP_SQL = f"""
+    WITH cells AS (
+      SELECT event_type, CAST(t.r AS INT) AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':'
+                     || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                  % 1024 AS INT) AS col
+      FROM events, (VALUES (0), (1), (2), (3)) AS t(r))
+    SELECT event_type, row, col, CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY event_type, row, col
+    ORDER BY event_type, row, col"""
 
 
 def q_recrawl_schedule(spark, sf):
@@ -2729,6 +2776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_tfidf": q_hashed_tfidf,
         "hll_by_group": q_hll_by_group,
         "dedup_best": q_dedup_best,
+        "cms_by_group": q_cms_by_group,
+        "stratified_split": q_stratified_split,
     }
 
 
@@ -3486,6 +3535,8 @@ def oracle_sql() -> dict[str, str]:
         "clip_filter": _CLIP_FILTER_SQL,
         "robots_parse": _ROBOTS_PARSE_SQL,
         "cms_sketch": _CMS_SKETCH_SQL,
+        "cms_by_group": _CMS_BY_GROUP_SQL,
+        "stratified_split": _STRATIFIED_SPLIT_SQL,
         "cms_heavy": _CMS_HEAVY_SQL,
         "dsir_sample": _DSIR_SQL,
         "sitemap_parse": _SITEMAP_SQL,

@@ -80,7 +80,7 @@ EXTRAS = [
     "recrawl_schedule", "hn_seeds", "reddit_seeds", "aspect_buckets",
     "mixture_weights", "ann_pq", "boilerplate", "dq_profile", "dq_check",
     "asof_join", "range_join", "nfc_normalize", "hashed_tfidf",
-    "hll_by_group", "dedup_best",
+    "hll_by_group", "dedup_best", "cms_by_group", "stratified_split",
 ]
 
 

@@ -114,9 +114,12 @@ def histogram(df: DataFrame, value_col: str, lo: float, hi: float,
 
 
 def cms_registers(df: DataFrame, key_col: str, depth: int = 4,
-                  width: int = 1024, weight_col: str | None = None
-                  ) -> DataFrame:
+                  width: int = 1024, weight_col: str | None = None,
+                  by: list[str] | None = None) -> DataFrame:
     """Count-min sketch as DATA → ``(row, col, cnt)`` register table.
+    With ``by``, one sketch per group → ``(*by, row, col, cnt)`` (e.g.
+    per-day URL-frequency sketches: ≤ |groups|·depth·width rows, one
+    partial-agg shuffle, mergeable across groups by per-cell SUM).
 
     The bounded-memory heavy-hitter summary (Cormode & Muthukrishnan
     2005): ``depth`` independent hash rows of ``width`` counters; a
@@ -146,11 +149,13 @@ def cms_registers(df: DataFrame, key_col: str, depth: int = 4,
         for r in range(depth)]
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long"))
-    return (df.select(F.explode(F.array(*cells)).alias("_rc"),
+    grp = list(by or [])
+    return (df.select(*[F.col(c) for c in grp],
+                      F.explode(F.array(*cells)).alias("_rc"),
                       w.alias("_w"))
-            .select(F.col("_rc.row").alias("row"),
+            .select(*grp, F.col("_rc.row").alias("row"),
                     F.col("_rc.col").alias("col"), "_w")
-            .groupBy("row", "col").agg(F.sum("_w").alias("cnt")))
+            .groupBy(*grp, "row", "col").agg(F.sum("_w").alias("cnt")))
 
 
 def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,

@@ -546,6 +546,58 @@ def split_assign(df: DataFrame, key_col: str = "doc_id",
     return df.select(F.col(key_col), expr.alias("split"))
 
 
+def stratified_split(df: DataFrame, group_col: str = "source",
+                     key_col: str = "doc_id",
+                     fractions: tuple = (("train", 90), ("val", 5),
+                                         ("test", 5)),
+                     seed: int = 42) -> DataFrame:
+    """EXACT per-group split → ``(key, group, split)``: within every
+    group, rank rows by the seeded md5 order and cut at the exact
+    fraction boundaries, so each group contributes floor-exact counts
+    to every split (what per-domain held-out sets need —
+    :func:`split_assign`'s hash slots are only uniform in expectation,
+    so a small domain can land entirely in train).
+
+    Membership: row with in-group rank ``r`` of ``n`` is in split ``s``
+    iff ``cum_before(s)*n <= 100*r < cum_through(s)*n`` — pure integer
+    comparisons. Unlike split_assign, assignments are NOT stable under
+    corpus growth (exactness and growth-stability are mutually
+    exclusive); version datasets by snapshot instead.
+
+    Scale shape: the in-group rank reuses the two-phase
+    range-partitioned global sequence ordered by (group, seeded-hash)
+    minus a broadcast per-group offset (one small groupBy for offsets,
+    never a per-group single-task window); fraction checks are a
+    broadcast ≤|groups|-row count join.
+    """
+    pcts = [p for _, p in fractions]
+    if sum(pcts) != 100:
+        raise ValueError(f"fractions must total 100, got {sum(pcts)}")
+    from .priority import with_global_seq
+    staged = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(key_col).alias("_k"),
+        F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                          F.lit(str(seed)))).alias("_rk"))
+    ranked = with_global_seq(staged, sort_cols=("_g", "_rk", "_k"),
+                             out_col="_seq", out_type="long")
+    offsets = (ranked.groupBy("_g")
+               .agg(F.min("_seq").alias("_g0"),
+                    F.count("*").alias("_n")))
+    j = ranked.join(F.broadcast(offsets), "_g")
+    r = F.lit(100) * (F.col("_seq") - F.col("_g0"))
+    expr, cum = None, 0
+    for name, pct in fractions[:-1]:
+        cum += pct
+        cond = r < F.lit(cum) * F.col("_n")
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    expr = (expr.otherwise(F.lit(fractions[-1][0])) if expr is not None
+            else F.lit(fractions[-1][0]))
+    return j.select(F.col("_k").alias(key_col),
+                    F.col("_g").alias(group_col), expr.alias("split"))
+
+
 def keyword_counts(df: DataFrame, text_col: str = "text",
                    min_len: int = 3) -> DataFrame:
     """A5: term frequencies across the corpus (ExtractKeywordsConsumer)."""

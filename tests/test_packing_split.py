@@ -71,3 +71,46 @@ def test_split_assign_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         split_assign(df, fractions=(("a", 50), ("b", 49)))
+
+
+@pytest.mark.spark
+def test_stratified_split_exact_per_group(spark):
+    """Every group contributes floor-exact counts to each split — the
+    property split_assign's hash slots only give in expectation."""
+    from fetcho_spark.operators.textops import stratified_split
+    rows = [(i, f"g{i % 3}") for i in range(60)] + \
+           [(100 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(
+        df, fractions=(("train", 50), ("val", 25), ("test", 25)))
+    got = {}
+    for r in out.collect():
+        got.setdefault((r["source"], r["split"]), 0)
+        got[(r["source"], r["split"])] += 1
+    for g in ("g0", "g1", "g2"):   # 20 docs each -> 10/5/5 exactly
+        assert got[(g, "train")] == 10
+        assert got[(g, "val")] == 5 and got[(g, "test")] == 5
+    # 3-doc group: ranks 0,1,2 -> 100r < 50*3 puts ranks 0..1? 100*1=100
+    # < 150 yes; rank 2: 200 < 150 no, 200 < 225 yes -> val; so 2/1/0
+    assert got[("tiny", "train")] == 2 and got[("tiny", "val")] == 1
+    assert ("tiny", "test") not in got
+
+
+@pytest.mark.spark
+def test_stratified_split_partition_invariance(spark):
+    from fetcho_spark.operators.textops import stratified_split
+    rows = [(i, f"s{i % 5}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(tuple(r) for r in
+               stratified_split(df.repartition(1)).collect())
+    b = sorted(tuple(r) for r in
+               stratified_split(df.repartition(13)).collect())
+    assert a == b
+
+
+@pytest.mark.spark
+def test_stratified_split_bad_fractions_raise(spark):
+    from fetcho_spark.operators.textops import stratified_split
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        stratified_split(df, fractions=(("train", 60), ("val", 20)))

@@ -232,3 +232,18 @@ def test_hll_grouped_equals_per_group_sketches(spark):
                                "uid").collect():
             separate.append((g, r["register"], r["max_rho"]))
     assert grouped == sorted(separate)
+
+
+def test_cms_grouped_equals_per_group_sketches(spark):
+    from fetcho_spark.operators.stats import cms_registers
+    rows = [(f"g{i % 2}", f"u{i % 23}") for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    grouped = sorted(tuple(r) for r in
+                     cms_registers(df, "uid", width=64,
+                                   by=["grp"]).collect())
+    separate = []
+    for g in ("g0", "g1"):
+        for r in cms_registers(df.filter(df.grp == g), "uid",
+                               width=64).collect():
+            separate.append((g, r["row"], r["col"], r["cnt"]))
+    assert grouped == sorted(separate)
