@@ -1423,6 +1423,32 @@ _CMS_BY_GROUP_SQL = f"""
     ORDER BY event_type, row, col"""
 
 
+def q_kmv_by_group(spark, sf):
+    """Grouped bottom-k (KMV) sketch: one uniform distinct-user sample
+    per event_type via the salted two-window form (no per-group
+    whole-set funnel). The twin is the plain per-group window —
+    salted-two-window ≡ window is the scale-safety claim."""
+    from fetcho_spark.operators.stats import kmv_sketch_grouped
+    return (kmv_sketch_grouped(_t(spark, sf, "events"), "user_id",
+                               k=64, by=["event_type"])
+            .orderBy("event_type", "rank"))
+
+
+_KMV_BY_GROUP_SQL = """
+    WITH h AS (
+      SELECT DISTINCT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, user_id, h,
+             CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY h, user_id) - 1 AS INT) AS rank
+      FROM h)
+    SELECT event_type, rank, user_id AS key, h
+    FROM r WHERE rank < 64 ORDER BY event_type, rank"""
+
+
 def q_recrawl_schedule(spark, sf):
     # adaptive revisit scheduling (Cho & Garcia-Molina freshness) over a
     # synthesized revalidation history: url families change at different
@@ -2778,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best": q_dedup_best,
         "cms_by_group": q_cms_by_group,
         "stratified_split": q_stratified_split,
+        "kmv_by_group": q_kmv_by_group,
     }
 
 
@@ -3537,6 +3564,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_sketch": _CMS_SKETCH_SQL,
         "cms_by_group": _CMS_BY_GROUP_SQL,
         "stratified_split": _STRATIFIED_SPLIT_SQL,
+        "kmv_by_group": _KMV_BY_GROUP_SQL,
         "cms_heavy": _CMS_HEAVY_SQL,
         "dsir_sample": _DSIR_SQL,
         "sitemap_parse": _SITEMAP_SQL,

@@ -81,6 +81,7 @@ EXTRAS = [
     "mixture_weights", "ann_pq", "boilerplate", "dq_profile", "dq_check",
     "asof_join", "range_join", "nfc_normalize", "hashed_tfidf",
     "hll_by_group", "dedup_best", "cms_by_group", "stratified_split",
+    "kmv_by_group",
 ]
 
 

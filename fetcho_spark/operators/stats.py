@@ -234,6 +234,41 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
         "key", "h")
 
 
+def kmv_sketch_grouped(df: DataFrame, key_col: str, k: int = 256,
+                       by: list[str] | None = None,
+                       n_salts: int = 32) -> DataFrame:
+    """Per-group bottom-k sketch → ``(*by, rank, key, h)``: one uniform
+    distinct-key sample per group (per-source held-out URL samples,
+    per-day merges). Completes the grouped-sketch family (hll/cms
+    ``by=``; KMV needs its own shape because bottom-k is an ORDER
+    statistic, not a cell-wise agg).
+
+    Scale shape: a single-window form would funnel each group's whole
+    distinct-key set through one task; instead a salted pre-cut
+    (per-(group, h%n_salts) bottom-k — each salt cell holds ~1/n_salts
+    of the group) keeps every window bounded, then the final per-group
+    window ranks at most ``n_salts·k`` survivors. Correct because the
+    true per-group bottom-k is a subset of the union of the per-salt
+    bottom-ks.
+    """
+    grp = [F.col(c) for c in (by or [])]
+    d = (df.select(*grp, F.col(key_col).alias("key"))
+         .distinct()
+         .withColumn("h", F.conv(F.substring(
+             F.md5(F.col("key").cast("string")), 1, 12), 16, 10)
+             .cast("long"))
+         .withColumn("_salt", (F.col("h") % n_salts).cast("int")))
+    gcols = list(by or [])
+    w1 = Window.partitionBy(*gcols, "_salt").orderBy("h", "key")
+    cand = (d.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k))
+    w2 = Window.partitionBy(*gcols).orderBy("h", "key")
+    return (cand.withColumn("rank",
+                            (F.row_number().over(w2) - 1).cast("int"))
+            .filter(F.col("rank") < k)
+            .select(*gcols, "rank", "key", "h"))
+
+
 def kmv_estimate(rows: list[tuple], k: int) -> float | None:
     """Distinct-count estimate from collected ``(rank, key, h)`` rows:
     ``(k - 1) / (h_k / 2^48)`` when the sketch is full, else the exact

@@ -247,3 +247,23 @@ def test_cms_grouped_equals_per_group_sketches(spark):
                                width=64).collect():
             separate.append((g, r["row"], r["col"], r["cnt"]))
     assert grouped == sorted(separate)
+
+
+def test_kmv_grouped_equals_per_group_sketches(spark):
+    """Salted-two-window grouped bottom-k equals kmv_sketch run on each
+    group separately — the pre-cut never loses a true bottom-k member."""
+    from fetcho_spark.operators.stats import kmv_sketch, kmv_sketch_grouped
+    rows = [(f"g{i % 3}", f"u{(i * 7) % 41}") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    K = 8
+    grouped = sorted(tuple(r) for r in
+                     kmv_sketch_grouped(df, "uid", k=K, by=["grp"],
+                                        n_salts=4).collect())
+    separate = []
+    for g in ("g0", "g1", "g2"):
+        for r in kmv_sketch(df.filter(df.grp == g), "uid", k=K).collect():
+            separate.append((g, r["rank"], r["key"], r["h"]))
+    assert grouped == sorted(separate)
+    # exactly K per group (each group has > K distinct keys)
+    from collections import Counter
+    assert Counter(g for g, *_ in grouped) == {"g0": K, "g1": K, "g2": K}
