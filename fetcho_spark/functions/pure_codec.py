@@ -1088,6 +1088,65 @@ def _prog_init(sof):
             for c in comps}
 
 
+def jpeg_quality_estimate(data: bytes) -> dict:
+    """Estimate the IJG quality factor of a JPEG from its luma DQT —
+    the no-decode curation signal for spotting recompressed junk in a
+    web corpus (a 640×480 that has been through quality 30 keeps its
+    dimensions but not its information).
+
+    Inverts the PUBLIC libjpeg scaling (the same formula
+    :func:`_quality_tables` encodes with): for each candidate q in
+    1..100 build the expected Annex-K-scaled table and compare —
+    ``exact=True`` on a byte-exact match (any IJG-derived encoder:
+    libjpeg, PIL, our own writer), else the nearest table by L1
+    distance (custom-table encoders). Returns ``{"quality", "exact",
+    "l1"}``; raises on non-JPEG or missing DQT."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, luma_zz = 2, None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        if pos + 2 > len(data):
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq:
+                    zz = np.frombuffer(body[i + 1:i + 129], ">u2")
+                    i += 129
+                else:
+                    zz = np.frombuffer(body[i + 1:i + 65], np.uint8)
+                    i += 65
+                if tq == 0 and zz.size == 64:
+                    luma_zz = zz.astype(np.int32)
+        elif marker == 0xDA:
+            break                              # tables precede the scan
+    if luma_zz is None:
+        raise ValueError("JPEG: no luma DQT before scan")
+    t = np.zeros(64, np.int32)
+    t[_ZIGZAG] = luma_zz
+    best_q, best_l1 = None, None
+    for q in range(100, 0, -1):
+        scale = 5000 // q if q < 50 else 200 - 2 * q
+        exp = np.clip((_QT_LUM.flatten() * scale + 50) // 100, 1, 255)
+        l1 = int(np.abs(exp - t).sum())
+        if l1 == 0:
+            return {"quality": q, "exact": True, "l1": 0}
+        if best_l1 is None or l1 < best_l1:
+            best_q, best_l1 = q, l1
+    return {"quality": best_q, "exact": False, "l1": best_l1}
+
+
 def _ni_blocks(sof, c):
     """Non-interleaved block grid for one component (T.81 A.2.2)."""
     h, w, _comps, hmax, vmax, _mx, _my = _prog_geometry(sof)

@@ -1081,3 +1081,42 @@ def test_image_augment_exact_transforms(spark):
     # unknown op raises up front
     with pytest.raises(ValueError):
         image_augment(df, ops=("zoom",))
+
+
+def test_jpeg_quality_estimate_roundtrip():
+    """The estimator inverts the writer's own public-formula scaling
+    exactly at every quality, for baseline AND progressive streams."""
+    import numpy as np
+    from fetcho_spark.functions.pure_codec import (
+        jpeg_encode, jpeg_encode_progressive, jpeg_quality_estimate)
+    rng_free = (np.arange(16 * 16 * 3, dtype=np.uint8)
+                .reshape(16, 16, 3))
+    for q in (5, 30, 50, 75, 92, 99, 100):
+        est = jpeg_quality_estimate(jpeg_encode(rng_free, quality=q))
+        assert est == {"quality": q, "exact": True, "l1": 0}, (q, est)
+    est = jpeg_quality_estimate(
+        jpeg_encode_progressive(rng_free, quality=75))
+    assert est["quality"] == 75 and est["exact"]
+
+
+def test_jpeg_quality_estimate_nonstandard_table():
+    """A hand-perturbed DQT is no longer exact but lands near the
+    original quality."""
+    import numpy as np
+    from fetcho_spark.functions.pure_codec import (jpeg_encode,
+                                                   jpeg_quality_estimate)
+    img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3))
+    data = bytearray(jpeg_encode(img, quality=60))
+    i = data.find(b"\xff\xdb")
+    assert i > 0
+    data[i + 5] = min(255, data[i + 5] + 3)  # bump one luma entry
+    est = jpeg_quality_estimate(bytes(data))
+    assert est["exact"] is False and est["l1"] > 0
+    assert abs(est["quality"] - 60) <= 2
+
+
+def test_jpeg_quality_estimate_rejects_non_jpeg():
+    import pytest as _pytest
+    from fetcho_spark.functions.pure_codec import jpeg_quality_estimate
+    with _pytest.raises(ValueError):
+        jpeg_quality_estimate(b"\x89PNG\r\n\x1a\n")
