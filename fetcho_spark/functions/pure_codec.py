@@ -1103,6 +1103,8 @@ def jpeg_quality_estimate(data: bytes) -> dict:
     "l1"}``; raises on non-JPEG or missing DQT."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
+    # NOTE: this walk intentionally mirrors jpeg_decode's framing
+    # (incl. the 0xFF fill-byte rule, T.81 B.1.1.2) — keep them in sync
     pos, luma_zz = 2, None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -1110,6 +1112,9 @@ def jpeg_quality_estimate(data: bytes) -> dict:
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:                     # fill byte before marker
+            pos -= 1
+            continue
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             continue
         if pos + 2 > len(data):

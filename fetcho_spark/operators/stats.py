@@ -225,7 +225,8 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     """
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12),
                16, 10).cast("long")
-    bottom = (df.select(F.col(key_col).alias("key"), h.alias("h"))
+    bottom = (df.filter(F.col(key_col).isNotNull())  # see grouped note
+              .select(F.col(key_col).alias("key"), h.alias("h"))
               .distinct()
               .orderBy("h", "key").limit(k))
     w = Window.orderBy("h", "key")
@@ -252,7 +253,11 @@ def kmv_sketch_grouped(df: DataFrame, key_col: str, k: int = 256,
     bottom-ks.
     """
     grp = [F.col(c) for c in (by or [])]
-    d = (df.select(*grp, F.col(key_col).alias("key"))
+    # NULL keys carry no identity and would rank first under Spark's
+    # NULLS FIRST (displacing a real member; DuckDB orders NULLS LAST —
+    # an engine divergence) — excluded from the sample
+    d = (df.filter(F.col(key_col).isNotNull())
+         .select(*grp, F.col(key_col).alias("key"))
          .distinct()
          .withColumn("h", F.conv(F.substring(
              F.md5(F.col("key").cast("string")), 1, 12), 16, 10)

@@ -583,8 +583,13 @@ def stratified_split(df: DataFrame, group_col: str = "source",
                              out_col="_seq", out_type="long")
     offsets = (ranked.groupBy("_g")
                .agg(F.min("_seq").alias("_g0"),
-                    F.count("*").alias("_n")))
-    j = ranked.join(F.broadcast(offsets), "_g")
+                    F.count("*").alias("_n"))
+               .withColumnRenamed("_g", "_g2"))
+    # null-safe group join: a NULL group (missing provenance) must keep
+    # its rows and form its own stratum, matching the SQL twin's window
+    j = (ranked.join(F.broadcast(offsets),
+                     ranked["_g"].eqNullSafe(offsets["_g2"]))
+         .drop("_g2"))
     r = F.lit(100) * (F.col("_seq") - F.col("_g0"))
     expr, cum = None, 0
     for name, pct in fractions[:-1]:

@@ -114,3 +114,19 @@ def test_stratified_split_bad_fractions_raise(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError):
         stratified_split(df, fractions=(("train", 60), ("val", 20)))
+
+
+@pytest.mark.spark
+def test_stratified_split_keeps_null_group(spark):
+    """A NULL group (missing provenance) forms its own stratum instead
+    of silently vanishing (null-unsafe join hazard)."""
+    from fetcho_spark.operators.textops import stratified_split
+    rows = [(i, "a") for i in range(8)] + [(100 + i, None)
+                                           for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(
+        df, fractions=(("train", 50), ("test", 50))).collect()
+    assert len(out) == 12
+    nulls = [r for r in out if r["source"] is None]
+    assert sorted(r["split"] for r in nulls) == \
+        ["test", "test", "train", "train"]

@@ -1120,3 +1120,17 @@ def test_jpeg_quality_estimate_rejects_non_jpeg():
     from fetcho_spark.functions.pure_codec import jpeg_quality_estimate
     with _pytest.raises(ValueError):
         jpeg_quality_estimate(b"\x89PNG\r\n\x1a\n")
+
+
+def test_jpeg_quality_estimate_handles_fill_bytes():
+    """T.81 B.1.1.2: 0xFF fill bytes before a marker are legal padding —
+    the estimator must skip them like jpeg_decode does."""
+    import numpy as np
+    from fetcho_spark.functions.pure_codec import (jpeg_encode,
+                                                   jpeg_quality_estimate)
+    img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3))
+    data = bytearray(jpeg_encode(img, quality=75))
+    i = data.find(b"\xff\xdb")
+    data[i:i] = b"\xff"                         # one fill byte before DQT
+    est = jpeg_quality_estimate(bytes(data))
+    assert est == {"quality": 75, "exact": True, "l1": 0}

@@ -217,6 +217,7 @@ def test_kmv_sketch_reference_merge_and_estimate(spark):
     assert kmv_estimate(rows, K) == 2.0
 
 
+@pytest.mark.spark
 def test_hll_grouped_equals_per_group_sketches(spark):
     """A grouped sketch row set is exactly the union of the per-group
     sketches built separately — grouping changes the shuffle shape,
@@ -234,6 +235,7 @@ def test_hll_grouped_equals_per_group_sketches(spark):
     assert grouped == sorted(separate)
 
 
+@pytest.mark.spark
 def test_cms_grouped_equals_per_group_sketches(spark):
     from fetcho_spark.operators.stats import cms_registers
     rows = [(f"g{i % 2}", f"u{i % 23}") for i in range(300)]
@@ -249,6 +251,7 @@ def test_cms_grouped_equals_per_group_sketches(spark):
     assert grouped == sorted(separate)
 
 
+@pytest.mark.spark
 def test_kmv_grouped_equals_per_group_sketches(spark):
     """Salted-two-window grouped bottom-k equals kmv_sketch run on each
     group separately — the pre-cut never loses a true bottom-k member."""
@@ -267,3 +270,17 @@ def test_kmv_grouped_equals_per_group_sketches(spark):
     # exactly K per group (each group has > K distinct keys)
     from collections import Counter
     assert Counter(g for g, *_ in grouped) == {"g0": K, "g1": K, "g2": K}
+
+
+@pytest.mark.spark
+def test_kmv_null_keys_excluded(spark):
+    """NULL keys carry no identity and must not occupy sketch slots
+    (Spark NULLS FIRST vs DuckDB NULLS LAST is an engine divergence)."""
+    from fetcho_spark.operators.stats import kmv_sketch, kmv_sketch_grouped
+    rows = [("g", f"u{i}") for i in range(10)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    flat = kmv_sketch(df, "uid", k=4).collect()
+    grouped = kmv_sketch_grouped(df, "uid", k=4, by=["grp"]).collect()
+    assert len(flat) == 4 and all(r["key"] is not None for r in flat)
+    assert len(grouped) == 4 and all(r["key"] is not None
+                                     for r in grouped)
