@@ -1128,13 +1128,14 @@ def _kmeans_cte(k: int = 8, iters: int = 2, seed: int = 42,
                             ORDER BY score DESC, cid ASC) AS rn
                    FROM s{i + 1})
                 WHERE rn = 1),
-        m{i + 1} AS (SELECT cluster AS cid, u.pos AS pos,
-                   CAST(floor(CAST(sum(u.val) AS DOUBLE)
-                              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS val
-            FROM (SELECT cluster,
+        m{i + 1} AS (SELECT cid, pos,
+                   CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS val
+            FROM (SELECT cluster AS cid, u.pos AS pos,
+                         sum(u.val) AS s, count(*) AS n
+                  FROM (SELECT cluster,
                          unnest(list_transform(range(1, len(qv) + 1),
                            j -> {{'pos': j - 1, 'val': qv[j]}})) AS u
-                  FROM a{i + 1}) GROUP BY cluster, u.pos),
+                        FROM a{i + 1}) GROUP BY cluster, u.pos)),
         c{i + 1} AS (SELECT c{i}.cid, coalesce(n.cv, c{i}.cv) AS cv
                 FROM c{i} LEFT JOIN
                      (SELECT cid, list(val ORDER BY pos) AS cv
@@ -1440,6 +1441,7 @@ _KMV_BY_GROUP_SQL = """
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
                AS h
       FROM events
+      WHERE user_id IS NOT NULL
     ), r AS (
       SELECT event_type, user_id, h,
              CAST(row_number() OVER (PARTITION BY event_type
@@ -1500,6 +1502,7 @@ _KMV_SQL = """
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
                AS h
       FROM events
+      WHERE user_id IS NOT NULL
     ), b AS (
       SELECT user_id, h FROM h ORDER BY h, user_id LIMIT 64)
     SELECT CAST(row_number() OVER (ORDER BY h, user_id) - 1 AS INT)
@@ -2617,14 +2620,15 @@ def _ann_pq_sql(dim: int = 64, m: int = 4, ksub: int = 8, iters: int = 2,
                               row_number() OVER (PARTITION BY vec_id, sub
                                 ORDER BY kk ASC, cid ASC) AS rn
                        FROM s{i + 1}) WHERE rn = 1),
-        m{i + 1} AS (SELECT sub, cluster AS cid, u.pos AS pos,
-                       CAST(floor(CAST(sum(u.val) AS DOUBLE)
-                                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
-                         AS val
-                   FROM (SELECT sub, cluster,
+        m{i + 1} AS (SELECT sub, cid, pos,
+                       CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS val
+                   FROM (SELECT sub, cluster AS cid, u.pos AS pos,
+                                sum(u.val) AS s, count(*) AS n
+                         FROM (SELECT sub, cluster,
                                 unnest(list_transform(range(1, {dsub} + 1),
                                   j -> {{'pos': j - 1, 'val': sv[j]}})) AS u
-                         FROM a{i + 1}) GROUP BY sub, cluster, u.pos),
+                               FROM a{i + 1})
+                         GROUP BY sub, cluster, u.pos)),
         c{i + 1} AS (SELECT c{i}.sub, c{i}.cid,
                         coalesce(n.cv, c{i}.cv) AS cv
                    FROM c{i} LEFT JOIN

@@ -12,14 +12,17 @@ Implementation is the classic single-shuffle union trick — NOT a
 point-in-interval join (which Spark plans as a broadcast-nested-loop or
 a cartesian at scale):
 
-1. union the two sides with aligned schemas (right payload nulled on
-   left rows and vice versa), tagged ``_side`` (right = 0, left = 1);
+1. union the two sides with aligned schemas — the right payload packed
+   into ONE struct column that is null on left rows (whole-row
+   semantics: a matched row's genuinely-NULL payload field rides
+   through, never back-filled from an older row) — tagged ``_side``
+   (right = 0, left = 1);
 2. one window per ``by`` group ordered by ``(on, _side, tiebreak)``,
-   ``last(payload, ignorenulls=True)`` over UNBOUNDED PRECEDING..CURRENT
+   ``last(struct, ignorenulls=True)`` over UNBOUNDED PRECEDING..CURRENT
    — each left row sees exactly the latest right row at-or-before it
    (right sorts before left at equal ``on``, so the match is inclusive;
    ``strict=True`` flips the tie order to exclude equal timestamps);
-3. keep the left rows.
+3. keep the left rows, unpack the struct fields.
 
 Scale shape: ONE shuffle of |left|+|right| rows on the ``by`` columns,
 then a sequential pass per group (the unavoidable order dependence of
@@ -112,9 +115,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     nulls. ``tolerance`` (same units as ``on`` casts to long — SECONDS
     for timestamps, the value itself for numerics) voids matches
     further than that from the left row."""
+    from pyspark.sql import types as T
     assert direction in ("backward", "forward")
     by = [by] if isinstance(by, str) else list(by)
-    reserved = {"_on", "_side", "_tb"}
+    reserved = {"_on", "_side", "_tb", "_r", "_rl"}
     clash = (reserved & set(left.columns)) | (reserved & set(right.columns))
     assert not clash, f"input columns collide with internals: {clash}"
     right_cols = list(right_cols or
@@ -122,6 +126,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
                        if c not in by and c != on])
     lcols = [c for c in left.columns if c not in by and c != on]
 
+    # All right payload columns ride in ONE struct: the struct itself is
+    # non-null exactly for right rows, so last(_r, ignorenulls=True)
+    # carries a matched row's genuinely-NULL payload fields through
+    # intact instead of back-filling each column from an older row
+    # (whole-row semantics, matching pandas merge_asof / DuckDB ASOF).
+    r_struct_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [T.StructField("_on", right.schema[on].dataType)])
     l_side = left.select(
         *[F.col(c) for c in by],
         F.col(on).alias("_on"),
@@ -129,9 +141,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         F.lit(None).cast(right.schema[right_tiebreak].dataType
                          if right_tiebreak else "long").alias("_tb"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"))
+        F.lit(None).cast(r_struct_t).alias("_r"))
     r_side = right.select(
         *[F.col(c) for c in by],
         F.col(on).alias("_on"),
@@ -140,8 +150,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
          else F.lit(0).cast("long")).alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(on).alias("_r_on"))
+        F.struct(*[F.col(c).alias(c) for c in right_cols],
+                 F.col(on).alias("_on")).alias("_r"))
     u = l_side.unionByName(r_side)
 
     asc = direction == "backward"
@@ -155,11 +165,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
     matched = u.select(
         *by, "_on", "_side", *lcols,
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-          for c in right_cols],
-        F.last("_r_on", ignorenulls=True).over(w).alias(f"{on}{suffix}"))
+        F.last("_r", ignorenulls=True).over(w).alias("_rl"))
     out = (matched.filter(F.col("_side") == 1)
-           .drop("_side")
+           .select(
+               *by, "_on", *lcols,
+               *[F.col("_rl")[c].alias(f"{c}{suffix}") for c in right_cols],
+               F.col("_rl")["_on"].alias(f"{on}{suffix}"))
            .withColumnRenamed("_on", on))
     if tolerance is not None:
         from pyspark.sql import types as T

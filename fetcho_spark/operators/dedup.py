@@ -48,17 +48,22 @@ def exact_dedup_best(df: DataFrame, score_col: str,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Quality-aware exact dedup: per fingerprint keep the HIGHEST-score
-    row (ties → lowest id) — real pipelines keep the best duplicate
-    (cleanest fetch, longest extraction), not the lowest id. Same
-    one-shuffle shape as :func:`exact_dedup_groups`; the survivor is a
-    ``max_by`` over an orderable (score, −id) struct, so it partial-
-    aggregates map-side like any max."""
-    ordk = F.struct(F.col(score_col).alias("s"),
-                    (-F.col(id_col)).alias("ni"))
+    row (ties → lowest id; a NULL score ranks below every non-NULL
+    score, so NULL-score rows survive only when the whole group is
+    NULL-scored — then lowest id wins) — real pipelines keep the best
+    duplicate (cleanest fetch, longest extraction), not the lowest id.
+    Same one-shuffle shape as :func:`exact_dedup_groups`; the survivor
+    is a ``min_by`` over an orderable (−score, id) struct — the score,
+    numeric by contract, is the only negated term (as double: no
+    overflow), the id rides un-negated so ANY orderable id type works —
+    and it partial-aggregates map-side like any min."""
+    negscore = -F.coalesce(F.col(score_col).cast("double"),
+                           F.lit(float("-inf")))
+    ordk = F.struct(negscore.alias("ns"), F.col(id_col).alias("i"))
     return (df.select(F.col(id_col), F.col(score_col),
                       fingerprint(F.col(text_col)).alias("fp"))
             .groupBy("fp")
-            .agg(F.max_by(F.col(id_col), ordk).alias("keep_id"),
+            .agg(F.min_by(F.col(id_col), ordk).alias("keep_id"),
                  F.max(score_col).alias("best_score"),
                  F.count("*").alias("n_docs")))
 

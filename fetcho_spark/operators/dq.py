@@ -139,14 +139,21 @@ def check(profile_df: DataFrame, rules: list[tuple]) -> DataFrame:
     ``rules`` = [(column, op, threshold_int)] with op in RULE_OPS;
     thresholds for *_q ops are on the 1e-6 grid. The profile pivots to
     one row per column (|columns| rows) and the literal rules table
-    broadcast-joins against it."""
+    broadcast-joins against it. Accepts a unioned-but-not-merged
+    profile (duplicate (column, metric) rows — e.g. two profile()
+    outputs unioned directly): rows merge with each metric's proper op
+    first, so verdicts are deterministic either way."""
     for _c, op, _t in rules:
         if op not in RULE_OPS:
             raise ValueError(f"unknown rule op: {op}")
     spark = profile_df.sparkSession
+    # merge_profiles is idempotent on merged input and applies the
+    # per-metric op (sum/min/max) to duplicates, so the pivot's first()
+    # below only ever sees one row per (column, metric) cell
+    merged = merge_profiles(profile_df)
     # explicit pivot values: the metric vocabulary is closed (defined by
     # profile()), and naming it avoids the eager distinct-values job
-    wide = (profile_df.groupBy("column")
+    wide = (merged.groupBy("column")
             .pivot("metric", ["n_rows", "n_null", "n_empty",
                               "min_q", "max_q", "sum_q"])
             .agg(F.first("value")))

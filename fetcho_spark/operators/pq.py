@@ -27,7 +27,10 @@ L2 decomposes over subspaces and needs no sqrt at all:
   ``||v-c||^2`` with the row's own norm dropped) — an exact BIGINT, so
   comparisons, ties (lowest cid) and hence the whole training run are
   bit-identical in any engine with NO floating point whatsoever.
-- Centroid updates are semdedup's floor-quantized integer means.
+- Centroid updates are semdedup's floor-quantized integer means, computed
+  as EXACT integer floor division (``(s - pmod(s, n)) div n`` — never
+  through a double, whose 2^53 mantissa would silently round a large
+  cluster cell's sum where DuckDB's hugeint does not).
 - ADC distances are exact BIGINT sums of exact BIGINT table entries.
 
 Scale shape: training assignment is a zero-shuffle JVM projection against
@@ -130,8 +133,11 @@ def pq_train(corpus: DataFrame, dim: int, m: int = 4, ksub: int = 8,
                  .select("e.sub", "e.cluster",
                          F.posexplode("e.sv").alias("pos", "val"))
                  .groupBy("sub", "cluster", "pos")
-                 .agg(F.floor(F.sum("val").cast("double")
-                              / F.count("*").cast("double"))
+                 # exact integer floor division (never through double):
+                 # s - pmod(s, n) is an exact multiple of n, so the
+                 # integral div truncation IS the floor for any sign
+                 .agg(F.expr("(sum(val) - pmod(sum(val), count(*)))"
+                             " div count(*)")
                       .cast("long").alias("val"))
                  .collect())
         new = [[list(books[s][c]) for c in range(ksub)] for s in range(m)]
@@ -146,7 +152,6 @@ def pq_train_local(rows: list[tuple], dim: int, m: int = 4, ksub: int = 8,
     """Pure-Python reference with IDENTICAL semantics (md5 init, exact
     integer argmin keys, floor-quantized means, empty-cluster backfill) —
     the unit-test twin. ``rows`` = [(id, [float])]."""
-    import math
     dsub = dim // m
     assert len(rows) >= ksub, f"corpus has {len(rows)} rows < ksub={ksub}"
     qrows = [(i, [_q(x) for x in v]) for i, v in rows]
@@ -166,8 +171,7 @@ def pq_train_local(rows: list[tuple], dim: int, m: int = 4, ksub: int = 8,
         new = [[list(books[s][c]) for c in range(ksub)] for s in range(m)]
         for (s, c), mem in members.items():
             n = len(mem)
-            new[s][c] = [int(math.floor(float(sum(col)) / float(n)))
-                         for col in zip(*mem)]
+            new[s][c] = [sum(col) // n for col in zip(*mem)]
         books = new
     return books
 

@@ -19,10 +19,10 @@ Cross-engine exactness (the DuckDB oracle must hash-match bit-for-bit):
   integers (``dot / sqrt(n)``, ``dot / (sqrt(n1) * sqrt(n2))``) — bit
   identical in any IEEE-754 engine, so comparisons and thresholds agree
   without any rounding epsilon.
-- Centroid updates are floor-quantized integer means
-  (``floor(double(sum)/count)``) — exact while ``sum`` < 2^53 (true up to
-  ~10^9 members per cluster at this grid; growth path: split the mean
-  into exact integer div + remainder).
+- Centroid updates are floor-quantized integer means computed as EXACT
+  integer floor division (``(s - pmod(s, n)) div n`` — never through
+  double), exact for the full int64 range of the summed cell (~10^12
+  members per cluster at this grid's |q| <= 4e6 bound).
 - Seeded init is the md5 total-order trick (rank by ``md5(id ':km:' seed)``)
   — the same portable seeded ordering as token_budget / minhash_sig.
 
@@ -114,10 +114,12 @@ def _update(assigned: DataFrame, k: int,
              .select("cluster", F.posexplode("_qv").alias("pos", "val"))
              .groupBy("cluster", "pos")
              .agg(F.sum("val").alias("_s"), F.count("*").alias("_n")))
+    # exact integer floor division (never through double — a > 2^53 sum
+    # would round): s - pmod(s, n) is an exact multiple of n, so the
+    # integral `div` truncation IS the floor, for negative sums too
     means = cells.select(
         F.col("cluster").alias("cid"), F.col("pos"),
-        F.floor(F.col("_s").cast("double") / F.col("_n").cast("double"))
-        .cast("long").alias("val"))
+        F.expr("(_s - pmod(_s, _n)) div _n").cast("long").alias("val"))
     fallback = spark.createDataFrame(
         [(cid, pos, int(v)) for cid, cv in enumerate(prev)
          for pos, v in enumerate(cv)], "cid INT, pos INT, val LONG")
@@ -195,8 +197,7 @@ def kmeans_fit_local(rows: list[tuple], k: int = 8, iters: int = 2,
                 new.append(list(cv))
                 continue
             n = len(mem)
-            new.append([int(math.floor(float(sum(col)) / float(n)))
-                        for col in zip(*mem)])
+            new.append([sum(col) // n for col in zip(*mem)])
         cents = new
     return cents
 

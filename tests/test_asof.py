@@ -139,6 +139,39 @@ def test_single_shuffle_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_null_right_payload_rides_through(spark):
+    """Whole-row semantics (ADVICE r5): a matched right row whose payload
+    value is genuinely NULL must surface as NULL — never back-filled from
+    an OLDER right row. Cross-checked against pandas merge_asof."""
+    l = spark.createDataFrame([(1, 20), (1, 12)], "user_id long, ts long")
+    r = spark.createDataFrame(
+        [(1, 10, 9, 1.0), (1, 15, 11, None)],
+        "user_id long, ts long, eid long, value double")
+    got = {x["ts"]: (x["eid_r"], x["value_r"])
+           for x in asof_join(l, r, right_cols=["eid", "value"]).collect()}
+    # ts=20 matches the ts=15 row WHOLE: eid 11 with its NULL value
+    assert got[20] == (11, None)
+    assert got[12] == (9, 1.0)
+    lp = pd.DataFrame({"user_id": [1, 1], "ts": [12, 20]})
+    rp = pd.DataFrame({"user_id": [1, 1], "ts": [10, 15],
+                       "eid": [9, 11], "value": [1.0, None]})
+    m = pd.merge_asof(lp.sort_values("ts"), rp.sort_values("ts"),
+                      on="ts", by="user_id", suffixes=("", "_r"))
+    want = {int(r.ts): (int(r.eid), None if pd.isna(r.value) else r.value)
+            for r in m.itertuples()}
+    assert got == want
+
+
+def test_null_payload_tolerance_nulls_whole_row(spark):
+    """The tolerance cut keys off the matched row's own ts: a stale
+    older value must not survive through a NULL-payload nearer match."""
+    l = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    r = spark.createDataFrame([(1, 10, 1.0), (1, 99, None)],
+                              "user_id long, ts long, value double")
+    row = asof_join(l, r, right_cols=["value"], tolerance=5).head()
+    assert row["ts_r"] == 99 and row["value_r"] is None
+
+
 def test_guards(spark):
     from fetcho_spark.operators.asof import interval_join
     l, r = _frames(spark)

@@ -72,6 +72,29 @@ def test_check_constraints(spark):
     assert out[("missing", "min_q_ge")][1] is False
 
 
+def test_check_on_unmerged_union_is_deterministic(spark):
+    """ADVICE r5 regression: check() handed a unioned-but-NOT-merged
+    profile (duplicate (column, metric) rows) must verdict exactly as on
+    the properly merged profile — duplicates merge with each metric's
+    own op, not a nondeterministic first()."""
+    pa = dq.profile(_df(spark, ROWS_A), NUM, STR)
+    pb = dq.profile(_df(spark, ROWS_B), NUM, STR)
+    rules = [("qty", "completeness_pct_ge", 80),
+             ("qty", "min_q_ge", -3_000_000),
+             ("price", "max_q_le", 50_500_000),
+             ("flag", "n_empty_eq", 1)]
+    unmerged = pa.unionByName(pb).repartition(7)
+
+    def _chk(prof):
+        return {(r["column"], r["op"]): (r["observed"], r["ok"])
+                for r in dq.check(prof, rules).collect()}
+
+    assert _chk(unmerged) == _chk(dq.merge_profiles(pa, pb))
+    # n_rows must be the UNION total (5), not one increment's first()
+    got = _chk(unmerged)
+    assert got[("qty", "completeness_pct_ge")] == (100 * (5 - 1), True)
+
+
 def test_unknown_rule_op_raises(spark):
     prof = dq.profile(_df(spark, ROWS_A), NUM, STR)
     with pytest.raises(ValueError):

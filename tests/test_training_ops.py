@@ -663,3 +663,23 @@ def test_exact_dedup_best_survivor(spark):
     assert out[2] == (50, 3)
     assert 1 not in out and 3 not in out
     assert out[4] == (7, 1) and out[5] == (9, 1) and out[6] == (1, 1)
+
+
+@pytest.mark.spark
+def test_exact_dedup_best_null_scores_and_string_ids(spark):
+    """ADVICE r5 regression: NULL scores lose to any non-NULL score
+    (never win, never poison the ordering struct), an all-NULL group
+    falls back to lowest id, and non-numeric ids work (no negation)."""
+    rows = [("a", "dup one", 5.0), ("b", "dup one", None),
+            ("c", "dup one", 9.0),
+            ("x", "dup two", None), ("y", "dup two", None),
+            ("z", "only", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, "
+                                     "score double")
+    out = {r["keep_id"]: (r["best_score"], r["n_docs"])
+           for r in D.exact_dedup_best(df, "score",
+                                       id_col="doc_id").collect()}
+    assert out["c"] == (9.0, 3)          # NULL (b) loses to 5.0 and 9.0
+    assert out["x"] == (None, 2)         # all-NULL group: lowest id
+    assert out["z"] == (None, 1)
+    assert set(out) == {"c", "x", "z"}
