@@ -2712,7 +2712,61 @@ _ASPECT_BUCKETS_SQL = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # DICT ORDER IS THE DRIVER-VERIFICATION ROTATION: the driver checks
+    # roughly the first 50 entries per round (r04 checked exactly the
+    # first 50 of 96), so entries NOT yet covered by any round's
+    # CORRECTNESS_r*.json go FIRST. Rounds 1-4 verified the 50 entries
+    # now at the tail (see COVERAGE.md "driver verification rotation");
+    # this round fronts the 46 that have only builder-side gate runs.
     return {
+        # --- not yet driver-verified (fronted for round 5) ---
+        "c4_filter": q_c4_filter,
+        "pagerank": q_pagerank,
+        "bigram_quality": q_bigram_quality,
+        "pack_sequences": q_pack_sequences,
+        "split_assign": q_split_assign,
+        "inverted_index": q_inverted_index,
+        "bpe_encode_fixture": q_bpe_encode_fixture,
+        "exact_quantiles": q_exact_quantiles,
+        "histogram": q_histogram,
+        "dedup_against": q_dedup_against,
+        "hits": q_hits,
+        "rank_docs": q_rank_docs,
+        "hll_sketch": q_hll_sketch,
+        "kmeans_centroids": q_kmeans_centroids,
+        "semdedup": q_semdedup,
+        "datacomp_filter": q_datacomp_filter,
+        "curation_stats": q_curation_stats,
+        "clip_filter": q_clip_filter,
+        "robots_parse": q_robots_parse,
+        "cms_sketch": q_cms_sketch,
+        "cms_heavy": q_cms_heavy,
+        "dsir_sample": q_dsir_sample,
+        "sitemap_parse": q_sitemap_parse,
+        "trap_suspect": q_trap_suspect,
+        "strip_tracking": q_strip_tracking,
+        "anchor_stats": q_anchor_stats,
+        "script_profile": q_script_profile,
+        "kmv_sketch": q_kmv_sketch,
+        "recrawl_schedule": q_recrawl_schedule,
+        "hn_seeds": q_hn_seeds,
+        "reddit_seeds": q_reddit_seeds,
+        "aspect_buckets": q_aspect_buckets,
+        "mixture_weights": q_mixture_weights,
+        "ann_pq": q_ann_pq,
+        "boilerplate": q_boilerplate,
+        "dq_profile": q_dq_profile,
+        "dq_check": q_dq_check,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "nfc_normalize": q_nfc_normalize,
+        "hashed_tfidf": q_hashed_tfidf,
+        "hll_by_group": q_hll_by_group,
+        "dedup_best": q_dedup_best,
+        "cms_by_group": q_cms_by_group,
+        "stratified_split": q_stratified_split,
+        "kmv_by_group": q_kmv_by_group,
+        # --- driver-verified in rounds 1-4 (CORRECTNESS_r0{1..4}.json) ---
         "anti_join_seen": q_anti_join_seen,
         "seen_route_cuckoo": q_seen_route_cuckoo,
         "window_chunk_seq": q_window_chunk_seq,
@@ -2763,52 +2817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_train_fixture": q_bpe_train_fixture,
         "line_dedup": q_line_dedup,
-        "c4_filter": q_c4_filter,
-        "pagerank": q_pagerank,
-        "bigram_quality": q_bigram_quality,
-        "pack_sequences": q_pack_sequences,
-        "split_assign": q_split_assign,
-        "inverted_index": q_inverted_index,
-        "bpe_encode_fixture": q_bpe_encode_fixture,
-        "exact_quantiles": q_exact_quantiles,
-        "histogram": q_histogram,
-        "dedup_against": q_dedup_against,
-        "hits": q_hits,
-        "rank_docs": q_rank_docs,
-        "hll_sketch": q_hll_sketch,
-        "kmeans_centroids": q_kmeans_centroids,
-        "semdedup": q_semdedup,
-        "datacomp_filter": q_datacomp_filter,
-        "curation_stats": q_curation_stats,
-        "clip_filter": q_clip_filter,
-        "robots_parse": q_robots_parse,
-        "cms_sketch": q_cms_sketch,
-        "cms_heavy": q_cms_heavy,
-        "dsir_sample": q_dsir_sample,
-        "sitemap_parse": q_sitemap_parse,
-        "trap_suspect": q_trap_suspect,
-        "strip_tracking": q_strip_tracking,
-        "anchor_stats": q_anchor_stats,
-        "script_profile": q_script_profile,
-        "kmv_sketch": q_kmv_sketch,
-        "recrawl_schedule": q_recrawl_schedule,
-        "hn_seeds": q_hn_seeds,
-        "reddit_seeds": q_reddit_seeds,
-        "aspect_buckets": q_aspect_buckets,
-        "mixture_weights": q_mixture_weights,
-        "ann_pq": q_ann_pq,
-        "boilerplate": q_boilerplate,
-        "dq_profile": q_dq_profile,
-        "dq_check": q_dq_check,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "nfc_normalize": q_nfc_normalize,
-        "hashed_tfidf": q_hashed_tfidf,
-        "hll_by_group": q_hll_by_group,
-        "dedup_best": q_dedup_best,
-        "cms_by_group": q_cms_by_group,
-        "stratified_split": q_stratified_split,
-        "kmv_by_group": q_kmv_by_group,
     }
 
 

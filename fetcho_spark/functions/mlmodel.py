@@ -67,7 +67,8 @@ class NBModel:
 
 
 def train_nb_df(df, text_col: str = "text", label_col: str = "label",
-                alpha: float = 1.0) -> NBModel:
+                alpha: float = 1.0, min_df: int = 1,
+                max_vocab: int | None = None) -> NBModel:
     """Cluster-scale NB trainer — the ``learno`` analog
     (learno/MultiClassifierModelTrainer.cs trains multiclass text models
     from workspace result data; this is the same fit expressed as DataFrame
@@ -86,13 +87,35 @@ def train_nb_df(df, text_col: str = "text", label_col: str = "label",
     ``lower`` + ``[a-z0-9]+`` regex, which agrees with the Python tokenizer
     on everything but exotic case-folding codepoints (both fold ASCII
     identically; the token alphabet is ASCII-only by construction).
+
+    "Model-sized" must be BOUNDED at 100 TB — the raw token vocabulary of
+    a web corpus is 10^8-10^9 rows (hapax/typo/URL-fragment tail), a
+    driver OOM if collected raw. ``min_df`` drops tokens with total count
+    below it and ``max_vocab`` keeps only the top-V by total count (ties
+    → lexicographic, so the cut is deterministic in any partitioning);
+    both run INSIDE the aggregation — a second agg over the already
+    model-shaped (label, token) counts plus a bounded TakeOrdered, never
+    a corpus re-scan — so the collect is ≤ labels×V rows. Dropped tokens
+    fall to the model's unknown-token likelihood at classify time.
+    Defaults (1, None) are exact no-ops, preserving bit-parity with
+    :func:`train_nb`.
     """
     toks = df.select(
         F.col(label_col).alias("_lbl"),
         F.explode(F.regexp_extract_all(
             F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
         .alias("_tok"))
-    pair_rows = toks.groupBy("_lbl", "_tok").count().collect()
+    pairs = toks.groupBy("_lbl", "_tok").count()
+    if min_df > 1 or max_vocab is not None:
+        totals = pairs.groupBy("_tok").agg(F.sum("count").alias("_tc"))
+        if min_df > 1:
+            totals = totals.filter(F.col("_tc") >= min_df)
+        if max_vocab is not None:
+            totals = (totals.orderBy(F.col("_tc").desc(),
+                                     F.col("_tok").asc())
+                      .limit(int(max_vocab)))
+        pairs = pairs.join(totals.select("_tok"), "_tok")
+    pair_rows = pairs.collect()
     prior_rows = (df.groupBy(F.col(label_col).alias("_lbl")).count()
                   .collect())
     label_names = sorted(r["_lbl"] for r in prior_rows)

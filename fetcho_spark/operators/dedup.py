@@ -158,7 +158,8 @@ def dedup_against(new_sigs: DataFrame, ref_sigs: DataFrame,
 def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
                   shingle_n: int = 3, threshold: float = 0.8,
-                  max_shingle_df: int | None = 1000) -> DataFrame:
+                  max_shingle_df: int | None = 1000,
+                  observation=None) -> DataFrame:
     """n-gram Jaccard similarity for pairs (all pairs sharing ≥1 shingle, or
     only LSH candidates when given): |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
 
@@ -169,14 +170,32 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
     emit O(df²) intermediate pairs — the quadratic blowup at corpus scale.
     Capped shingles are excluded from both intersections and set sizes, so
     the Jaccard stays consistent over the reduced shingle universe.
+
+    The cap is never silent when the caller asks: pass an ``Observation``
+    and the action that materializes the pairs reports
+    ``hot_shingles_dropped`` / ``hot_shingle_rows`` (0/0 = the cap never
+    engaged) — the hamming_band_pairs metric contract.
     """
     sh = (df.select(F.col(id_col),
                     F.explode(shingles(F.col(text_col), shingle_n))
                     .alias("shingle")).distinct())
     if max_shingle_df is not None:
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-               .filter(F.col("_df") > max_shingle_df).select("shingle"))
-        sh = sh.join(hot, "shingle", "left_anti")
+        counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        if observation is not None:
+            hot = F.col("_df") > max_shingle_df
+            counts = counts.observe(
+                observation,
+                F.coalesce(F.sum(F.when(hot, 1)), F.lit(0))
+                 .alias("hot_shingles_dropped"),
+                F.coalesce(F.sum(F.when(hot, F.col("_df"))), F.lit(0))
+                 .alias("hot_shingle_rows"))
+        # positive join against the COLD set (not anti-join against hot):
+        # keeps the observed counts node on the surviving path, so the
+        # metrics don't vanish via AQE empty-relation propagation exactly
+        # when they'd read 0/0
+        cold = counts.filter(F.col("_df") <= max_shingle_df) \
+            .select("shingle")
+        sh = sh.join(cold, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -212,9 +212,42 @@ def kmeans_assign(corpus: DataFrame, cents: list[list[int]],
                     _nearest(F.col("_qv"), cents).alias("cluster")))
 
 
+def _with_subcluster(staged: DataFrame, id_col: str,
+                     max_cluster_rows: int | None,
+                     observation=None) -> DataFrame:
+    """Hot-cluster guard: clusters above ``max_cluster_rows`` members are
+    re-split by a salted secondary hash into ``ceil(n / cap)`` sub-keys
+    (cold clusters keep ``_sub = 0``), so no single pair-join key is ever
+    quadratic in a skewed cluster. Deterministic: the sub-key is a pure
+    function of the row id. Returns ``staged`` + ``_sub``."""
+    if max_cluster_rows is None:
+        return staged.withColumn("_sub", F.lit(0).cast("long"))
+    counts = staged.groupBy("cluster").agg(F.count("*").alias("_cn"))
+    if observation is not None:
+        hot = F.col("_cn") > max_cluster_rows
+        counts = counts.observe(
+            observation,
+            F.coalesce(F.sum(F.when(hot, 1)), F.lit(0))
+             .alias("hot_clusters_split"),
+            F.coalesce(F.sum(F.when(hot, F.col("_cn"))), F.lit(0))
+             .alias("hot_cluster_rows"))
+    nsub = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("_cn") / F.lit(int(max_cluster_rows))).cast("long"))
+    # counts is k rows (one per centroid) — always broadcastable
+    return (staged.join(F.broadcast(counts), "cluster")
+            .withColumn("_sub",
+                        F.pmod(F.xxhash64(F.col(id_col).cast("string"),
+                                          F.lit(":semdedup-salt:")),
+                               nsub))
+            .drop("_cn"))
+
+
 def semdedup(corpus: DataFrame, cents: list[list[int]],
              tau: float = 0.95, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
+             id_col: str = "vec_id",
+             max_cluster_rows: int | None = 20_000,
+             observation=None) -> DataFrame:
     """Survivors after semantic dedup: a row is DROPPED iff some lower-id
     row in the SAME cluster has cosine ≥ tau with it (deterministic
     lowest-id survivor per near-dup group — the same survivor rule as
@@ -225,26 +258,49 @@ def semdedup(corpus: DataFrame, cents: list[list[int]],
     join (SemDeDup's point); within a cluster the compare runs as a
     hash-join self-pair with ``id < id2``. Pair cosine is
     ``dot / (sqrt(n1)·sqrt(n2))`` over exact integer inputs — bit-stable,
-    so ``>= tau`` needs no epsilon."""
+    so ``>= tau`` needs no epsilon.
+
+    Blocking only bounds the join if no cluster degenerates — and
+    near-duplicate-heavy corpora (exactly where semdedup runs) are where
+    one cluster swallows the corpus and one join key goes quadratic. So
+    the hot-cluster guard is ON by default (``max_cluster_rows=20_000``,
+    the ``max_band_df`` pattern from hamming_band_pairs): oversized
+    clusters re-split by a salted id-hash into ceil(n/cap) sub-clusters,
+    bounding pairs per key at ~cap²/2 and total pairs at ~n·cap/2.
+    Near-dups split into different sub-clusters are missed — a documented
+    recall trade that engages ONLY above the cap (the DuckDB gate twin
+    carries no split and matches exactly while every cluster ≤ cap, true
+    at every tested scale incl. the 20k-embedding sf1 worst case). Pass
+    an ``Observation`` to get ``hot_clusters_split``/``hot_cluster_rows``
+    on the materializing action — 0/0 means recall was 100%; pass
+    ``max_cluster_rows=None`` to opt out for exhaustive small-corpus
+    runs."""
+    assert observation is None or max_cluster_rows is not None, \
+        "observation reports the hot-cluster cap - it needs a cap to watch"
     staged = (_staged(corpus, vec_col, id_col)
               .withColumn("cluster", _nearest(F.col("_qv"), cents))
               .withColumn("_n2", _dot_q(F.col("_qv"), F.col("_qv"))))
-    left = staged.select(F.col(id_col).alias("_id1"),
-                         F.col("cluster"),
+    salted = _with_subcluster(staged, id_col, max_cluster_rows, observation)
+    left = salted.select(F.col(id_col).alias("_id1"),
+                         F.col("cluster"), F.col("_sub"),
                          F.col("_qv").alias("_v1"),
                          F.col("_n2").alias("_n21"))
-    right = staged.select(F.col(id_col).alias("_id2"),
-                          F.col("cluster"),
+    right = salted.select(F.col(id_col).alias("_id2"),
+                          F.col("cluster"), F.col("_sub"),
                           F.col("_qv").alias("_v2"),
                           F.col("_n2").alias("_n22"))
     cos = (_dot_q(F.col("_v1"), F.col("_v2")).cast("double")
            / (F.sqrt(F.col("_n21").cast("double"))
               * F.sqrt(F.col("_n22").cast("double"))))
-    dups = (left.join(right, "cluster")
+    dups = (left.join(right, ["cluster", "_sub"])
             .filter(F.col("_id1") < F.col("_id2"))
             .filter((F.col("_n21") > 0) & (F.col("_n22") > 0))
             .filter(cos >= F.lit(float(tau)))
             .select(F.col("_id2").alias(id_col))
             .distinct())
-    return (staged.join(dups, id_col, "left_anti")
+    # anti-join LEFT side is `salted`, not `staged`: when dups is empty,
+    # AQE's empty-relation propagation collapses the anti-join to its
+    # left child — which must still carry the observed counts subtree or
+    # the cap metrics would vanish exactly when they read 0/0
+    return (salted.join(dups, id_col, "left_anti")
             .select(id_col, "cluster"))

@@ -115,3 +115,58 @@ def test_semdedup_plan_blocks_on_cluster(spark):
     plan = semdedup(df, cents)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def _hot_fixture(spark, n=200):
+    # one direction swallows 90% of rows (a boilerplate mega-cluster);
+    # the remaining 10% are decorrelated
+    hot = [(i, [1.0 + i * 1e-9, 0.5, 0.25, 0.125]) for i in range(180)]
+    cold = [(1000 + i, _vec(i, 4)) for i in range(n - 180)]
+    return hot + cold, spark.createDataFrame(
+        hot + cold, "vec_id LONG, embedding ARRAY<FLOAT>").repartition(5)
+
+
+def test_semdedup_hot_cluster_guard_bounds_pairs(spark):
+    """VERDICT r4 #2: a 90%-of-corpus cluster must re-split so no single
+    pair-join key is quadratic, with a countable engagement signal."""
+    from pyspark.sql import Observation
+    from fetcho_spark.operators.semdedup import (_dot_q, _nearest, _staged,
+                                                 _with_subcluster)
+    rows, df = _hot_fixture(spark)
+    cents = kmeans_fit(df, k=4, iters=2)
+    obs = Observation()
+    out = semdedup(df, cents, tau=0.999, max_cluster_rows=20,
+                   observation=obs).collect()
+    assert obs.get["hot_clusters_split"] >= 1
+    assert obs.get["hot_cluster_rows"] >= 180
+    # the guard's sub-key bound: no (cluster, _sub) cell above ~cap
+    staged = (_staged(df, "embedding", "vec_id")
+              .withColumn("cluster", _nearest(F.col("_qv"), cents)))
+    cells = (_with_subcluster(staged, "vec_id", 20)
+             .groupBy("cluster", "_sub").count().collect())
+    assert max(c["count"] for c in cells) <= 2 * 20  # salted-hash slack
+    # pair budget: sum cell^2 << hot-cluster^2
+    assert sum(c["count"] ** 2 for c in cells) < 180 ** 2 / 4
+    # survivors remain a superset of the uncapped run's (splitting can
+    # only MISS near-dups, never invent one)
+    uncapped = {r["vec_id"] for r in
+                semdedup(df, cents, tau=0.999,
+                         max_cluster_rows=None).collect()}
+    assert uncapped <= {r["vec_id"] for r in out}
+
+
+def test_semdedup_guard_inert_below_cap(spark):
+    """Below the cap the guard is a no-op: identical survivors, zero
+    engagement signal — the gate-twin-parity claim."""
+    from pyspark.sql import Observation
+    rows, df = _emb_df(spark, n=40)
+    cents = kmeans_fit(df, k=3, iters=2)
+    obs = Observation()
+    capped = sorted(tuple(r) for r in semdedup(
+        df, cents, tau=0.99, max_cluster_rows=20_000,
+        observation=obs).collect())
+    uncapped = sorted(tuple(r) for r in semdedup(
+        df, cents, tau=0.99, max_cluster_rows=None).collect())
+    assert capped == uncapped
+    assert obs.get["hot_clusters_split"] == 0
+    assert obs.get["hot_cluster_rows"] == 0

@@ -233,6 +233,19 @@ def test_jaccard_hot_shingle_cap(spark):
     # uncapped: the shared boilerplate makes every doc pair a candidate
     uncapped = jaccard_pairs(df, threshold=0.0, max_shingle_df=None)
     assert uncapped.count() >= 30 * 29 / 2
+    # ADVICE r4: the cap is observable — dropped-shingle metrics ride the
+    # same action, and read 0/0 when nothing exceeded the cap
+    from pyspark.sql import Observation
+    obs = Observation("jcap")
+    jaccard_pairs(df, threshold=0.2, max_shingle_df=10,
+                  observation=obs).collect()
+    m = obs.get
+    assert m["hot_shingles_dropped"] >= 1
+    assert m["hot_shingle_rows"] >= 30
+    obs0 = Observation("jnocap")
+    jaccard_pairs(df.filter(F.col("doc_id") >= 100), threshold=0.2,
+                  max_shingle_df=10, observation=obs0).collect()
+    assert obs0.get == {"hot_shingles_dropped": 0, "hot_shingle_rows": 0}
 
 
 @pytest.mark.spark
@@ -563,6 +576,37 @@ def test_train_nb_df_10x_scale_no_driver_corpus(spark):
     # 10× replication with variation really changed the model vs 1×
     assert _model_fingerprint(dist) != _model_fingerprint(
         train_nb(texts, labels))
+
+
+@pytest.mark.spark
+def test_train_nb_df_vocab_bound(spark):
+    """VERDICT r4 #3: with an injected hapax tail the trainer must
+    collect a BOUNDED vocabulary — min_df cuts the tail, max_vocab caps
+    top-V deterministically — while defaults stay bit-par with train_nb."""
+    from fetcho_spark.functions.mlmodel import (topics_fixture_corpus,
+                                                train_nb, train_nb_df)
+    texts, labels = topics_fixture_corpus()
+    base = spark.createDataFrame(list(zip(texts, labels)),
+                                 "text string, label string")
+    # hapax tail: 5000 one-off tokens, one per synthetic doc
+    tail = spark.range(5000).select(
+        F.concat(F.lit("hapaxword"), F.col("id")).alias("text"),
+        F.lit(labels[0]).alias("label"))
+    df = base.unionByName(tail)
+    core_vocab = len(train_nb(texts, labels).vocab)
+    # min_df=2 drops every hapax: vocab collapses to repeated tokens only
+    m = train_nb_df(df, "text", "label", min_df=2)
+    assert len(m.vocab) <= core_vocab
+    assert not any(t.startswith("hapaxword") for t in m.vocab)
+    # top-V cap: exactly V tokens survive, the most frequent ones
+    m50 = train_nb_df(df, "text", "label", max_vocab=50)
+    assert len(m50.vocab) == 50
+    # deterministic across partitionings
+    m50b = train_nb_df(df.repartition(13), "text", "label", max_vocab=50)
+    assert sorted(m50.vocab) == sorted(m50b.vocab)
+    # bounded model still classifies the fixture topics
+    pred, _ = m50.predict_one("quantum experiment research data")
+    assert pred in m50.labels
 
 
 @pytest.mark.spark
