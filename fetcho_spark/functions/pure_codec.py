@@ -907,6 +907,48 @@ def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 92) -> bytes:
     return bytes(out)
 
 
+def _next_marker(data: bytes, pos: int) -> tuple[int | None, int]:
+    """THE shared JPEG marker-framing walk (T.81 B.1.1.2), used by both
+    ``jpeg_decode`` and ``jpeg_quality_estimate`` so the fill-byte and
+    garbage-skip rules can never drift apart: skip non-0xFF bytes,
+    collapse 0xFF fill-byte runs (a 0xFF followed by another 0xFF is
+    padding before the real marker). Returns ``(marker, pos)`` with
+    ``pos`` just past the two marker bytes, or ``(None, len(data))`` at
+    end of stream."""
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            return None, n
+        if data[pos + 1] == 0xFF:              # fill byte (B.1.1.2)
+            pos += 1
+            continue
+        return data[pos + 1], pos + 2
+    return None, n
+
+
+def _iter_dqt(body: bytes):
+    """Parse one DQT segment body → yields ``(tq, zz)`` per table, where
+    ``zz`` is the 64-entry zigzag-order vector (uint8 for Pq=0, big-endian
+    uint16 for Pq=1); shared by the decoder and the quality estimator.
+    Raises on an illegal precision nibble; a TRUNCATED final table yields
+    with ``zz.size < 64`` for the caller to judge."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        if pq not in (0, 1):
+            raise ValueError(f"JPEG: bad DQT precision {pq}")
+        if pq:                                 # Pq=1: 64 big-endian uint16
+            zz = np.frombuffer(body[i + 1:i + 129], ">u2")
+            i += 129
+        else:
+            zz = np.frombuffer(body[i + 1:i + 65], np.uint8)
+            i += 65
+        yield tq, zz
+
+
 class _BitReader:
     """Entropy-coded-segment bit reader: un-stuffs 0xFF00, stops at
     markers (leaves position ON the 0xFF)."""
@@ -986,14 +1028,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     coeffs: dict | None = None
     restart_interval = 0
     while pos < len(data):
-        if data[pos] != 0xFF:
-            pos += 1
-            continue
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xFF:                     # fill byte (B.1.1.2)
-            pos -= 1
-            continue
+        marker, pos = _next_marker(data, pos)
+        if marker is None:
+            break
         if marker == 0xD9 and progressive and coeffs is not None:
             break                              # EOI after progressive scans
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
@@ -1001,17 +1038,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
         body = data[pos + 2:pos + seglen]
         if marker == 0xDB:                     # DQT (possibly several)
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq not in (0, 1):
-                    raise ValueError(f"JPEG: bad DQT precision {pq}")
-                if pq:                         # Pq=1: 64 big-endian uint16
-                    zz = np.frombuffer(body[i + 1:i + 129], ">u2")
-                    i += 129
-                else:
-                    zz = np.frombuffer(body[i + 1:i + 65], np.uint8)
-                    i += 65
+            for tq, zz in _iter_dqt(body):
                 if zz.size != 64:
                     raise ValueError("JPEG: truncated DQT")
                 t = np.zeros(64, np.int32)
@@ -1103,18 +1130,13 @@ def jpeg_quality_estimate(data: bytes) -> dict:
     "l1"}``; raises on non-JPEG or missing DQT."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
-    # NOTE: this walk intentionally mirrors jpeg_decode's framing
-    # (incl. the 0xFF fill-byte rule, T.81 B.1.1.2) — keep them in sync
+    # framing is jpeg_decode's OWN _next_marker/_iter_dqt helpers — one
+    # shared walk, so the fill-byte and garbage-skip rules cannot drift
     pos, luma_zz = 2, None
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            pos += 1
-            continue
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xFF:                     # fill byte before marker
-            pos -= 1
-            continue
+    while pos < len(data):
+        marker, pos = _next_marker(data, pos)
+        if marker is None:
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             continue
         if pos + 2 > len(data):
@@ -1123,15 +1145,7 @@ def jpeg_quality_estimate(data: bytes) -> dict:
         body = data[pos + 2:pos + seglen]
         pos += seglen
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq:
-                    zz = np.frombuffer(body[i + 1:i + 129], ">u2")
-                    i += 129
-                else:
-                    zz = np.frombuffer(body[i + 1:i + 65], np.uint8)
-                    i += 65
+            for tq, zz in _iter_dqt(body):
                 if tq == 0 and zz.size == 64:
                     luma_zz = zz.astype(np.int32)
         elif marker == 0xDA:

@@ -194,6 +194,97 @@ def extract_anchors_udf(body: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+# --- keyword fragments (reference HTMLKeywordParser semantics) ----------
+#
+# common/ContentReader/HTMLKeywordParser.cs (via Grammars/html/HTMLLexer.g4):
+# walk the document emitting every htmlChardata run and (optionally) every
+# htmlComment token, each .Trim()med, length-checked INCLUSIVELY against
+# [min, max] on the trimmed raw text, then HTML-decoded. Comment tokens are
+# emitted WITH their delimiters (the listener calls context.GetText() on
+# the whole HTML_COMMENT token) — mirrored verbatim. Script/style bodies,
+# DTDs, scriptlets and XML declarations are separate lexer tokens, never
+# chardata. The grammar ties '<![CDATA[x]]>' to HTML_CONDITIONAL_COMMENT
+# (same length, earlier rule), so CDATA surfaces as a comment — mirrored
+# by the conditional-comment alternative below.
+_HTML_TOKEN_RE = re.compile(
+    r"<!--.*?-->"                       # HTML_COMMENT (delims included)
+    r"|<!\[.*?\]>"                      # HTML_CONDITIONAL_COMMENT / CDATA
+    r"|<\?.*?\?>|<%.*?%>"               # SCRIPTLET / XML_DECLARATION
+    r"|<script\b.*?(?:</script[^>]*>|$)"   # SCRIPT_OPEN + SCRIPT_BODY
+    r"|<style\b.*?(?:</style[^>]*>|$)"     # STYLE_OPEN + STYLE_BODY
+    r"|<!.*?>"                          # DTD
+    r"|<[^>]*>",                        # TAG mode
+    re.I | re.S)
+
+
+def extract_keywords(html_src: str | None, min_len: int = 1,
+                     max_len: int | None = None,
+                     include_chardata: bool = True,
+                     include_comments: bool = True) -> list[str]:
+    """HTMLKeywordParser.cs analog → document-order keyword fragments.
+
+    Each chardata run between tags and each comment token is trimmed,
+    kept iff ``min_len <= len(trimmed) <= max_len`` (inclusive, like the
+    reference's ``IsBetween``; ``max_len=None`` = unbounded), then
+    HTML-decoded (``HttpUtility.HtmlDecode`` ≈ ``html.unescape``). The
+    reference's defaults (int.MinValue..int.MaxValue) admit empty
+    fragments from whitespace-only SEA_WS runs; ``min_len`` defaults to
+    1 to skip those — pass 0 for byte-faithful emptiness."""
+    if not html_src:
+        return []
+    out: list[str] = []
+
+    def _emit(frag: str) -> None:
+        frag = frag.strip()
+        if len(frag) < min_len:
+            return
+        if max_len is not None and len(frag) > max_len:
+            return
+        out.append(_html.unescape(frag))
+
+    pos = 0
+    for m in _HTML_TOKEN_RE.finditer(html_src):
+        if include_chardata and m.start() > pos:
+            _emit(html_src[pos:m.start()])
+        tok = m.group(0)
+        if include_comments and (tok.startswith("<!--")
+                                 or tok.startswith("<![")):
+            _emit(tok)
+        pos = m.end()
+    if include_chardata and pos < len(html_src):
+        _emit(html_src[pos:])
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_keywords_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([extract_keywords(b) if b is not None else []
+                      for b in body], dtype=object)
+
+
+def keyword_fragments(pages, body_col: str = "body", min_len: int = 1,
+                      max_len: int | None = None,
+                      include_chardata: bool = True,
+                      include_comments: bool = True):
+    """DataFrame form: one row per emitted fragment, document order not
+    preserved across rows (per-page order rides ``frag_idx``). One Arrow
+    crossing; downstream tokenization/counting stays JVM-side."""
+    import functools
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(body: pd.Series) -> pd.Series:
+        fn = functools.partial(
+            extract_keywords, min_len=min_len, max_len=max_len,
+            include_chardata=include_chardata,
+            include_comments=include_comments)
+        return pd.Series([fn(b) if b is not None else [] for b in body],
+                         dtype=object)
+
+    return (pages.select("*", F.posexplode(_udf(F.col(body_col)))
+                         .alias("frag_idx", "fragment"))
+            .drop(body_col))
+
+
 def anchor_stats(pages, url_col: str = "url", body_col: str = "body"):
     """Inbound anchor-text aggregation → ``(url, anchor, n_refs)``.
 

@@ -604,12 +604,21 @@ def stratified_split(df: DataFrame, group_col: str = "source",
 
 
 def keyword_counts(df: DataFrame, text_col: str = "text",
-                   min_len: int = 3) -> DataFrame:
-    """A5: term frequencies across the corpus (ExtractKeywordsConsumer)."""
-    return (df.select(F.explode(F.split(F.lower(F.col(text_col)),
-                                        r"[^a-z0-9]+")).alias("word"))
-            .filter(F.length("word") >= min_len)
-            .groupBy("word").agg(F.count("*").alias("n")))
+                   min_len: int = 3,
+                   max_len: int | None = None) -> DataFrame:
+    """A5: term frequencies across the corpus (ExtractKeywordsConsumer).
+    ``min_len``/``max_len`` bound the kept word lengths INCLUSIVELY — the
+    reference extractor's MinimumLength/MaximumLength knobs
+    (common/ContentReader/HTMLKeywordParser.cs; ``max_len=None`` =
+    unbounded, the reference's int.MaxValue default). For the upstream
+    HTML fragment emission itself (chardata + comment tokens) see
+    ``htmllinks.extract_keywords``/``keyword_fragments``."""
+    words = (df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                         r"[^a-z0-9]+")).alias("word"))
+             .filter(F.length("word") >= min_len))
+    if max_len is not None:
+        words = words.filter(F.length("word") <= max_len)
+    return words.groupBy("word").agg(F.count("*").alias("n"))
 
 
 # ------------------------------------------------------- script profiling

@@ -135,3 +135,83 @@ def test_anchor_stats_aggregates_canonical_targets(spark):
     assert got[("https://p1.example/rel", "rel one")] == 1
     assert got[("https://b.example/rel", "rel two")] == 1
     assert not any(u.endswith("/empty") for u, _ in got)
+
+
+KEYWORD_HTML = (
+    "<!DOCTYPE html><html><head>"
+    "<title>Page &amp; Title</title>"
+    "<style>p { color: red }</style>"
+    "<script>var x = 'not text';</script>"
+    "</head><body>"
+    "<!-- hidden note -->"
+    "<p>First run</p>"
+    "between tags"
+    "<![if IE]>cond<![endif]>"
+    "<p>  trimmed  </p>"
+    "</body></html>"
+)
+
+
+def test_extract_keywords_reference_semantics():
+    """HTMLKeywordParser.cs parity: chardata runs + comment tokens (WITH
+    their delimiters, as the listener's GetText() emits them), trimmed,
+    html-decoded; script/style bodies and DTDs are never chardata."""
+    from fetcho_spark.operators.htmllinks import extract_keywords
+    got = extract_keywords(KEYWORD_HTML)
+    assert "Page & Title" in got            # entity-decoded chardata
+    assert "First run" in got and "between tags" in got
+    assert "trimmed" in got                 # .Trim() before emit
+    assert "<!-- hidden note -->" in got    # comment WITH delimiters
+    assert "<![if IE]>" in got and "<![endif]>" in got
+    assert "cond" in got                    # chardata between conditionals
+    assert not any("color: red" in f for f in got)      # style body
+    assert not any("not text" in f for f in got)        # script body
+    assert not any("DOCTYPE" in f for f in got)         # DTD
+    # document order of the text fragments is preserved
+    assert got.index("Page & Title") < got.index("First run") \
+        < got.index("between tags") < got.index("trimmed")
+
+
+def test_extract_keywords_length_bounds_and_toggles():
+    from fetcho_spark.operators.htmllinks import extract_keywords
+    # bounds are INCLUSIVE on the TRIMMED raw text (IsBetween)
+    html = "<p>abc</p><p>abcd</p><!-- c -->"
+    assert extract_keywords(html, min_len=3, max_len=3,
+                            include_comments=False) == ["abc"]
+    assert extract_keywords(html, min_len=4, max_len=4,
+                            include_comments=False) == ["abcd"]
+    # IncludeChardata / IncludeComments toggles
+    assert extract_keywords(html, include_chardata=False) == ["<!-- c -->"]
+    assert extract_keywords(html, include_comments=False,
+                            include_chardata=False) == []
+    # min_len=0 admits the reference's empty-after-trim fragments
+    ws = "<p> </p><p>x</p>"
+    assert extract_keywords(ws, min_len=0) == ["", "x"]
+    assert extract_keywords(ws) == ["x"]
+    assert extract_keywords(None) == [] and extract_keywords("") == []
+    # unterminated script swallows to EOF (SCRIPT_SHORT_BODY), no crash
+    assert extract_keywords("<p>a</p><script>var y=1;") == ["a"]
+
+
+@pytest.mark.spark
+def test_keyword_fragments_dataframe(spark):
+    from fetcho_spark.operators.htmllinks import keyword_fragments
+    pages = spark.createDataFrame(
+        [("u1", KEYWORD_HTML), ("u2", None)], "url string, body string")
+    rows = keyword_fragments(pages, min_len=1,
+                             include_comments=False).collect()
+    frags = [r["fragment"] for r in sorted(rows, key=lambda r: r["frag_idx"])
+             if r["url"] == "u1"]
+    assert frags == ["Page & Title", "First run", "between tags",
+                     "cond", "trimmed"]
+    assert not [r for r in rows if r["url"] == "u2"]
+
+
+@pytest.mark.spark
+def test_keyword_counts_max_len(spark):
+    from fetcho_spark.operators.textops import keyword_counts
+    df = spark.createDataFrame(
+        [("one four seven elevenplus",)], "text string")
+    got = {r["word"]: r["n"]
+           for r in keyword_counts(df, min_len=3, max_len=5).collect()}
+    assert set(got) == {"one", "four", "seven"}
