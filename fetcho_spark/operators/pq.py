@@ -67,21 +67,40 @@ def _lit_vec(cv: list[int]) -> Column:
     return F.array(*[F.lit(int(v)).cast("long") for v in cv])
 
 
-def _l2_key(sv: Column, cv: list[int]) -> Column:
-    """Exact-BIGINT argmin key for ``||sv - cv||^2``: norm2(cv) - 2*dot
-    (the row's own norm2 is constant across centroids and drops out)."""
-    n2 = sum(v * v for v in cv)
-    dot = _dot_q(sv, _lit_vec(cv))
-    return F.lit(n2).cast("long") - F.lit(2).cast("long") * dot
-
-
-def _assign_code(sv: Column, cents: list[list[int]]) -> Column:
+def _assign_code(qv: Column, cents: list[list[int]],
+                 off: int = 0) -> Column:
     """argmin centroid code over one subspace's literal codebook, as one
     JVM expression: array_min over (key, cid) structs — struct ordering
-    compares key first, then cid, so ties break to the LOWEST code."""
-    scored = [F.struct(_l2_key(sv, cv).alias("k"),
-                       F.lit(cid).cast("int").alias("cid"))
-              for cid, cv in enumerate(cents)]
+    compares key first, then cid, so ties break to the LOWEST code. The
+    argmin key is the exact-BIGINT ``norm2(cv) - 2*dot(sv, cv)`` (the
+    row's own norm2 is constant across centroids and drops out); ``off``
+    is the subspace's element offset into the full quantized vector.
+
+    Plan-size discipline (optimization r6, mirroring semdedup._nearest):
+    the codebook rides as ONE ``from_json(lit(json), …)`` ksub×dsub
+    nested-array literal node (``F.lit(list)`` re-expands to per-element
+    nodes) indexed per code with a literal ``element_at`` — the tree is
+    O(ksub) tiny structs instead of O(ksub·dsub) literal nodes, so
+    planning/codegen stay flat in the subvector dimension (see
+    _nearest's docstring for why an outer ``transform`` lambda is NOT
+    used). The same fold-based exact integer dot over the same values ⇒
+    bit-identical codes (oracle-verified)."""
+    import json as _json
+    ksub, dsub = len(cents), len(cents[0])
+    cb = F.from_json(
+        F.lit(_json.dumps([[int(v) for v in cv] for cv in cents])),
+        "array<array<bigint>>")
+    sv = F.slice(qv, off + 1, dsub)
+    zero = F.lit(0).cast("long")
+    scored = []
+    for cid, cv in enumerate(cents):
+        n2 = sum(v * v for v in cv)
+        dot = F.aggregate(
+            F.zip_with(sv, F.element_at(cb, cid + 1), lambda x, y: x * y),
+            zero, lambda acc, x: acc + x)
+        key = F.lit(n2).cast("long") - F.lit(2).cast("long") * dot
+        scored.append(F.struct(key.alias("k"),
+                               F.lit(cid).cast("int").alias("cid")))
     return F.array_min(F.array(*scored))["cid"]
 
 
@@ -106,45 +125,53 @@ def pq_train(corpus: DataFrame, dim: int, m: int = 4, ksub: int = 8,
     """
     assert dim % m == 0, "dim must divide into m equal subspaces"
     dsub = dim // m
-    staged = _staged(corpus, vec_col, id_col)
-    init_rows = (staged
-                 .withColumn("_rk", F.md5(F.concat(
-                     F.col(id_col).cast("string"), F.lit(f":pq:{seed}"))))
-                 .orderBy("_rk", id_col)
-                 .limit(ksub)
-                 .select("_qv")
-                 .collect())
-    assert len(init_rows) >= ksub, \
-        f"corpus has {len(init_rows)} rows < ksub={ksub}"
-    books = [[[int(v) for v in r["_qv"][s * dsub:(s + 1) * dsub]]
-              for r in init_rows] for s in range(m)]
+    # cache the quantized staging frame across the init scan + Lloyd
+    # iterations (kmeans_fit's persist discipline: reuse-justified,
+    # unpersisted the moment the eager training actions are done)
+    staged = _staged(corpus, vec_col, id_col).persist()
+    try:
+        init_rows = (staged
+                     .withColumn("_rk", F.md5(F.concat(
+                         F.col(id_col).cast("string"),
+                         F.lit(f":pq:{seed}"))))
+                     .orderBy("_rk", id_col)
+                     .limit(ksub)
+                     .select("_qv")
+                     .collect())
+        assert len(init_rows) >= ksub, \
+            f"corpus has {len(init_rows)} rows < ksub={ksub}"
+        books = [[[int(v) for v in r["_qv"][s * dsub:(s + 1) * dsub]]
+                  for r in init_rows] for s in range(m)]
 
-    for _ in range(iters):
-        assigned = staged.select(
-            "_qv",
-            *[_assign_code(_slice(F.col("_qv"), s, dsub), books[s])
-              .alias(f"_c{s}") for s in range(m)])
-        cells = (assigned
-                 .select(F.explode(F.array(*[
-                     F.struct(F.lit(s).cast("int").alias("sub"),
-                              F.col(f"_c{s}").alias("cluster"),
-                              _slice(F.col("_qv"), s, dsub).alias("sv"))
-                     for s in range(m)])).alias("e"))
-                 .select("e.sub", "e.cluster",
-                         F.posexplode("e.sv").alias("pos", "val"))
-                 .groupBy("sub", "cluster", "pos")
-                 # exact integer floor division (never through double):
-                 # s - pmod(s, n) is an exact multiple of n, so the
-                 # integral div truncation IS the floor for any sign
-                 .agg(F.expr("(sum(val) - pmod(sum(val), count(*)))"
-                             " div count(*)")
-                      .cast("long").alias("val"))
-                 .collect())
-        new = [[list(books[s][c]) for c in range(ksub)] for s in range(m)]
-        for r in cells:
-            new[r["sub"]][r["cluster"]][r["pos"]] = r["val"]
-        books = new
-    return books
+        for _ in range(iters):
+            assigned = staged.select(
+                "_qv",
+                *[_assign_code(F.col("_qv"), books[s], s * dsub)
+                  .alias(f"_c{s}") for s in range(m)])
+            cells = (assigned
+                     .select(F.explode(F.array(*[
+                         F.struct(F.lit(s).cast("int").alias("sub"),
+                                  F.col(f"_c{s}").alias("cluster"),
+                                  _slice(F.col("_qv"), s, dsub).alias("sv"))
+                         for s in range(m)])).alias("e"))
+                     .select("e.sub", "e.cluster",
+                             F.posexplode("e.sv").alias("pos", "val"))
+                     .groupBy("sub", "cluster", "pos")
+                     # exact integer floor division (never through double):
+                     # s - pmod(s, n) is an exact multiple of n, so the
+                     # integral div truncation IS the floor for any sign
+                     .agg(F.expr("(sum(val) - pmod(sum(val), count(*)))"
+                                 " div count(*)")
+                          .cast("long").alias("val"))
+                     .collect())
+            new = [[list(books[s][c]) for c in range(ksub)]
+                   for s in range(m)]
+            for r in cells:
+                new[r["sub"]][r["cluster"]][r["pos"]] = r["val"]
+            books = new
+        return books
+    finally:
+        staged.unpersist()
 
 
 def pq_train_local(rows: list[tuple], dim: int, m: int = 4, ksub: int = 8,
@@ -191,7 +218,7 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[int]]],
                            quantize_vec(F.col(vec_col)).alias("_qv"))
     return staged.select(
         F.col(id_col), *extra,
-        F.array(*[_assign_code(_slice(F.col("_qv"), s, dsub), codebooks[s])
+        F.array(*[_assign_code(F.col("_qv"), codebooks[s], s * dsub)
                   for s in range(m)]).alias("codes"))
 
 

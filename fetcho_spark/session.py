@@ -52,4 +52,54 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1":
+        _warmup(spark)
     return spark
+
+
+def _warmup(spark: SparkSession) -> None:
+    """Eagerly initialize the session's lazy machinery so the FIRST real
+    query doesn't pay for it (the run_payload warmup-pass discipline,
+    bench.py): whole-stage codegen + janino, the shuffle/AQE path, the
+    noop sink, the parquet writer+reader classes, and the Python worker
+    pool (daemon fork + numpy/pandas import per worker — multiple seconds
+    on first use otherwise, charged to whichever query first crosses the
+    JVM-Python boundary). Touches only synthetic in-memory data — never
+    user inputs — so no query result can be precomputed here."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    sc.setJobDescription("session warmup (untimed)")
+    try:
+        n_workers = 2 * sc.defaultParallelism
+        df = spark.range(0, 64 * n_workers, 1, n_workers)
+        # shuffle + agg + codegen + noop sink
+        (df.groupBy((F.col("id") % 7).alias("k")).count()
+         .write.format("noop").mode("overwrite").save())
+        # parquet writer + reader init (tmpfs when available)
+        root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        d = tempfile.mkdtemp(prefix="spark-warmup-", dir=root)
+        try:
+            df.limit(64).write.mode("overwrite").parquet(d + "/t")
+            spark.read.parquet(d + "/t").count()
+        finally:
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
+        # prefork the Python worker pool and import its heavy modules once
+        # per worker (spark.python.worker.reuse keeps them alive)
+        import pandas as pd
+
+        @F.pandas_udf("long")
+        def _w(s: pd.Series) -> pd.Series:
+            import numpy as np
+            import pyarrow  # noqa: F401
+            return s * np.int64(1)
+
+        df.select(F.sum(_w("id"))).write.format("noop") \
+          .mode("overwrite").save()
+    except Exception:
+        pass  # warmup is best-effort; never block session creation
+    finally:
+        sc.setJobDescription(None)
