@@ -80,14 +80,24 @@ def dsir_weights(target: DataFrame, raw: DataFrame,
     output is ≤ ``n_buckets`` rows — broadcast territory by
     construction.
     """
+    from pyspark.sql import Window
+
     ct = hashed_ngram_counts(target, text_col, n_buckets) \
         .withColumnRenamed("n", "_ct")
     cr = hashed_ngram_counts(raw, text_col, n_buckets) \
         .withColumnRenamed("n", "_cr")
-    zt = F.broadcast(ct.agg(F.sum("_ct").alias("_zt")))
-    zr = F.broadcast(cr.agg(F.sum("_cr").alias("_zr")))
+    # totals as window sums over the ALREADY-JOINED ≤ n_buckets-row
+    # bucket table, not two broadcast single-row aggs: the old shape
+    # re-evaluated the ct/cr gram-explosion subtrees once more each for
+    # the totals (plus two broadcast-exchange jobs); a sum over a frame
+    # bounded at n_buckets rows is scale-safe by construction, and
+    # sum() skips the full-outer NULLs exactly like the per-side aggs
+    # did, so zt/zr are the same integers (r6 optimization; dsir_sample
+    # 22 -> 12 jobs). The SQL twin already computes totals post-join.
+    w_all = Window.partitionBy()
     joined = (ct.join(cr, "bucket", "full_outer")
-              .crossJoin(zt).crossJoin(zr))
+              .withColumn("_zt", F.sum("_ct").over(w_all))
+              .withColumn("_zr", F.sum("_cr").over(w_all)))
     num = ((F.coalesce(F.col("_ct"), F.lit(0)) + 1)
            * (F.col("_zr") + n_buckets)).cast("double") * F.lit(float(SCALE))
     den = ((F.coalesce(F.col("_cr"), F.lit(0)) + 1)
@@ -130,7 +140,11 @@ def dsir_select(docs: DataFrame, target: DataFrame,
     ranked = with_global_seq(
         scored.withColumn("_neg", -F.col("score_q")),
         sort_cols=("_neg", key_col), out_col="_rank", out_type="long")
-    tot = F.broadcast(scored.agg(F.count("*").alias("_n")))
+    # the keep-cut denominator is |docs| — count the cheap key
+    # projection, not `scored`, whose count is identical by construction
+    # (left join from docs.select(key)) but whose evaluation re-runs the
+    # whole gram/score pipeline (r6 optimization)
+    tot = F.broadcast(docs.select(key_col).agg(F.count("*").alias("_n")))
     return (ranked.crossJoin(tot)
             .withColumn("keep",
                         F.col("_rank") < F.floor(
