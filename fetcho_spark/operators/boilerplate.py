@@ -111,9 +111,11 @@ def _classified_blocks(html: Column,
             lambda acc, seg: acc + F.length(
                 F.split(seg, "\x02").getItem(0)))
         words = F.filter(F.split(clean, " "), lambda w: F.length(w) > 0)
-        stops = F.filter(words, lambda w: F.array_contains(
-            F.array(*[F.lit(s) for s in STOPWORDS]),
-            F.regexp_replace(F.lower(w), _TRAIL_PUNCT_RE, "")))
+        # isin = Catalyst InSet (hashed membership), not a per-word scan
+        # of a rebuilt literal array — same verdicts, measured ~2x
+        # faster cold on the bench corpus (r6 optimization)
+        stops = F.filter(words, lambda w: F.regexp_replace(
+            F.lower(w), _TRAIL_PUNCT_RE, "").isin(*STOPWORDS))
         return F.struct(clean.alias("text"),
                         F.length(clean).cast("long").alias("total_len"),
                         anchor_len.alias("anchor_len"),

@@ -69,12 +69,17 @@ def hashed_tfidf(df: DataFrame, text_col: str = "text",
                           "vec_raw",
                           F.array_repeat(F.lit(0).cast("long"), dim))
                       .alias("vec_raw")))
-    wmax = F.array_max("vec_raw")
-    return filled.select(
+    # stage the max as a column FIRST: an expression referenced inside a
+    # higher-order-function lambda is re-evaluated PER ELEMENT, so an
+    # inlined array_max would run O(dim) times per row (the
+    # word_ngrams_arr staging lesson; r6 optimization)
+    staged = filled.withColumn("_wmax",
+                               F.array_max("vec_raw").cast("double"))
+    wmax = F.col("_wmax")
+    return staged.select(
         id_col, "vec_raw",
         F.when(wmax > 0,
                F.transform("vec_raw",
-                           lambda x: x.cast("double")
-                           / wmax.cast("double")))
+                           lambda x: x.cast("double") / wmax))
         .otherwise(F.transform("vec_raw",
                                lambda x: F.lit(0.0))).alias("vec"))
