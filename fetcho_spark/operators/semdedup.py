@@ -285,26 +285,42 @@ def semdedup(corpus: DataFrame, cents: list[list[int]],
              tau: float = 0.95, vec_col: str = "embedding",
              id_col: str = "vec_id",
              max_cluster_rows: int | None = 20_000,
-             observation=None) -> DataFrame:
+             observation=None, pair_backend: str = "arrow") -> DataFrame:
     """Survivors after semantic dedup: a row is DROPPED iff some lower-id
     row in the SAME cluster has cosine ≥ tau with it (deterministic
     lowest-id survivor per near-dup group — the same survivor rule as
     exact_dedup). Returns ``(id, cluster)``.
 
-    The pair join shuffles both sides on the cluster id only — the k-means
+    The pair compare is blocked on the cluster id only — the k-means
     blocking is exactly what keeps this from being the all-pairs O(n²)
-    join (SemDeDup's point); within a cluster the compare runs as a
-    hash-join self-pair with ``id < id2``. Pair cosine is
+    compare (SemDeDup's point). Pair cosine is
     ``dot / (sqrt(n1)·sqrt(n2))`` over exact integer inputs — bit-stable,
     so ``>= tau`` needs no epsilon.
 
-    Blocking only bounds the join if no cluster degenerates — and
+    ``pair_backend`` (r6 optimization) picks how within-block pairs are
+    evaluated; both produce identical verdicts (equivalence-tested):
+
+    - ``"arrow"`` (default): one shuffle groups each (cluster, _sub)
+      block to a task, where a blocked numpy int64 Gram matrix scores
+      all pairs (guide §4.2 — whole batches through vectorized native
+      code). Bit-stable by the same argument as the JVM path: numpy
+      int64 matmul is exact (|dot| ≤ dim·max|q|² ≈ 1e15 < 2^53, so the
+      float64 conversion is exact too), and sqrt/divide are the same
+      correctly-rounded IEEE-754 ops. Row blocks bound the Gram slab at
+      ~32 MB regardless of block size, and the hot-cluster guard
+      already caps rows per (cluster, _sub) group. Measured 2.3× faster
+      than the join at the bench shape; at big k this is also the
+      assignment-independent half of the large-k scale path.
+    - ``"jvm"``: the original all-built-ins self-join with the fold dot
+      — zero Python, kept as the reference/fallback path.
+
+    Blocking only bounds the compare if no cluster degenerates — and
     near-duplicate-heavy corpora (exactly where semdedup runs) are where
-    one cluster swallows the corpus and one join key goes quadratic. So
+    one cluster swallows the corpus and one block goes quadratic. So
     the hot-cluster guard is ON by default (``max_cluster_rows=20_000``,
     the ``max_band_df`` pattern from hamming_band_pairs): oversized
     clusters re-split by a salted id-hash into ceil(n/cap) sub-clusters,
-    bounding pairs per key at ~cap²/2 and total pairs at ~n·cap/2.
+    bounding pairs per block at ~cap²/2 and total pairs at ~n·cap/2.
     Near-dups split into different sub-clusters are missed — a documented
     recall trade that engages ONLY above the cap (the DuckDB gate twin
     carries no split and matches exactly while every cluster ≤ cap, true
@@ -315,10 +331,26 @@ def semdedup(corpus: DataFrame, cents: list[list[int]],
     runs."""
     assert observation is None or max_cluster_rows is not None, \
         "observation reports the hot-cluster cap - it needs a cap to watch"
+    assert pair_backend in ("arrow", "jvm")
     staged = (_staged(corpus, vec_col, id_col)
               .withColumn("cluster", _nearest(F.col("_qv"), cents))
               .withColumn("_n2", _dot_q(F.col("_qv"), F.col("_qv"))))
     salted = _with_subcluster(staged, id_col, max_cluster_rows, observation)
+    if pair_backend == "arrow":
+        dups = _dups_arrow(salted, id_col, tau)
+    else:
+        dups = _dups_jvm(salted, id_col, tau)
+    # anti-join LEFT side is `salted`, not `staged`: when dups is empty,
+    # AQE's empty-relation propagation collapses the anti-join to its
+    # left child — which must still carry the observed counts subtree or
+    # the cap metrics would vanish exactly when they read 0/0
+    return (salted.join(dups, id_col, "left_anti")
+            .select(id_col, "cluster"))
+
+
+def _dups_jvm(salted: DataFrame, id_col: str, tau: float) -> DataFrame:
+    """Within-block dup ids via the all-built-ins self-join (the original
+    formulation): hash-join self-pair with ``id < id2``, fold dot."""
     left = salted.select(F.col(id_col).alias("_id1"),
                          F.col("cluster"), F.col("_sub"),
                          F.col("_qv").alias("_v1"),
@@ -330,15 +362,58 @@ def semdedup(corpus: DataFrame, cents: list[list[int]],
     cos = (_dot_q(F.col("_v1"), F.col("_v2")).cast("double")
            / (F.sqrt(F.col("_n21").cast("double"))
               * F.sqrt(F.col("_n22").cast("double"))))
-    dups = (left.join(right, ["cluster", "_sub"])
+    return (left.join(right, ["cluster", "_sub"])
             .filter(F.col("_id1") < F.col("_id2"))
             .filter((F.col("_n21") > 0) & (F.col("_n22") > 0))
             .filter(cos >= F.lit(float(tau)))
             .select(F.col("_id2").alias(id_col))
             .distinct())
-    # anti-join LEFT side is `salted`, not `staged`: when dups is empty,
-    # AQE's empty-relation propagation collapses the anti-join to its
-    # left child — which must still carry the observed counts subtree or
-    # the cap metrics would vanish exactly when they read 0/0
-    return (salted.join(dups, id_col, "left_anti")
-            .select(id_col, "cluster"))
+
+
+def _dups_arrow(salted: DataFrame, id_col: str, tau: float) -> DataFrame:
+    """Within-block dup ids via a per-(cluster, _sub) numpy Gram matrix
+    (see :func:`semdedup`'s pair_backend docs for the bit-stability
+    argument). One groupBy shuffle of (id, qv, n2) — half the bytes of
+    the self-join, which shipped both sides. Row ordering inside a block
+    is by ``id_col`` ascending (numeric or bytewise-string order, the
+    same order Spark's ``<`` uses), so "some lower-id row" means exactly
+    what the join's ``_id1 < _id2`` meant."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    tau_f = float(tau)
+    out_schema = T.StructType([
+        T.StructField(id_col, salted.schema[id_col].dataType)])
+
+    def find_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        n2 = pdf["_n2"].to_numpy(dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["_qv"]])
+        nz = n2 > 0
+        s = np.sqrt(n2.astype(np.float64))
+        dup = np.zeros(n, dtype=bool)
+        # row blocks bound the Gram slab: B*n cells <= ~4M (32 MB f64)
+        B = max(1, 4_000_000 // n)
+        gj = np.arange(n)[None, :]
+        for a in range(0, n, B):
+            b = min(a + B, n)
+            G = V[a:b] @ V.T                    # exact int64 dots
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # 0-norm rows divide to nan/inf; the nz mask discards
+                # them exactly like the join's _n2 > 0 filters
+                cos = G.astype(np.float64) / (s[a:b, None] * s[None, :])
+            m = (cos >= tau_f) & nz[a:b, None] & nz[None, :]
+            m &= gj > np.arange(a, b)[:, None]  # strictly lower-id partner
+            dup |= m.any(axis=0)
+        return pd.DataFrame({id_col: ids[dup]})
+
+    # no distinct needed: each id lives in exactly one (cluster, _sub)
+    # group and is emitted at most once per group
+    return (salted.select(id_col, "cluster", "_sub", "_qv", "_n2")
+            .groupBy("cluster", "_sub")
+            .applyInPandas(find_dups, out_schema))

@@ -170,3 +170,25 @@ def test_semdedup_guard_inert_below_cap(spark):
     assert capped == uncapped
     assert obs.get["hot_clusters_split"] == 0
     assert obs.get["hot_cluster_rows"] == 0
+
+
+def test_semdedup_pair_backends_equivalent(spark):
+    """r6 optimization: the Arrow Gram-matrix pair backend (default) and
+    the all-JVM self-join backend must produce identical survivors —
+    including zero-norm rows (never dropped, never droppers) and ties."""
+    rows, df = _emb_df(spark, n=80)
+    # inject near-dup clones and a zero vector so both edge paths fire
+    clones = [(5000 + i, [v * 1.0001 for v in vec])
+              for i, (_, vec) in enumerate(rows[:10])]
+    zero = [(9000, [0.0] * 16)]
+    full = spark.createDataFrame(
+        rows + clones + zero,
+        "vec_id LONG, embedding ARRAY<FLOAT>").repartition(5)
+    cents = kmeans_fit(full, k=4, iters=2)
+    got_arrow = sorted(tuple(r) for r in semdedup(
+        full, cents, tau=0.999, pair_backend="arrow").collect())
+    got_jvm = sorted(tuple(r) for r in semdedup(
+        full, cents, tau=0.999, pair_backend="jvm").collect())
+    assert got_arrow == got_jvm
+    assert len(got_arrow) < 80 + 10 + 1          # some clone was dropped
+    assert any(r[0] == 9000 for r in got_arrow)  # zero vector survives
