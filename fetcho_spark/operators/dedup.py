@@ -271,31 +271,31 @@ def simhash(df: DataFrame, text_col: str = "text",
     the sign of each bit-sum sets the output bit. explode → groupBy, all
     built-ins; exact SQL twin via the same hex-parse trick.
 
-    Formulation (r6 optimization): bits explode to (id, bit, ±1) rows and
-    aggregate in two narrow groupBys, instead of ONE groupBy with 60 wide
-    ``sum(when(...))`` aggregates plus a 60-term reassembly projection —
-    the tiny fixed-shape plan analyzes/compiles in milliseconds where the
-    60-aggregate plan cost ~1.5-4 s per invocation (measured 2.0 → 0.4 s
-    warm, 5.1 → 0.9 s cold on 50 docs; still faster at 5k docs). Both
-    shuffles partial-aggregate map-side, so the wire carries ≤ 60 rows
-    per document either way; identical results (A/B-verified, oracle
-    hash-checked)."""
+    Formulation note (r6 optimization round, negative result): an
+    explode-by-bit rewrite ((id, bit, ±1) rows + two narrow groupBys)
+    cut the ~1.5-4 s plan-analysis/codegen cost of this 60-aggregate
+    shape and won at sf0.1 — but INVERTED at sf1 (23.4 s vs 7.8 s exec):
+    materializing 60× token rows is linear-in-data work the wide
+    aggregate never does, while the 60-aggregate's cost is a once-per-
+    query plan constant. The wide shape is the scale-correct one; kept."""
     tokens = (df.select(F.col(id_col),
                         F.explode(_words(F.col(text_col))).alias("tok"))
               .filter(F.col("tok") != ""))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     toks = tokens.withColumn("h", h)
-    bits = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h")
-    votes = (bits.withColumn(
-                "v", F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 "
-                            "THEN 1 ELSE -1 END"))
-             .groupBy(id_col, "b").agg(F.sum("v").alias("s")))
-    val = F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)"))
-                .otherwise(F.lit(0).cast("long")))
-    return votes.groupBy(id_col).agg(val.alias("simhash"))
+    bit_votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_votes)
+    val = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(
+                          F.lit(0).cast("long"))
+        val = term if val is None else val + term
+    return agg.select(id_col, val.alias("simhash"))
 
 
 def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,

@@ -31,20 +31,15 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size-based post-shuffle coalescing (guide §2.2: reduce
-        # partitions sized by bytes, not thread count). parallelismFirst
-        # =true (the Spark default) pins coalescing to defaultParallelism
-        # and produces 2*cores near-empty reduce tasks on every small
-        # shuffle; =false honours the advisory size at EVERY scale —
-        # small inputs coalesce to few tasks, 100 TB shuffles still get
-        # bytes/advisory tasks. Advisory size is env-tunable for cluster
-        # profiles (guide §9 suggests 256m there); 64m is the local
-        # default. Measured ~10% across a 12-query mixed set, no query
-        # worse.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
+        # coalescePartitions.parallelismFirst stays at the Spark default
+        # (true). The size-based alternative (=false + a 64m advisory)
+        # measured ~10% faster across a 12-query set at sf0.1 but
+        # UNDER-PARALLELIZES CPU-dense shuffle stages as data grows —
+        # simhash_pairs' band self-join regressed 9.4 s -> 16.0 s at a
+        # locally generated sf1 because ~100 MB of candidate pairs
+        # coalesced to a handful of tasks on 32 cores. A knob that only
+        # wins on 600k-row tables is exactly the local-only tuning this
+        # repo avoids (r6 optimization round, negative result).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
