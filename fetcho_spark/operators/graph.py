@@ -64,6 +64,18 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping_pct: int = 85,
              .distinct().localCheckpoint(eager=False))
     od = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     eo = e.join(od, "src").localCheckpoint(eager=False)
+    # nodes with NO in-edge receive no contribution ever: their rank is
+    # exactly `teleport` from iteration 1 on — a FIXED set, so the
+    # per-iteration `nodes` left-join existed only to backfill that
+    # constant. Union the precomputed constant rows instead: one shuffle
+    # per iteration (the contribution groupBy) instead of two (guide §2
+    # — remove shuffles outright). Same values by construction: every
+    # dst with an in-edge appears in `contrib` (all srcs carry a rank
+    # row), so coalesce(s, 0) never fired for them anyway.
+    cold = (nodes.join(e.select(F.col("dst").alias("v")).distinct(),
+                       "v", "left_anti")
+            .select("v", F.lit(teleport).cast("long").alias("q"))
+            .localCheckpoint(eager=False))
 
     r = nodes.select("v", F.lit(scale).cast("long").alias("q"))
     for it in range(n_iter):
@@ -72,10 +84,10 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping_pct: int = 85,
                            F.expr(f"({damping_pct} * q) div "
                                   f"(100 * outdeg)").alias("c"))
                    .groupBy("v").agg(F.sum("c").alias("s")))
-        r = (nodes.join(contrib, "v", "left")
-             .select("v",
-                     (F.lit(teleport) + F.coalesce("s", F.lit(0)))
-                     .cast("long").alias("q")))
+        r = (contrib.select("v",
+                            (F.lit(teleport) + F.col("s"))
+                            .cast("long").alias("q"))
+             .unionByName(cold))
         if (it + 1) % checkpoint_every == 0 and it != n_iter - 1:
             r = r.localCheckpoint(eager=False)
     return r.select(F.col("v").alias("node_id"),
@@ -94,6 +106,14 @@ def hits(edges: DataFrame, n_iter: int = 6,
     half-step (the scalar-per-iteration pattern PageRank's teleport
     constant avoids needing).
 
+    Mid-loop the score tables cover only the pushed endpoint set (hub:
+    src set, auth: dst set) — no per-half-step zero-backfill join (r6):
+    excluded nodes score exactly 0, which changes no sum and no max
+    (after every normalization the argmax row holds exactly ``scale`` —
+    ``(scale*max) div max`` — and a src-set node with ``scale`` always
+    pushes ≥ scale onto some dst, so the max stays > 0 and is attained
+    inside the covered set); zeros are backfilled once on the result.
+
     Overflow bound: pre-normalization sums are < max_degree * scale;
     keep ``max_in_degree * scale < 2^63`` (default scale 1e9 → safe to
     ~9e9-degree hubs).
@@ -111,13 +131,18 @@ def hits(edges: DataFrame, n_iter: int = 6,
                         .otherwise(F.lit(0)).cast("long").alias(col)))
 
     def _push(scores, score_col, key, out, out_col):
-        # sum scores of `key`-side endpoints onto the `out` endpoint
-        s = (e.join(scores.withColumnRenamed("v", key), key)
-             .groupBy(F.col(out).alias("v"))
-             .agg(F.sum(score_col).alias(out_col)))
-        return (nodes.join(s, "v", "left")
-                .select("v", F.coalesce(out_col, F.lit(0)).cast("long")
-                        .alias(out_col)))
+        # sum scores of `key`-side endpoints onto the `out` endpoint.
+        # No zero-backfill join mid-loop (guide §2/§3 — it was one
+        # `nodes` left-join per half-step, 12 per run): the pushed
+        # table covers exactly the `out`-endpoint set, and the NEXT
+        # push joins e on that same endpoint, so every join key is
+        # covered by construction; nodes outside the set score 0 and a
+        # 0 can neither change the max-normalizer (some src-set node
+        # always holds `scale` > 0, see _norm note below) nor any sum.
+        # The zeros are backfilled ONCE on the final result instead.
+        return (e.join(scores.withColumnRenamed("v", key), key)
+                .groupBy(F.col(out).alias("v"))
+                .agg(F.sum(score_col).cast("long").alias(out_col)))
 
     # lineage truncation every other iteration, not every half-step:
     # the per-half-step localCheckpoint forced an AQE materialization
@@ -135,8 +160,15 @@ def hits(edges: DataFrame, n_iter: int = 6,
                     "hub_q")
         if it % 2 == 1 and it != n_iter - 1:
             hub = hub.localCheckpoint(eager=False)
-    return (hub.join(auth, "v")
-            .select(F.col("v").alias("node_id"), "hub_q", "auth_q"))
+    # single zero-backfill at the end: hub covers the src set, auth the
+    # dst set; every other node's score is identically 0 (never pushed
+    # onto), exactly what the old per-half-step backfill carried around
+    return (nodes.join(hub, "v", "left").join(auth, "v", "left")
+            .select(F.col("v").alias("node_id"),
+                    F.coalesce("hub_q", F.lit(0)).cast("long")
+                     .alias("hub_q"),
+                    F.coalesce("auth_q", F.lit(0)).cast("long")
+                     .alias("auth_q")))
 
 
 def hits_local(edge_list: list[tuple], n_iter: int = 6,
